@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query output
+parquet in OUTDIR, run the matching oracle SQL from oracle_sql.json in
+DuckDB over SFDIR's tables and diff (schema, row count, values).
+
+Usage: check.py OUTDIR SFDIR [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+with open(os.path.join(outdir, "oracle_sql.json")) as f:
+    oracles = json.load(f)
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+fails = []
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    if only and name not in only:
+        continue
+    got = con.execute(f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    if name not in oracles:
+        print(f"{name:24s} rows-only: {len(got)} rows")
+        if len(got) == 0:
+            fails.append(name)
+        continue
+    try:
+        exp = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        fails.append(name)
+        continue
+    problems = []
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        problems.append(f"columns differ: spark={gcols} duck={ecols}")
+    elif len(got) != len(exp):
+        problems.append(f"rowcount differ: spark={len(got)} duck={len(exp)}")
+    else:
+        g, e = got[gcols].reset_index(drop=True), exp[gcols].reset_index(drop=True)
+        for c in gcols:
+            gs, es = g[c], e[c]
+            if str(gs.dtype) != str(es.dtype):
+                problems.append(f"col {c} dtype: spark={gs.dtype} duck={es.dtype}")
+            try:
+                if gs.dtype.kind == "f":
+                    import numpy as np
+                    import pandas as pd
+                    bad = pd.Series(~(np.isclose(gs.fillna(1e300), es.fillna(1e300),
+                                                 rtol=0, atol=1e-9)))
+                else:
+                    bad = gs.fillna("\0N") != es.fillna("\0N") \
+                        if gs.dtype == object else gs.fillna(-(2**62)) != es.fillna(-(2**62))
+                if bad.any():
+                    i = bad.idxmax()
+                    problems.append(
+                        f"col {c}: {int(bad.sum())} diffs, first@{i}: "
+                        f"spark={gs[i]!r} duck={es[i]!r}")
+            except Exception as ex:
+                problems.append(f"col {c} compare error: {ex}")
+    if problems:
+        print(f"{name:24s} FAIL  " + " | ".join(problems[:3]))
+        fails.append(name)
+    else:
+        print(f"{name:24s} ok    {len(got)} rows")
+
+print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,199 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** The reference's CDC spine, Spark-first.
+  *
+  * Reference semantics covered here:
+  *  - Canal binlog JSON envelope parse + DDL filter
+  *    (reference HdfsSink.java:59-66)
+  *  - envelope flatten to a delimited record (HdfsSink.java:67-104)
+  *  - event-time `dt=yyyyMMdd` bucketing with the `00000000` dead-letter
+  *    fallback (EventTimeBucketAssigner.java:21-43)
+  *  - last-writer-wins compaction (`row_number` desc, keep 1; README.md:238-251)
+  *  - FULL OUTER JOIN + COALESCE snapshot merge (README.md:222-252)
+  *
+  * All of it is Catalyst built-ins: `from_json`, `explode`, window
+  * functions, joins. Nothing here needs a custom rule — predicate pushdown,
+  * partition pruning on `dt`, and join selection come free from Catalyst.
+  */
+object Cdc extends QueryModule {
+
+  /** Canal envelope schema (HdfsSink.java:73-97). The payload rows are kept
+    * as `MapType(String, String)` to preserve the reference's
+    * schema-agnostic handling; a fixed-schema table would use a StructType
+    * here instead.
+    */
+  val canalSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("type", StringType),
+    StructField("isDdl", StringType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("data", ArrayType(MapType(StringType, StringType)))))
+
+  /** Parse a DataFrame of raw Canal JSON strings (column `value`) into the
+    * envelope columns. Mirrors the fastjson parse at HdfsSink.java:73.
+    */
+  def parseEnvelope(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), canalSchema).as("env"))
+      .select(col("env.*"))
+
+  /** Drop DDL events — exact semantics of the reference filter
+    * (HdfsSink.java:59-66): keep records whose `isDdl` field equals the
+    * string "false".
+    */
+  def ddlFilter(parsed: DataFrame): DataFrame =
+    parsed.filter(col("isDdl") === "false")
+
+  /** Flatten the envelope to one delimited record per payload row
+    * (HdfsSink.java:79-101): explode the `data` array, then emit
+    * `id,es,ts,type,<payload values in column order>`.
+    *
+    * Divergence from the reference (documented, SURVEY.md §7): the
+    * reference relies on JSON key order (fastjson OrderedField,
+    * HdfsSink.java:63) for CSV column order. Spark's MapType does not
+    * guarantee order, so the projection order is fixed by the caller's
+    * `payloadCols` — schema-driven, not map-iteration-driven.
+    */
+  def flatten(parsed: DataFrame, payloadCols: Seq[String]): DataFrame = {
+    val row = parsed.withColumn("row", explode(col("data")))
+    val payload = payloadCols.map(c => element_at(col("row"), c))
+    row.select(
+      concat_ws(",", Seq(col("id"), col("es"), col("ts"), col("type")) ++ payload: _*)
+        .as("line"),
+      col("id"), col("es"), col("ts"), col("type"))
+  }
+
+  /** `dt=yyyyMMdd` from epoch-millis event time, with the reference's
+    * dead-letter bucket `00000000` for unparsable values
+    * (EventTimeBucketAssigner.java:25-27,40-42). `es` is epoch MILLIS.
+    */
+  def eventTimeDt(es: Column): Column =
+    coalesce(date_format(timestamp_millis(es), "yyyyMMdd"), lit("00000000"))
+
+  /** Last-writer-wins compaction: latest row per key (README.md:238-251),
+    * generalized with an explicit tiebreaker so results are deterministic.
+    * DELETE rows survive as rows (SURVEY.md §2.1 note) — `event_type` /
+    * `dml_type` is carried through, never filtered.
+    */
+  def latestState(df: DataFrame, key: String, time: String, tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time).desc, col(tiebreak).desc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The merge restore (README.md:222-252): FULL OUTER JOIN snapshot vs
+    * deduped delta on the entity key, COALESCE delta-over-snapshot per
+    * column. At scale both sides shuffle on the join key once; the window
+    * dedup and the join reuse the same hash partitioning on `user_id`, so
+    * Catalyst plans a single exchange per side.
+    */
+  def mergeSnapshot(snapshot: DataFrame, delta: DataFrame, key: String, cols: Seq[String]): DataFrame = {
+    val t1 = snapshot.alias("t1")
+    val t2 = delta.alias("t2")
+    val merged = t1.join(t2, col(s"t1.$key") === col(s"t2.$key"), "full_outer")
+    merged.select(
+      coalesce(col(s"t2.$key"), col(s"t1.$key")).as(key) +:
+        cols.map(c => coalesce(col(s"t2.$c"), col(s"t1.$c")).as(c)): _*)
+  }
+
+  // ---- registered queries over the `events` fixture ----------------------
+
+  private val cutoff = "2024-01-21 00:00:00"
+
+  /** Flagship: snapshot/delta split of `events` by a ts cutoff, window
+    * dedup on each side, full-outer merge with COALESCE. One expression of
+    * R11+R12+R13 end-to-end.
+    */
+  def fullMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val cut = lit(cutoff).cast(TimestampType)
+    val snap = latestState(ev.filter(col("ts") < cut), "user_id", "ts", "event_id")
+    val delta = latestState(ev.filter(col("ts") >= cut), "user_id", "ts", "event_id")
+    mergeSnapshot(snap, delta, "user_id", Seq("event_id", "event_type", "value", "ts"))
+      .withColumn("value", round(col("value"), 2))
+      .orderBy("user_id")
+  }
+
+  private def latestStateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    latestState(Tables(spark, sfDir, "events"), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts"))
+      .orderBy("user_id")
+
+  private def ddlFilterQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // R2 shape on events.props: predicate on a JSON field of the raw payload.
+    Tables(spark, sfDir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .filter(col("k") < 50 && col("k").isNotNull)
+      .select(col("event_id"), col("event_type"), col("k"))
+      .orderBy("event_id")
+
+  private def flattenQuery(spark: SparkSession, sfDir: String): DataFrame =
+    // R3 shape on events: parse the JSON payload, emit the delimited record.
+    Tables(spark, sfDir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .select(
+        col("event_id"),
+        concat_ws(",", col("event_id"), col("user_id"), col("event_type"), col("k")).as("line"))
+      .orderBy("event_id")
+
+  private def scanPruneDt(spark: SparkSession, sfDir: String): DataFrame =
+    // R10: partition-pruned scan. The `dt` derivation is the write-side
+    // partition column (R4); filtering on it prunes partitions when the
+    // table is written partitionBy("dt") — here derived on the fly over the
+    // unpartitioned fixture, same semantics.
+    Tables(spark, sfDir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .filter(col("dt") === "20240105")
+      .select(col("event_id"), col("dt"), col("event_type"), col("user_id"))
+      .orderBy("event_id")
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_join_full_merge" -> QueryDef(fullMerge, Some(s"""
+      WITH snap AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts < TIMESTAMP '$cutoff') WHERE rn = 1),
+      delta AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts >= TIMESTAMP '$cutoff') WHERE rn = 1)
+      SELECT COALESCE(t2.user_id, t1.user_id) AS user_id,
+             COALESCE(t2.event_id, t1.event_id) AS event_id,
+             COALESCE(t2.event_type, t1.event_type) AS event_type,
+             round(COALESCE(t2.value, t1.value), 2) AS value,
+             COALESCE(t2.ts, t1.ts) AS ts
+      FROM snap t1 FULL OUTER JOIN delta t2 ON t1.user_id = t2.user_id
+      ORDER BY user_id""")),
+    "q_latest_state" -> QueryDef(latestStateQuery, Some("""
+      SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
+      FROM (
+        SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e) WHERE rn = 1
+      ORDER BY user_id""")),
+    "q_cdc_ddl_filter" -> QueryDef(ddlFilterQuery, Some("""
+      SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+        AND json_extract_string(props, '$.k') IS NOT NULL
+      ORDER BY event_id""")),
+    "q_cdc_flatten" -> QueryDef(flattenQuery, Some("""
+      SELECT event_id,
+             concat_ws(',', event_id, user_id, event_type,
+                       CAST(json_extract_string(props, '$.k') AS INTEGER)) AS line
+      FROM events
+      ORDER BY event_id""")),
+    "q_scan_prune_dt" -> QueryDef(scanPruneDt, Some("""
+      SELECT event_id, strftime(ts, '%Y%m%d') AS dt, event_type, user_id
+      FROM events
+      WHERE strftime(ts, '%Y%m%d') = '20240105'
+      ORDER BY event_id""")))
+}

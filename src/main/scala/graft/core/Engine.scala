@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SparkSession factory for the engine.
+  *
+  * Mirrors the reference's bootstrap (HdfsSink.java:36-44: env setup,
+  * parallelism, checkpointing) re-expressed for Spark: one builder with
+  * UTC time zone, AQE on, and shuffle partitions sized to the local core
+  * count instead of the 200 default. On a real cluster the same builder is
+  * used with `master` unset (spark-submit provides it) and
+  * `spark.sql.shuffle.partitions` sized to ~2-3x total cores.
+  */
+object Engine {
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
+
+/** Table registry over the driver-generated parquet fixtures.
+  *
+  * Every query receives `sfDir` (a scale-factor directory); all table
+  * access goes through here so the storage layout is one place. Columnar
+  * parquet is the engine's canonical storage (the idiomatic upgrade over
+  * the reference's row-format text files, HdfsSink.java:117-119).
+  */
+object Tables {
+  import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects outright. Read nanos as raw long and truncate to
+    // microseconds — the same ns→µs truncation DuckDB applies, so the
+    // oracle sees identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+}

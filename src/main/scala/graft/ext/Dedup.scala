@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Deduplication family for training-data curation over `documents`:
+  * exact (content-hash groupBy), n-gram Jaccard on a bounded candidate
+  * set, and MinHash + LSH banding for scalable near-dup candidate
+  * generation.
+  *
+  * Scale design: exact dedup is one hash shuffle on a 128-bit digest (the
+  * digest, never the document body, is the shuffle key). MinHash is the
+  * 100 TB path — per-doc signatures are computed scan-side (no shuffle),
+  * only (band, bandHash, doc_id) triples shuffle, and the candidate join
+  * is an equi-join on the band bucket, so work scales with collisions,
+  * not with n². Jaccard verification runs only on the candidate pairs.
+  */
+object Dedup extends QueryModule {
+
+  private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  private def dedupExactRows(spark: SparkSession, sfDir: String): DataFrame = {
+    // Survivor rows (first doc_id per content hash) — what a curation
+    // pipeline actually forwards downstream.
+    val d = Tables(spark, sfDir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    d.withColumn("content_hash", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // Exact word-set Jaccard on a bounded pair set (doc_id < 100) — the
+    // ground-truth twin of the MinHash estimate below; top-20 most similar
+    // pairs. The bound keeps the n² pair explosion out of the oracle; the
+    // scalable path is q_minhash_near_dup.
+    val d = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        round(
+          size(array_intersect(col("a.w"), col("b.w"))).cast(DoubleType) /
+            size(array_union(col("a.w"), col("b.w"))), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  private val K = 16          // signature length
+  private val RowsPerBand = 4 // => 4 bands; P(candidate) = 1-(1-j^4)^4
+  private val Bands = K / RowsPerBand
+  private val P = 2305843009213693951L // 2^61 - 1
+
+  // Deterministic permutation coefficients (odd multipliers).
+  private val coefA = (1 to K).map(i => 2L * i * 1000003L + 1L)
+  private val coefB = (1 to K).map(i => i * 7919L)
+
+  /** doc_id + K-wide MinHash signature over 3-word shingles. Pure
+    * expression pipeline: split → shingle (transform over sequence) →
+    * xxhash64 → per-permutation array_min. One scan, no shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until K).map { i =>
+      expr(s"array_min(transform(hashes, h -> pmod(h * ${coefA(i)}L + ${coefB(i)}L, ${P}L)))")
+        .as(s"mh$i")
+    }
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN transform(sequence(1, size(toks) - 2),
+          |                 i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+          |  ELSE array(concat_ws(' ', toks)) END""".stripMargin))
+      .withColumn("hashes", expr("transform(shingles, s -> xxhash64(s))"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** Candidate pairs via LSH banding: docs sharing any band of the
+    * signature. Shuffle key is (band, bandHash) — tiny rows.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      expr(s"xxhash64(concat_ws(',', ${parts.mkString(", ")}))").as(s"band$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val buckets = banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bh")))
+    buckets.alias("x")
+      .join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Full pipeline: signatures → LSH candidates → exact Jaccard verify on
+    // candidates only → near-dups above threshold.
+    val docs = Tables(spark, sfDir, "documents")
+    val cands = lshCandidates(minhashSignatures(docs))
+    val words = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    cands
+      .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
+      .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("wa"), col("wb"))).cast(DoubleType) /
+          size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_dedup_exact" -> QueryDef(dedupExact, Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+    "q_dedup_exact_rows" -> QueryDef(dedupExactRows, Some("""
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) WHERE rn = 1
+      ORDER BY doc_id""")),
+    "q_ngram_jaccard" -> QueryDef(ngramJaccard, Some("""
+      WITH d AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 100)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_filter(list_distinct(a.w), x -> list_contains(b.w, x))) AS DOUBLE)
+                   / len(list_distinct(a.w || b.w)), 4) AS jaccard
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""")),
+    "q_minhash_near_dup" -> QueryDef(minhashNearDup, None))
+}

@@ -1,0 +1,127 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.SimHash64
+
+/** Similarity search over `embeddings` (64-dim float vectors) and
+  * near-duplicate detection via SimHash over `documents`.
+  *
+  * Scale design: the brute-force cosine top-k is the correctness baseline
+  * (one scan + TakeOrderedAndProject — still distributed, but O(n) dot
+  * products per probe). The LSH variant is the 100 TB path: a 10-bit
+  * random-hyperplane signature computed scan-side buckets the vectors, so
+  * the pair search runs only inside buckets (expected bucket size n/1024)
+  * and the shuffle key is the bucket id, not the vector.
+  */
+object Similarity extends QueryModule {
+
+  /** Double-precision dot product of two float-array columns, folded
+    * left-to-right (deterministic order, matching the oracle's summation).
+    */
+  private def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dotExpr(a, a))
+
+  private def cosine(a: String, b: String): Column =
+    dotExpr(a, b) / (norm(a) * norm(b))
+
+  private def similarityTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("ae"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id"), round(cosine("embedding", "ae"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  // ---- LSH-bucketed ANN ------------------------------------------------
+
+  private val SigBits = 10
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i)
+    * in [-1, 1), derived from xxhash64 — no stored model, identical on
+    * every executor.
+    */
+  private val planeComponent =
+    "((pmod(xxhash64(concat_ws(':', j, i)), 2000001L) / 1000000.0) - 1.0)"
+
+  /** vec_id + LSH bucket id: sign bit per hyperplane, packed to an int. */
+  def lshBuckets(embeddings: DataFrame): DataFrame =
+    embeddings.withColumn("bucket", expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${SigBits - 1}), j ->
+         |    CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE),
+         |           (acc, i) -> acc + CAST(embedding[i - 1] AS DOUBLE) * $planeComponent) > 0
+         |         THEN 1L ELSE 0L END),
+         |  0L, (acc, b) -> acc * 2 + b)""".stripMargin))
+
+  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // Bucket, then search pairs only within buckets; report the globally
+    // top-20 most similar candidate pairs (embeddings are near-orthogonal
+    // random vectors, so a fixed threshold would be empty — ranking is the
+    // robust contract).
+    val b = lshBuckets(Tables(spark, sfDir, "embeddings"))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val x = b.alias("x")
+    val y = b.alias("y")
+    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.bucket").as("bucket"),
+        col("x.vec_id").as("vec_a"),
+        col("y.vec_id").as("vec_b"),
+        round(cosine("x.embedding", "y.embedding"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  // ---- SimHash near-dup over documents --------------------------------
+
+  private def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Candidates: docs sharing any 16-bit chunk of the 64-bit simhash
+    // (banding); verify: Hamming distance via bit_count(xor) <= 6.
+    SimHash64.register(spark)
+    val d = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr("simhash64(text)").as("sh"))
+    val chunks = d.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "cv")))
+    val cands = chunks.alias("x")
+      .join(chunks.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .distinct()
+    cands
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_similarity_topk" -> QueryDef(similarityTopk, Some("""
+      WITH anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
+      terms AS (
+        SELECT e.vec_id,
+               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM embeddings e, anchor a, range(1, 65) t(i)
+        WHERE e.vec_id <> 0),
+      sims AS (
+        SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+        FROM terms GROUP BY vec_id)
+      SELECT vec_id, round(c, 4) AS cos_sim FROM sims
+      ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
+    "q_ann_lsh" -> QueryDef(annLsh, None),
+    "q_simhash_near_dup" -> QueryDef(simhashNearDup, None))
+}

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table: descriptive stats, quality scoring, n-gram
+  * language ID, tokenization counts, and rolling-hash document
+  * fingerprinting. Everything is built-in/higher-order functions
+  * (codegen'd, one scan, no UDFs) — each row is processed independently,
+  * so the plan is embarrassingly parallel at any scale.
+  */
+object TextAnalysis extends QueryModule {
+
+  private val stopwords = Seq("the", "a")
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  private def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast(LongType).as("n_chars_c"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast(LongType).as("n_uniq_words"))
+      .orderBy("doc_id")
+
+  private def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast(LongType))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, w -> w IN ($stopList))")).cast(LongType))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
+        round(
+          (length(col("text")) - (col("n_words") - 1)).cast(DoubleType) / col("n_words"),
+          2).as("avg_word_len"),
+        (col("n_words").between(10, 200) &&
+          (col("n_stop").cast(DoubleType) / col("n_words")) < lit(0.3)).as("is_quality"))
+      .orderBy("doc_id")
+
+  private def langId(spark: SparkSession, sfDir: String): DataFrame =
+    // n-gram-heuristic language ID: stopword hit-rate decides. The fixture
+    // vocabulary is English-ish regardless of the labeled lang, so the
+    // interesting output is the (label, prediction) contingency.
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("stop_ratio",
+        size(expr(s"filter(toks, w -> w IN ($stopList))")).cast(DoubleType) /
+          size(col("toks")))
+      .withColumn("pred_lang", when(col("stop_ratio") > 0.01, "en").otherwise("unk"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"), round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
+      .orderBy("lang", "pred_lang")
+
+  private def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("re_tokens"),
+        // BPE-ish upper bound: each word contributes ceil(len/4) pieces.
+        expr("CAST(aggregate(transform(split(text, ' '), w -> ceil(length(w) / 4.0)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS BIGINT)").as("bpe_pieces"))
+      .orderBy("doc_id")
+
+  private def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    // Rolling-hash fingerprint: md5 over strided char-20-gram shingles,
+    // keep the min/max digest per doc (winnowing-style representative).
+    // md5 is bit-identical across engines, so this is oracle-checkable.
+    Tables(spark, sfDir, "documents")
+      .withColumn("pos", explode(expr(
+        "sequence(1, greatest(length(text) - 19, 1), 4)")))
+      .withColumn("gram", expr("substring(text, pos, 20)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(col("gram"))).as("fp_min"),
+        max(md5(col("gram"))).as("fp_max"),
+        countDistinct(md5(col("gram"))).as("n_grams"))
+      .orderBy("doc_id")
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_text_stats" -> QueryDef(textStats, Some("""
+      SELECT doc_id, lang,
+             length(text) AS n_chars_c,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq_words
+      FROM documents ORDER BY doc_id""")),
+    "q_text_quality" -> QueryDef(textQuality, Some(s"""
+      WITH t AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_words,
+             round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+             round(CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words, 2) AS avg_word_len,
+             (n_words BETWEEN 10 AND 200 AND CAST(n_stop AS DOUBLE) / n_words < 0.3) AS is_quality
+      FROM t ORDER BY doc_id""")),
+    "q_lang_id" -> QueryDef(langId, Some(s"""
+      WITH t AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents)
+      SELECT lang,
+             CASE WHEN stop_ratio > 0.01 THEN 'en' ELSE 'unk' END AS pred_lang,
+             count(*) AS n,
+             round(avg(stop_ratio), 4) AS avg_stop_ratio
+      FROM t GROUP BY 1, 2 ORDER BY lang, pred_lang""")),
+    "q_token_count" -> QueryDef(tokenCount, Some("""
+      SELECT doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+             len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                  w -> ceil(length(w) / 4.0))) AS BIGINT) AS bpe_pieces
+      FROM documents ORDER BY doc_id""")),
+    "q_doc_fingerprint" -> QueryDef(docFingerprint, Some("""
+      WITH g AS (
+        SELECT doc_id, md5(substring(text, CAST(i AS INTEGER), 20)) AS h
+        FROM documents, range(1, greatest(length(text) - 19, 1) + 1, 4) t(i))
+      SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+             count(DISTINCT h) AS n_grams
+      FROM g GROUP BY doc_id ORDER BY doc_id""")))
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Aggregation family — generalizes the reference's per-key compaction
+  * (README.md:238-251) to full hash aggregation. Spark plans every
+  * groupBy.agg as partial (map-side) + final aggregation automatically, so
+  * the shuffle carries pre-combined rows — the property that matters at
+  * 100 TB. Grouping columns here are low-cardinality, so no skew handling
+  * is needed; high-cardinality keys rely on AQE skew splitting.
+  */
+object Aggregates extends QueryModule {
+
+  private def aggGroup(spark: SparkSession, sfDir: String): DataFrame =
+    // TPC-H Q1 shape.
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    // HLL++ sketch: one pass, fixed memory, merges across partitions —
+    // the scale path where exact distinct would shuffle every key.
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  private def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("o_custkey")
+
+  private def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private def aggGsets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_agg_group" -> QueryDef(aggGroup, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 2) AS avg_qty,
+             round(avg(l_discount), 2) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+    "q_agg_distinct" -> QueryDef(aggDistinct, Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    "q_agg_approx_distinct" -> QueryDef(aggApproxDistinct, None),
+    "q_agg_having" -> QueryDef(aggHaving, Some("""
+      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+      ORDER BY o_custkey""")),
+    "q_agg_rollup" -> QueryDef(aggRollup, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    "q_agg_cube" -> QueryDef(aggCube, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")),
+    "q_agg_gsets" -> QueryDef(aggGsets, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")))
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** The join family. The reference's only join is the FULL OUTER merge
+  * (README.md:230-252, covered in graft.cdc); the engine declares the full
+  * family. Scale notes:
+  *  - equi joins shuffle both sides on the key; AQE converts to broadcast
+  *    at runtime when one side is small (dims like nation/region always
+  *    are — q_join_broadcast pins the hint explicitly).
+  *  - semi/anti joins ship only the key column of the right side.
+  *  - the theta/range join is kept within an equi prefix (region key) so
+  *    Spark plans a hash join with a residual range condition instead of a
+  *    cartesian BNLJ — the pattern that survives scale-up.
+  */
+object Joins extends QueryModule {
+
+  private def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+  }
+
+  private def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  private def joinRight(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables(spark, sfDir, "orders")
+    val c = Tables(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  private def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  private def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    // Filtered right side so the result is non-empty at every SF (every
+    // customer has some order, not every customer has an open 'P' order).
+    val c = Tables(spark, sfDir, "customer")
+    val o = Tables(spark, sfDir, "orders").filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  private def joinThetaRange(spark: SparkSession, sfDir: String): DataFrame = {
+    // Non-equi join with an equi prefix: pairs of nations in the same
+    // region, ordered by key — hash join on region + residual `<` filter.
+    val n1 = Tables(spark, sfDir, "nation").alias("n1")
+    val n2 = Tables(spark, sfDir, "nation").alias("n2")
+    n1.join(n2,
+        col("n1.n_regionkey") === col("n2.n_regionkey") &&
+          col("n1.n_nationkey") < col("n2.n_nationkey"))
+      .select(
+        col("n1.n_regionkey").as("rk"),
+        col("n1.n_name").as("a_name"),
+        col("n2.n_name").as("b_name"))
+      .orderBy("rk", "a_name", "b_name")
+  }
+
+  private def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    // Dim tables pinned broadcast: no shuffle of the fact side at all.
+    val c = Tables(spark, sfDir, "customer")
+    val n = Tables(spark, sfDir, "nation")
+    val r = Tables(spark, sfDir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy("r_name")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_join_inner" -> QueryDef(joinInner, Some("""
+      SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")),
+    "q_join_left" -> QueryDef(joinLeft, Some("""
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      ORDER BY c_custkey, o_orderkey NULLS FIRST""")),
+    "q_join_right" -> QueryDef(joinRight, Some("""
+      SELECT c_custkey, c_name, o_orderkey, o_totalprice
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      ORDER BY c_custkey, o_orderkey NULLS FIRST""")),
+    "q_join_semi" -> QueryDef(joinSemi, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      ORDER BY c_custkey""")),
+    "q_join_anti" -> QueryDef(joinAnti, Some("""
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      ORDER BY c_custkey""")),
+    "q_join_theta_range" -> QueryDef(joinThetaRange, Some("""
+      SELECT n1.n_regionkey AS rk, n1.n_name AS a_name, n2.n_name AS b_name
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      ORDER BY rk, a_name, b_name""")),
+    "q_join_broadcast" -> QueryDef(joinBroadcast, Some("""
+      SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")))
+}

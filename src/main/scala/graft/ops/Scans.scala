@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Scans, projections, filters, and row-shaping — generalizing the
+  * reference's manual projection (HdfsSink.java:86-97) and DDL filter
+  * (HdfsSink.java:59-66). All plans here are a single parquet scan with
+  * the projection/predicate pushed into the scan (Catalyst ColumnPruning +
+  * PushDownPredicates) — verified via explain in the specs: the scan's
+  * ReadSchema only lists selected columns, PushedFilters lists predicates.
+  */
+object Scans extends QueryModule {
+
+  private def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def filterBasic(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .filter(
+        col("o_orderstatus").isin("O", "F") &&
+          col("o_totalprice").between(1000.0, 50000.0) &&
+          (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
+          col("o_custkey").isNotNull)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  private def caseCast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 100000.0, "high")
+          .when(col("o_totalprice") > 10000.0, "mid")
+          .otherwise("low").as("bucket"),
+        col("o_orderkey").cast(StringType).as("key_str"),
+        floor(col("o_totalprice")).as("price_floor"))
+      .orderBy("o_orderkey")
+
+  private def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame =
+    // R3/R5 delimited-text encode: the row-format output line of the
+    // reference sink (HdfsSink.java:35,101), kept as a column so the same
+    // expression feeds the csv writer.
+    Tables(spark, sfDir, "events")
+      .select(
+        col("event_id"),
+        concat_ws(",", col("event_id"), col("user_id"), col("event_type")).as("line"))
+      .orderBy("event_id")
+
+  private def jdbcSnapshot(spark: SparkSession, sfDir: String): DataFrame =
+    // R15 declared surface: the initial snapshot bulk import. In production
+    // this is spark.read.format("jdbc") with partitionColumn/numPartitions
+    // for a parallel fetch (kafkaConfig.conf:13-16 holds the URLs); in this
+    // environment the source registry is file-backed, same downstream plan.
+    Sources.snapshot(spark, sfDir).orderBy("event_id")
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_scan_project" -> QueryDef(scanProject, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+    "q_filter_basic" -> QueryDef(filterBasic, Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderstatus IN ('O','F')
+        AND o_totalprice BETWEEN 1000.0 AND 50000.0
+        AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+        AND o_custkey IS NOT NULL
+      ORDER BY o_orderkey""")),
+    "q_case_cast" -> QueryDef(caseCast, Some("""
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice > 100000.0 THEN 'high'
+                  WHEN o_totalprice > 10000.0 THEN 'mid'
+                  ELSE 'low' END AS bucket,
+             CAST(o_orderkey AS VARCHAR) AS key_str,
+             CAST(floor(o_totalprice) AS BIGINT) AS price_floor
+      FROM orders ORDER BY o_orderkey""")),
+    "q_csv_roundtrip" -> QueryDef(csvRoundtrip, Some("""
+      SELECT event_id, concat_ws(',', event_id, user_id, event_type) AS line
+      FROM events ORDER BY event_id""")),
+    "q_jdbc_snapshot" -> QueryDef(jdbcSnapshot, None))
+}
+
+/** Source registry (R9/R15): config-driven source selection. JDBC in
+  * production (partitioned fetch: partitionColumn, lowerBound, upperBound,
+  * numPartitions sized so each partition is a bounded range scan); parquet
+  * file-backed here.
+  */
+object Sources {
+  def snapshot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+
+  /** Production JDBC read (not exercisable offline — no database in the
+    * test environment; kept as the single point where the JDBC source
+    * plugs in).
+    */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lower: Long, upper: Long, numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lower.toString)
+      .option("upperBound", upper.toString)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+}

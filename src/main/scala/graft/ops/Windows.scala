@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Window-function family. R11 (`row_number` latest-state, README.md:244)
+  * lives in graft.cdc; this module covers the general analytic surface.
+  * Each window = one shuffle on the partition key + in-partition sort;
+  * consecutive windows over the same (partitionBy, orderBy) reuse the
+  * exchange. Ranking outputs are cast to BIGINT for oracle schema parity
+  * (DuckDB window functions return BIGINT).
+  */
+object Windows extends QueryModule {
+
+  private def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables(spark, sfDir, "part")
+      .select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  private def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        round(lag(col("value"), 1).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 2).as("next_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private def winRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    // k>1 generalization of the reference's keep-rank-1 compaction
+    // (README.md:251). At scale this is the shuffle-once pattern; a
+    // cluster-size k would instead use a partial top-k before the shuffle.
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    // Spark plans orderBy().limit(n) as TakeOrderedAndProject: per-partition
+    // top-n then a single driver merge of n*partitions rows — never a full
+    // global sort. The tiebreaker makes the result deterministic.
+    Tables(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_win_rank" -> QueryDef(winRank, Some("""
+      SELECT p_brand, p_partkey, p_retailprice,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+      ORDER BY p_brand, p_partkey""")),
+    "q_win_lag_lead" -> QueryDef(winLagLead, Some("""
+      SELECT user_id, event_id, round(value, 2) AS value,
+             round(lag(value, 1) OVER w, 2) AS prev_value,
+             round(lead(value, 1) OVER w, 2) AS next_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""")),
+    "q_win_running" -> QueryDef(winRunning, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""")),
+    "q_topk_per_group" -> QueryDef(topkPerGroup, Some("""
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_custkey, rn""")),
+    "q_sort_limit" -> QueryDef(sortLimit, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")))
+}

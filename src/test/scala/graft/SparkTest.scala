@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local session for specs — one JVM-wide session, UTC, small
+  * shuffle partition count for tiny fixtures.
+  */
+trait SparkTest {
+  lazy val spark: SparkSession = SparkTest.session
+  lazy val sf: String = "/root/testdata/sf0.001"
+}
+
+object SparkTest {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
