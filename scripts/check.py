@@ -57,8 +57,11 @@ for name in sorted(os.listdir(outdir)):
                     bad = pd.Series(~(np.isclose(gs.fillna(1e300), es.fillna(1e300),
                                                  rtol=0, atol=1e-9)))
                 else:
-                    bad = gs.fillna("\0N") != es.fillna("\0N") \
-                        if gs.dtype == object else gs.fillna(-(2**62)) != es.fillna(-(2**62))
+                    # Compare NA masks separately, then values only where both
+                    # sides are non-null — sentinel fills TypeError on
+                    # datetime64 NaT in pandas 2.x.
+                    na_g, na_e = gs.isna(), es.isna()
+                    bad = (na_g != na_e) | ((gs != es) & ~(na_g | na_e))
                 if bad.any():
                     i = bad.idxmax()
                     problems.append(

@@ -15,7 +15,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     cdc.Cdc,
-    ops.Scans, ops.Joins, ops.Aggregates, ops.Windows, ops.SetOps, ops.Scalars)
+    ops.Scans, ops.Joins, ops.Aggregates, ops.Windows, ops.SetOps, ops.Scalars,
+    ext.Dedup, ext.Similarity, ext.TextAnalysis)
 
   private lazy val all: Map[String, QueryDef] = {
     val defs = modules.flatMap(_.defs.toSeq)

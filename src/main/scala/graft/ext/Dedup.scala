@@ -65,7 +65,10 @@ object Dedup extends QueryModule {
   private val K = 16          // signature length
   private val RowsPerBand = 4 // => 4 bands; P(candidate) = 1-(1-j^4)^4
   private val Bands = K / RowsPerBand
-  private val P = 2305843009213693951L // 2^61 - 1
+  // Prime field for the permutations. Shingle hashes are first reduced
+  // into [0, P) so a_i * h + b_i stays ~3e16 << Long.Max — Spark 4 runs
+  // ANSI mode by default and a raw xxhash64 multiply overflows.
+  private val P = 1000000007L
 
   // Deterministic permutation coefficients (odd multipliers).
   private val coefA = (1 to K).map(i => 2L * i * 1000003L + 1L)
@@ -87,7 +90,7 @@ object Dedup extends QueryModule {
           |  THEN transform(sequence(1, size(toks) - 2),
           |                 i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
           |  ELSE array(concat_ws(' ', toks)) END""".stripMargin))
-      .withColumn("hashes", expr("transform(shingles, s -> xxhash64(s))"))
+      .withColumn("hashes", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${P}L))"))
       .select(col("doc_id") +: sigCols: _*)
   }
 

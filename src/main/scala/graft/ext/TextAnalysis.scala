@@ -18,6 +18,17 @@ object TextAnalysis extends QueryModule {
   private val stopwords = Seq("the", "a")
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Floor-based d-decimal truncation instead of round: derived double
+    * ratios land on exact decimal halves where Spark (HALF_UP on the
+    * shortest decimal repr) and DuckDB (binary double) round differently
+    * (same gotcha as ops.Scalars.mathFuncs). floor of an identical binary
+    * double is identical in both engines.
+    */
+  private def trunc(c: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10, d)
+    floor(c * lit(p)).cast(DoubleType) / lit(p)
+  }
+
   private def textStats(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(
@@ -36,8 +47,8 @@ object TextAnalysis extends QueryModule {
       .select(
         col("doc_id"),
         col("n_words"),
-        round(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
-        round(
+        trunc(col("n_stop").cast(DoubleType) / col("n_words"), 4).as("stop_ratio"),
+        trunc(
           (length(col("text")) - (col("n_words") - 1)).cast(DoubleType) / col("n_words"),
           2).as("avg_word_len"),
         (col("n_words").between(10, 200) &&
@@ -55,7 +66,7 @@ object TextAnalysis extends QueryModule {
           size(col("toks")))
       .withColumn("pred_lang", when(col("stop_ratio") > 0.01, "en").otherwise("unk"))
       .groupBy(col("lang"), col("pred_lang"))
-      .agg(count(lit(1)).as("n"), round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
+      .agg(count(lit(1)).as("n"), trunc(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
       .orderBy("lang", "pred_lang")
 
   private def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -98,8 +109,8 @@ object TextAnalysis extends QueryModule {
                len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS n_stop
         FROM documents)
       SELECT doc_id, n_words,
-             round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
-             round(CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words, 2) AS avg_word_len,
+             floor(CAST(n_stop AS DOUBLE) / n_words * 10000) / 10000 AS stop_ratio,
+             floor(CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words * 100) / 100 AS avg_word_len,
              (n_words BETWEEN 10 AND 200 AND CAST(n_stop AS DOUBLE) / n_words < 0.3) AS is_quality
       FROM t ORDER BY doc_id""")),
     "q_lang_id" -> QueryDef(langId, Some(s"""
@@ -111,19 +122,23 @@ object TextAnalysis extends QueryModule {
       SELECT lang,
              CASE WHEN stop_ratio > 0.01 THEN 'en' ELSE 'unk' END AS pred_lang,
              count(*) AS n,
-             round(avg(stop_ratio), 4) AS avg_stop_ratio
+             floor(avg(stop_ratio) * 10000) / 10000 AS avg_stop_ratio
       FROM t GROUP BY 1, 2 ORDER BY lang, pred_lang""")),
     "q_token_count" -> QueryDef(tokenCount, Some("""
       SELECT doc_id,
-             len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+             len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
              len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
              CAST(list_sum(list_transform(string_split(text, ' '),
                   w -> ceil(length(w) / 4.0))) AS BIGINT) AS bpe_pieces
       FROM documents ORDER BY doc_id""")),
     "q_doc_fingerprint" -> QueryDef(docFingerprint, Some("""
-      WITH g AS (
-        SELECT doc_id, md5(substring(text, CAST(i AS INTEGER), 20)) AS h
-        FROM documents, range(1, greatest(length(text) - 19, 1) + 1, 4) t(i))
+      WITH p AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(length(text) - 19, 1) + 1, 4)) AS i,
+               text
+        FROM documents),
+      g AS (
+        SELECT doc_id, md5(substring(text, CAST(i AS INTEGER), 20)) AS h FROM p)
       SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
              count(DISTINCT h) AS n_grams
       FROM g GROUP BY doc_id ORDER BY doc_id""")))

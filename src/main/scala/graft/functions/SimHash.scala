@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
@@ -17,16 +18,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * land within small Hamming distance — pair candidates come from banding
   * the 64 bits into 16-bit chunks (see graft.ext.Similarity).
   *
+  * Input validation goes through `checkInputDataTypes()` with public
+  * `DataType` only — `AbstractDataType`/`ExpectsInputTypes` are
+  * private[sql] in Spark 4.1.2 and unusable from third-party packages.
+  *
   * CodegenFallback: the expression is evaluated per-row without codegen;
   * the surrounding projection still participates in whole-stage codegen.
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] = Seq(StringType)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.hashUtf8(input.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  private[graft] def hashUtf8(u: UTF8String): Long = {
+    val s = u.toString
     val lanes = new Array[Int](64)
     var start = 0
     val n = s.length
@@ -50,18 +67,17 @@ case class SimHash64(child: Expression) extends UnaryExpression
       if (lanes(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
-    copy(child = newChild)
-}
-
-object SimHash64 {
-  /** Register `simhash64(str)` in the session's function registry so it is
-    * usable from `expr(...)` and `spark.sql(...)`. Idempotent.
+  /** Register `simhash64(str)` so it is usable from `expr(...)` and
+    * `spark.sql(...)`. Idempotent. Registered through the public
+    * `spark.udf` surface (works on any session, including one the driver
+    * built); the UDF delegates to the same hash kernel as the native
+    * expression.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "builtin")
+    spark.udf.register("simhash64", (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(hashUtf8(UTF8String.fromString(s))))
 }
