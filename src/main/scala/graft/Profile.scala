@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local profiling harness (not part of the driver contract): time selected
+  * queries twice (cold/warm) to separate JIT/IO warmup from plan cost.
+  * Usage: runMain graft.Profile <sfDir> <query>[,query...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

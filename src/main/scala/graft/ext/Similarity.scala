@@ -44,29 +44,63 @@ object Similarity extends QueryModule {
   // ---- LSH-bucketed ANN ------------------------------------------------
 
   private val SigBits = 10
+  private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplane component for (plane j, dim i)
-    * in [-1, 1), derived from xxhash64 — no stored model, identical on
-    * every executor.
+  /** Deterministic seeded random hyperplanes (~5 KB), captured in the UDF
+    * closure so every executor gets an identical copy with the task — no
+    * stored model, no per-row hashing. An earlier version derived each
+    * component per row via xxhash64-of-string inside nested higher-order
+    * functions; that evaluated interpreted (no codegen) and was ~100×
+    * slower than this compiled dot-product loop.
     */
-  private val planeComponent =
-    "((pmod(xxhash64(concat_ws(':', j, i)), 2000001L) / 1000000.0) - 1.0)"
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(SigBits)(Array.fill(Dim)(rnd.nextDouble() * 2.0 - 1.0))
+  }
 
-  /** vec_id + LSH bucket id: sign bit per hyperplane, packed to an int. */
+  /** Sign bit per hyperplane, packed to a long bucket id. */
+  private def bucketUdf = udf { (emb: Seq[Float]) =>
+    val ps = planes
+    var bucket = 0L
+    var j = 0
+    while (j < ps.length) {
+      val p = ps(j)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(emb.length, p.length)
+      while (i < n) { acc += emb(i) * p(i); i += 1 }
+      bucket = bucket * 2 + (if (acc > 0) 1L else 0L)
+      j += 1
+    }
+    bucket
+  }
+
+  /** Compiled-loop cosine for the candidate-pair verify (no oracle parity
+    * constraint on summation order here, unlike `cosine` above).
+    */
+  private def cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** vec_id + LSH bucket id: sign bit per hyperplane, packed to a long. */
   def lshBuckets(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("bucket", expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${SigBits - 1}), j ->
-         |    CASE WHEN aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE),
-         |           (acc, i) -> acc + CAST(embedding[i - 1] AS DOUBLE) * $planeComponent) > 0
-         |         THEN 1L ELSE 0L END),
-         |  0L, (acc, b) -> acc * 2 + b)""".stripMargin))
+    embeddings.withColumn("bucket", bucketUdf(col("embedding")))
 
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // Bucket, then search pairs only within buckets; report the globally
     // top-20 most similar candidate pairs (embeddings are near-orthogonal
     // random vectors, so a fixed threshold would be empty — ranking is the
-    // robust contract).
+    // robust contract). At 100 TB the signature scan runs once and is
+    // persisted; the pair join shuffles only (bucket, vec_id, embedding)
+    // rows and each bucket holds ~n/2^SigBits vectors.
     val b = lshBuckets(Tables(spark, sfDir, "embeddings"))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     val x = b.alias("x")
@@ -76,7 +110,7 @@ object Similarity extends QueryModule {
         col("x.bucket").as("bucket"),
         col("x.vec_id").as("vec_a"),
         col("y.vec_id").as("vec_b"),
-        round(cosine("x.embedding", "y.embedding"), 4).as("cos_sim"))
+        round(cosineUdf(col("x.embedding"), col("y.embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
