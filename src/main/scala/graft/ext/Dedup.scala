@@ -74,32 +74,49 @@ object Dedup extends QueryModule {
   private val coefA = (1 to K).map(i => 2L * i * 1000003L + 1L)
   private val coefB = (1 to K).map(i => i * 7919L)
 
-  /** doc_id + K-wide MinHash signature over 3-word shingles. Pure
-    * expression pipeline: split → shingle (transform over sequence) →
-    * xxhash64 → per-permutation array_min. One scan, no shuffle.
+  /** One-pass compiled MinHash kernel: tokenize, 3-word shingles, xxhash64
+    * (same seed-42 hash as the `xxhash64` SQL function) reduced into the
+    * prime field, running min per permutation. A single while-loop per doc
+    * — the expression-pipeline version of this (transform + array_min per
+    * permutation) evaluated interpreted and re-walked the shingle array K
+    * times per row.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until K).map { i =>
-      expr(s"array_min(transform(hashes, h -> pmod(h * ${coefA(i)}L + ${coefB(i)}L, ${P}L)))")
-        .as(s"mh$i")
+  private def minhashSigUdf = udf { (text: String) =>
+    val mins = Array.fill(K)(Long.MaxValue)
+    val toks = if (text == null) Array.empty[String] else text.split(' ').filter(_.nonEmpty)
+    val nShingles = if (toks.length >= 3) toks.length - 2 else 1
+    var s = 0
+    while (s < nShingles) {
+      val shingle =
+        if (toks.length >= 3) toks(s) + " " + toks(s + 1) + " " + toks(s + 2)
+        else toks.mkString(" ")
+      val h = java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(shingle),
+          org.apache.spark.sql.types.StringType, 42L), P)
+      var i = 0
+      while (i < K) {
+        val v = java.lang.Math.floorMod(h * coefA(i) + coefB(i), P)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
     }
-    docs
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(toks) >= 3
-          |  THEN transform(sequence(1, size(toks) - 2),
-          |                 i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
-          |  ELSE array(concat_ws(' ', toks)) END""".stripMargin))
-      .withColumn("hashes", expr(s"transform(shingles, s -> pmod(xxhash64(s), ${P}L))"))
-      .select(col("doc_id") +: sigCols: _*)
+    mins
   }
+
+  /** doc_id + K-wide MinHash signature (`sig` array column) over 3-word
+    * shingles. One scan, no shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), minhashSigUdf(col("text")).as("sig"))
 
   /** Candidate pairs via LSH banding: docs sharing any band of the
     * signature. Shuffle key is (band, bandHash) — tiny rows.
     */
   def lshCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      val parts = (0 until RowsPerBand).map(r => s"sig[${b * RowsPerBand + r}]")
       expr(s"xxhash64(concat_ws(',', ${parts.mkString(", ")}))").as(s"band$b")
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)

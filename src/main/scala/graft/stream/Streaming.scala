@@ -1,0 +1,305 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.cdc.Cdc
+import graft.core.{QueryDef, QueryModule}
+
+/** Structured Streaming re-expression of the reference pipeline
+  * (HdfsSink.java:34-127) plus the declared windowed-aggregation surface
+  * (SURVEY.md §2.2 Streaming block).
+  *
+  * Every `s_*` query here is a REAL streaming query — `readStream` over the
+  * fixture parquet (the stand-in for the Kafka topic, R1), transforms, a
+  * sink, `Trigger.AvailableNow` — run to completion and its result returned
+  * as a DataFrame so the driver's oracle can check it. Bounded input makes
+  * streaming results deterministic, so six of the eight entries carry full
+  * DuckDB oracles (stream==batch equivalence, enforced by the driver, not
+  * just by a spec).
+  *
+  * Scale notes: a file/Kafka source parallelizes by input split/partition;
+  * windowed aggregation state is partitioned by (window, keys) in the state
+  * store; `partitionBy("dt")` on the sink gives the reference's Hive-style
+  * layout (R4/R5) with partition pruning for downstream readers. Watermarks
+  * bound state size — without one, window state grows without limit at
+  * 100 TB/day (s_tumbling/s_sliding below run unbounded-state complete mode
+  * only because input is bounded; s_session/s_watermark_late show the
+  * watermarked form).
+  */
+object Streaming extends QueryModule {
+
+  /** events schema for the file stream; `ts` arrives as raw TIMESTAMP(NANOS)
+    * int64 (read via nanosAsLong, truncated ns→µs exactly like
+    * core.Tables so streaming and batch twins see identical values).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** R1 stand-in: unbounded reader over the events fixture. */
+  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet") // source path must be a directory
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Run a streaming DataFrame to completion into a memory sink and return
+    * the sink contents. AvailableNow = process everything then stop — the
+    * batch-driven smoke mode; the same code runs continuously with a
+    * processing-time trigger in production.
+    */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = "ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  // ---- R1→R6: the reference pipeline, end to end ------------------------
+
+  /** Kafka-like source → predicate on a JSON payload field (R2 shape) →
+    * event-time `dt` bucketing (R4) → `partitionBy("dt")` rolling file sink
+    * with checkpoint (R5/R6) → re-read the produced layout and count per
+    * partition. The returned per-dt counts are exactly what a Hive-side
+    * reader of the sink directory sees, so the DuckDB oracle checks the
+    * whole pipeline including the partitioned write.
+    */
+  private def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    // dt comes back as a partition directory name; keep it a string
+    // (inference would turn "20240105" into an int).
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val out = tmpDir("graft_pipe")
+    val shaped = streamEvents(spark, sfDir)
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .withColumn("dt", Cdc.eventTimeDt((unix_micros(col("ts")) / lit(1000L)).cast(LongType)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+    val q = shaped.writeStream
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy(col("dt")).agg(count(lit(1)).as("n"))
+      .orderBy("dt")
+  }
+
+  // ---- Windowed aggregation (R11 generalized to event-time windows) -----
+
+  private def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("n"), col("sum_value"))
+
+  private val tumblingOracle = """
+      SELECT date_trunc('hour', ts) AS hour_start,
+             count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""
+
+  private def tumblingBatch(spark: SparkSession, sfDir: String): DataFrame =
+    tumblingAgg(graft.core.Tables(spark, sfDir, "events")).orderBy("hour_start")
+
+  /** Streaming twin of q_tumbling_batch — complete mode over the bounded
+    * stream, same oracle: the driver itself verifies stream==batch.
+    */
+  private def tumblingStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(tumblingAgg(streamEvents(spark, sfDir)), "complete")
+      .orderBy("hour_start")
+
+  /** Sliding window: 2-hour windows every hour — each event lands in two
+    * windows. The oracle expands the two window-starts per event.
+    */
+  private def slidingStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      streamEvents(spark, sfDir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n")),
+      "complete")
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+
+  // ---- Session windows --------------------------------------------------
+
+  private def sessionBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.core.Tables(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Streaming session windows require a watermark; append mode emits a
+    * session once the watermark passes its close. On bounded input the
+    * final watermark holds back the last session(s) per key, so this entry
+    * is rows-only (the batch twin above carries the oracle).
+    */
+  private def sessionStream(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(
+      streamEvents(spark, sfDir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      "append")
+      .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  // ---- Watermark / late data (R4's dead-letter story) -------------------
+
+  /** Two-batch file stream proving late-data drop: batch 1 advances the
+    * watermark past 12:00; batch 2 replays an 10:05 event (late beyond the
+    * 10-minute delay) plus a fresh one. The late row must NOT appear in any
+    * window count. Fixed synthetic rows (not sfDir tables), so rows-only —
+    * the exact expected output is asserted in StreamingSpec.
+    */
+  private def watermarkLate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val in = tmpDir("graft_late_in")
+    val name = "ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def write(batch: Seq[(String, Double)], file: String): Unit =
+      batch.toDF("ts_s", "value")
+        .select(col("ts_s").cast(TimestampType).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$in/$file")
+    write(Seq(("2024-01-01 10:00:00", 1.0), ("2024-01-01 10:20:00", 1.0),
+      ("2024-01-01 12:00:00", 1.0)), "b1")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("ts", TimestampType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to 11:50
+      write(Seq(("2024-01-01 10:05:00", 99.0), ("2024-01-01 12:30:00", 1.0)), "b2")
+      q.processAllAvailable() // batch 2: 10:05 is late -> dropped
+    } finally q.stop()
+    spark.table(name)
+      .groupBy(col("window.start").as("window_start"))
+      .agg(max(col("n")).as("n")) // update mode re-emits; keep latest count
+      .orderBy("window_start")
+  }
+
+  // ---- Streaming last-state upsert (R11→R14 moved to streaming) ---------
+
+  /** The reference's daily merge restore as a continuous pipeline: each
+    * micro-batch is compacted to latest-state per key (R11) and upserted
+    * into a parquet snapshot via a ts-aware FULL OUTER merge (R12-R14 —
+    * newer event time wins, so out-of-order batches cannot regress a key).
+    * On the bounded fixture the final snapshot equals the batch
+    * q_latest_state result, which is this entry's oracle.
+    */
+  /** ts-aware FULL OUTER upsert: the delta row wins only when its event
+    * time is at least the snapshot's, so replayed or out-of-order batches
+    * cannot regress a key (strictly stronger than the reference's
+    * unconditional COALESCE, which assumes delta ⊇ newer).
+    */
+  def tsAwareMerge(snap: DataFrame, delta: DataFrame, key: String, ts: String,
+      cols: Seq[String]): DataFrame = {
+    val t1 = snap.alias("t1")
+    val t2 = delta.alias("t2")
+    val deltaWins = col(s"t2.$ts").isNotNull &&
+      (col(s"t1.$ts").isNull || col(s"t2.$ts") >= col(s"t1.$ts"))
+    t1.join(t2, col(s"t1.$key") === col(s"t2.$key"), "full_outer")
+      .select(cols.map(c =>
+        when(deltaWins, col(s"t2.$c")).otherwise(col(s"t1.$c")).as(c)): _*)
+  }
+
+  private def dedupStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = tmpDir("graft_snap")
+    val cols = Seq("user_id", "event_id", "event_type", "value", "ts")
+    var current: Option[String] = None
+    val q = streamEvents(spark, sfDir)
+      .select(cols.map(col): _*)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = Cdc.latestState(batch, "user_id", "ts", "event_id")
+        val merged = current match {
+          case None => delta
+          case Some(prev) =>
+            tsAwareMerge(batch.sparkSession.read.parquet(prev), delta,
+              "user_id", "ts", cols)
+        }
+        val next = s"$root/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+      }
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(sys.error("no batch ran")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts"))
+      .orderBy("user_id")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "s_pipeline" -> QueryDef(pipeline, Some("""
+      SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1 ORDER BY 1""")),
+    "q_tumbling_batch" -> QueryDef(tumblingBatch, Some(tumblingOracle)),
+    "s_tumbling" -> QueryDef(tumblingStream, Some(tumblingOracle)),
+    "s_sliding" -> QueryDef(slidingStream, Some("""
+      WITH w AS (
+        SELECT date_trunc('hour', ts) AS window_start FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+      SELECT window_start, count(*) AS n FROM w GROUP BY 1 ORDER BY 1""")),
+    "q_session_batch" -> QueryDef(sessionBatch, Some("""
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM g)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")),
+    "s_session" -> QueryDef(sessionStream, None),
+    "s_watermark_late" -> QueryDef(watermarkLate, None),
+    "s_dedup_stateful" -> QueryDef(dedupStateful, Some("""
+      SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
+      FROM (
+        SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events e) WHERE rn = 1
+      ORDER BY user_id""")))
+}
