@@ -16,7 +16,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     cdc.Cdc,
     ops.Scans, ops.Joins, ops.Aggregates, ops.Windows, ops.SetOps, ops.Scalars,
-    ext.Dedup, ext.Similarity, ext.TextAnalysis,
+    ops.AsofJoin,
+    ext.Dedup, ext.Similarity, ext.TextAnalysis, ext.Multimodal,
     stream.Streaming)
 
   private lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,129 @@
+package graft.ext
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Multimodal columns: image/audio/video handled as opaque `binary`
+  * columns with typed metadata, processed in per-partition batches
+  * (`mapPartitions` over a typed Dataset — the Scala analog of
+  * `mapInPandas`: iterator in, iterator out, one invocation per batch,
+  * nothing collected to the driver).
+  *
+  * The codec itself is a STUB (this container has no image/audio
+  * libraries): `encodeBlob`/`decodeMeta` write and parse a deterministic
+  * fake container format — a 12-byte header (width, height, n_frames as
+  * big-endian int32) followed by the raw payload. A real deployment swaps
+  * the body of `decodeMeta`/`resizedBytes` for javax.imageio / ffmpeg
+  * calls; everything around them — schema, encoders, partition-batch
+  * shape, shuffle behavior — is the production path and is what these
+  * queries verify (the header fields are derived arithmetically from
+  * doc_id, so DuckDB can oracle the full binary round trip).
+  */
+object Multimodal extends QueryModule {
+
+  case class Blob(doc_id: Long, blob: Array[Byte])
+  case class Meta(doc_id: Long, width: Long, height: Long, n_frames: Long, payload_bytes: Long)
+
+  private val HeaderLen = 12
+
+  /** Deterministic fake "media file": header + UTF-8 payload. */
+  def encodeBlob(docId: Long, text: String): Array[Byte] = {
+    val payload = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+    val bb = ByteBuffer.allocate(HeaderLen + payload.length)
+    bb.putInt((64 + docId % 512).toInt)       // width
+    bb.putInt((64 + (docId * 7) % 512).toInt) // height
+    bb.putInt((1 + docId % 30).toInt)         // n_frames
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** STUB decode: parses the fake header. Real impl: imageio/ffmpeg probe. */
+  def decodeMeta(docId: Long, blob: Array[Byte]): Meta = {
+    val bb = ByteBuffer.wrap(blob)
+    Meta(docId, bb.getInt().toLong, bb.getInt().toLong, bb.getInt().toLong,
+      (blob.length - HeaderLen).toLong)
+  }
+
+  /** documents + synthesized binary column — the scan-side shape a real
+    * multimodal table has (id + binary + metadata columns).
+    */
+  def withBlobs(spark: SparkSession, sfDir: String): Dataset[Blob] = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => Blob(id, encodeBlob(id, text)) })
+  }
+
+  private def mmDecodeMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withBlobs(spark, sfDir)
+      .mapPartitions(_.map(b => decodeMeta(b.doc_id, b.blob)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Aspect-preserving resize to a 128-px bound, integer math (stub for
+    * the pixel work; the dimension plan is the real logic a resize stage
+    * runs before allocating output buffers).
+    */
+  private def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withBlobs(spark, sfDir)
+      .mapPartitions(_.map { b =>
+        val m = decodeMeta(b.doc_id, b.blob)
+        val (nw, nh) =
+          if (m.width >= m.height) (128L, m.height * 128L / m.width)
+          else (m.width * 128L / m.height, 128L)
+        (b.doc_id, m.width, m.height, nw, nh, nw * nh * 3L)
+      })
+      .toDF("doc_id", "width", "height", "new_w", "new_h", "out_bytes")
+      .orderBy("doc_id")
+  }
+
+  /** Video frame sampling: every 5th frame index from the container
+    * header — flatMap fan-out per doc, the shape of a real
+    * frame-extraction stage (decode is the stub; the fan-out, schema and
+    * ordering are real).
+    */
+  private def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withBlobs(spark, sfDir)
+      .flatMap { b =>
+        val m = decodeMeta(b.doc_id, b.blob)
+        (0L until m.n_frames by 5L).map(i => (b.doc_id, i))
+      }
+      .toDF("doc_id", "frame_idx")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_mm_decode_meta" -> QueryDef(mmDecodeMeta, Some("""
+      SELECT doc_id,
+             64 + doc_id % 512 AS width,
+             64 + (doc_id * 7) % 512 AS height,
+             1 + doc_id % 30 AS n_frames,
+             strlen(text) AS payload_bytes
+      FROM documents ORDER BY doc_id""")),
+    "q_mm_resize" -> QueryDef(mmResize, Some("""
+      WITH m AS (
+        SELECT doc_id,
+               64 + doc_id % 512 AS width,
+               64 + (doc_id * 7) % 512 AS height
+        FROM documents),
+      r AS (
+        SELECT doc_id, width, height,
+               CASE WHEN width >= height THEN 128 ELSE width * 128 // height END AS new_w,
+               CASE WHEN width >= height THEN height * 128 // width ELSE 128 END AS new_h
+        FROM m)
+      SELECT doc_id, width, height, new_w, new_h, new_w * new_h * 3 AS out_bytes
+      FROM r ORDER BY doc_id""")),
+    "q_mm_frame_sample" -> QueryDef(mmFrameSample, Some("""
+      SELECT doc_id, unnest(range(0, 1 + doc_id % 30, 5)) AS frame_idx
+      FROM documents ORDER BY doc_id, frame_idx""")))
+}

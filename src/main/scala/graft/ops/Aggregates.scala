@@ -63,6 +63,23 @@ object Aggregates extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  private def udafStats(spark: SparkSession, sfDir: String): DataFrame = {
+    // Custom typed Aggregator (the UDAF surface): plans with map-side
+    // partial aggregation exactly like a built-in — only the 32-byte
+    // buffer shuffles per group.
+    val stats = udaf(graft.functions.Udafs.StatsAgg)
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(stats(col("l_quantity")).as("s"))
+      .select(
+        col("l_returnflag"),
+        col("s.n_vals").as("n_vals"),
+        round(col("s.sum_val"), 2).as("sum_val"),
+        col("s.min_val").as("min_val"),
+        col("s.max_val").as("max_val"))
+      .orderBy("l_returnflag")
+  }
+
   private def aggGsets(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders")
       .groupingSets(
@@ -89,6 +106,13 @@ object Aggregates extends QueryModule {
              count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     "q_agg_approx_distinct" -> QueryDef(aggApproxDistinct, None),
+    "q_udaf_stats" -> QueryDef(udafStats, Some("""
+      SELECT l_returnflag,
+             count(l_quantity) AS n_vals,
+             round(sum(l_quantity), 2) AS sum_val,
+             min(l_quantity) AS min_val,
+             max(l_quantity) AS max_val
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     "q_agg_having" -> QueryDef(aggHaving, Some("""
       SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
       FROM orders GROUP BY o_custkey HAVING count(*) >= 3
