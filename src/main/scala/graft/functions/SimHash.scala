@@ -71,13 +71,18 @@ object SimHash64 {
   }
 
   /** Register `simhash64(str)` so it is usable from `expr(...)` and
-    * `spark.sql(...)`. Idempotent. Registered through the public
-    * `spark.udf` surface (works on any session, including one the driver
-    * built); the UDF delegates to the same hash kernel as the native
-    * expression.
+    * `spark.sql(...)`. Idempotent. Prefers the native Catalyst expression
+    * (no UDF serialization boundary, NULL handling from UnaryExpression);
+    * falls back to a Scala UDF over the same hash kernel if the registry
+    * surface is unavailable on some session implementation.
     */
   def register(spark: SparkSession): Unit =
-    spark.udf.register("simhash64", (s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(hashUtf8(UTF8String.fromString(s))))
+    try spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    catch {
+      case _: Throwable =>
+        spark.udf.register("simhash64", (s: String) =>
+          if (s == null) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(hashUtf8(UTF8String.fromString(s))))
+    }
 }

@@ -58,22 +58,37 @@ object Streaming extends QueryModule {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run `body` with a reduced shuffle-partition count, restoring after.
+    * Streaming aggregations allocate one state-store instance per shuffle
+    * partition per micro-batch; on the bounded smoke fixtures that fixed
+    * cost dominates, so the s_* queries run with a handful of state
+    * partitions. At production volume the session default (cores-scaled)
+    * applies — state partitioning is a deployment knob, not a semantic.
+    */
+  private def withFewPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink contents. AvailableNow = process everything then stop — the
     * batch-driven smoke mode; the same code runs continuously with a
     * processing-time trigger in production.
     */
-  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
-    val name = "ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", tmpDir("graft_ckpt"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
-  }
+  private def runToMemory(df: DataFrame, mode: String): DataFrame =
+    withFewPartitions(df.sparkSession, 8) {
+      val name = "ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tmpDir("graft_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      df.sparkSession.table(name)
+    }
 
   // ---- R1→R6: the reference pipeline, end to end ------------------------
 
@@ -193,17 +208,19 @@ object Streaming extends QueryModule {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode("update")
-      .option("checkpointLocation", tmpDir("graft_ckpt"))
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .start()
-    try {
-      q.processAllAvailable() // batch 1: watermark advances to 11:50
-      write(Seq(("2024-01-01 10:05:00", 99.0), ("2024-01-01 12:30:00", 1.0)), "b2")
-      q.processAllAvailable() // batch 2: 10:05 is late -> dropped
-    } finally q.stop()
+    withFewPartitions(spark, 4) {
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft_ckpt"))
+        .trigger(Trigger.ProcessingTime("1 second"))
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: watermark advances to 11:50
+        write(Seq(("2024-01-01 10:05:00", 99.0), ("2024-01-01 12:30:00", 1.0)), "b2")
+        q.processAllAvailable() // batch 2: 10:05 is late -> dropped
+      } finally q.stop()
+    }
     spark.table(name)
       .groupBy(col("window.start").as("window_start"))
       .agg(max(col("n")).as("n")) // update mode re-emits; keep latest count
