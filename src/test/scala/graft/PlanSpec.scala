@@ -51,7 +51,7 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
     val df = SparkEntry.queries("q_filter_basic")(spark, sf)
-    df.count()
+    df.collect() // count() would plan a separate query execution
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
   }
