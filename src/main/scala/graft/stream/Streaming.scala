@@ -122,6 +122,52 @@ object Streaming extends QueryModule {
       .orderBy("dt")
   }
 
+  /** The reference's EXACT loop on the EXACT envelope (HdfsSink.java:55-125):
+    * Canal binlog JSON strings → parse envelope → drop isDdl=true (R2) →
+    * explode `data` + delimited flatten (R3) → event-time `dt` from `es`
+    * millis (R4) → partitioned file sink + checkpoint (R5/R6).
+    *
+    * The "topic" is a text-file stream of Canal JSON synthesized
+    * deterministically from the events fixture (error-type rows become DDL
+    * envelopes so the filter has real work); the oracle counts what must
+    * survive per partition, so envelope parse, filter, flatten fan-out and
+    * the partitioned write are all under the driver's differential check.
+    */
+  private def cdcCanal(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val topicDir = tmpDir("graft_canal_topic")
+    val outDir = tmpDir("graft_canal_out")
+    graft.core.Tables(spark, sfDir, "events")
+      .select(to_json(struct(
+        col("event_id").as("id"),
+        (unix_micros(col("ts")) / lit(1000L)).cast(LongType).as("es"),
+        ((unix_micros(col("ts")) / lit(1000L)).cast(LongType) + lit(1000L)).as("ts"),
+        when(col("event_type") === "error", "CREATE").otherwise("INSERT").as("type"),
+        when(col("event_type") === "error", "true").otherwise("false").as("isDdl"),
+        lit("qfbap_ods").as("database"),
+        lit("events").as("table"),
+        array(map(
+          lit("user_id"), col("user_id").cast(StringType),
+          lit("event_type"), col("event_type"),
+          lit("value"), col("value").cast(StringType))).as("data"))).as("value"))
+      .write.mode("overwrite").text(topicDir)
+    val parsed = Cdc.parseEnvelope(spark.readStream.schema(
+      StructType(Seq(StructField("value", StringType)))).text(topicDir))
+    val shaped = Cdc.flatten(Cdc.ddlFilter(parsed), Seq("user_id", "event_type", "value"))
+      .withColumn("dt", Cdc.eventTimeDt(col("es")))
+    val q = shaped.writeStream
+      .format("parquet").partitionBy("dt")
+      .option("path", outDir)
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+      .groupBy(col("dt")).agg(count(lit(1)).as("n"))
+      .orderBy("dt")
+  }
+
   // ---- Windowed aggregation (R11 generalized to event-time windows) -----
 
   private def tumblingAgg(events: DataFrame): DataFrame =
@@ -286,6 +332,11 @@ object Streaming extends QueryModule {
       SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n
       FROM events
       WHERE json_extract_string(props, '$.k') IS NOT NULL
+      GROUP BY 1 ORDER BY 1""")),
+    "s_cdc_canal" -> QueryDef(cdcCanal, Some("""
+      SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n
+      FROM events
+      WHERE event_type <> 'error'
       GROUP BY 1 ORDER BY 1""")),
     "q_tumbling_batch" -> QueryDef(tumblingBatch, Some(tumblingOracle)),
     "s_tumbling" -> QueryDef(tumblingStream, Some(tumblingOracle)),
