@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Local plan-inspection harness: print the executed plan of selected
+  * queries (not part of the driver contract).
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args(1).split(",").toSeq else Seq("q_join_full_merge")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString.take(8000))
+    }
+    spark.stop()
+  }
+}

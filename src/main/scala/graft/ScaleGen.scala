@@ -1,0 +1,46 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Local scale-up harness (not part of the driver contract): replicate the
+  * sf0.1 fixtures N× with shifted keys into a temp dir, so operators can
+  * be profiled at ~sf2+ without touching the read-only testdata.
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, fStr) = args
+    val factor = fStr.toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, keyCols: Seq[String]): Unit = {
+      val df = core.Tables(spark, src, name)
+      val copies = spark.range(factor).withColumnRenamed("id", "__copy")
+      val shifted0 = keyCols.foldLeft(df.crossJoin(copies)) { (d, k) =>
+        d.withColumn(k, col(k) + col("__copy") * lit(1000000000L))
+      }.drop("__copy")
+      // Tables() reads events.ts as raw TIMESTAMP(NANOS) int64; write the
+      // replica in the same physical shape.
+      val shifted =
+        if (name == "events") shifted0.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+        else shifted0
+      shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name x$factor -> ${shifted.count()} rows")
+    }
+    def copy(name: String): Unit =
+      core.Tables(spark, src, name).write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach(copy)
+    replicate("orders", Seq("o_orderkey"))
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
+    spark.stop()
+  }
+}

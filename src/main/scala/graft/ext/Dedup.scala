@@ -130,9 +130,14 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
-  private def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // Full pipeline: signatures → LSH candidates → exact Jaccard verify on
-    // candidates only → near-dups above threshold.
+  /** Naive single-stage pipeline (reference implementation, used by the
+    * equivalence spec at sf0.001): signatures → LSH candidates → exact
+    * Jaccard verify on every candidate pair. Correct but pays a word-array
+    * shuffle + verify per pair — on corpora with exact-duplicate cliques
+    * (the common case) a k-copy group alone yields k(k-1)/2 verified
+    * pairs.
+    */
+  private[graft] def minhashNearDupNaive(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables(spark, sfDir, "documents")
     val cands = lshCandidates(minhashSignatures(docs))
     val words = docs.select(col("doc_id"),
@@ -146,6 +151,35 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Staged near-dup pipeline (the 100 TB path), output-identical to the
+    * naive one:
+    *  1. collapse exact duplicates by content hash — within a group every
+    *     pair is Jaccard 1.0 BY IDENTITY (same text ⇒ same word set), so
+    *     those pairs are emitted arithmetically, never verified;
+    *  2. MinHash + LSH + Jaccard verify run only on one representative
+    *     per distinct content (dedup work scales with distinct docs, not
+    *     with copy count);
+    *  3. representative near-pairs expand back to member cross products
+    *     (identical text per group ⇒ the expanded pair's Jaccard equals
+    *     the representatives').
+    * On a 20× corpus where every doc has 19 exact copies this turns a
+    * ~1M-pair verify (278 s locally) into a ~250-pair verify.
+    */
+  private def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    StagedDedup.stagedPairs(
+      Tables(spark, sfDir, "documents"), "jaccard", lit(1.0)) { reps =>
+      val cands = lshCandidates(minhashSignatures(reps))
+      val words = reps.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("w"))
+      cands
+        .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
+        .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("wa"), col("wb"))).cast(DoubleType) /
+            size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }
 
   override val defs: Map[String, QueryDef] = Map(
     "q_dedup_exact" -> QueryDef(dedupExact, Some("""

@@ -58,8 +58,12 @@ object Similarity extends QueryModule {
     Array.fill(SigBits)(Array.fill(Dim)(rnd.nextDouble() * 2.0 - 1.0))
   }
 
-  /** Sign bit per hyperplane, packed to a long bucket id. */
-  private def bucketUdf = udf { (emb: Seq[Float]) =>
+  /** Sign bit per hyperplane, packed to a long bucket id. Input is
+    * `Array[Float]`, not `Seq[Float]`: primitive arrays deserialize via a
+    * single unsafe copy, while Seq goes through per-element boxing
+    * (MapObjects) — the difference dominates at millions of pairs.
+    */
+  private def bucketUdf = udf { (emb: Array[Float]) =>
     val ps = planes
     var bucket = 0L
     var j = 0
@@ -78,7 +82,7 @@ object Similarity extends QueryModule {
   /** Compiled-loop cosine for the candidate-pair verify (no oracle parity
     * constraint on summation order here, unlike `cosine` above).
     */
-  private def cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+  private def cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -117,9 +121,11 @@ object Similarity extends QueryModule {
 
   // ---- SimHash near-dup over documents --------------------------------
 
-  private def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // Candidates: docs sharing any 16-bit chunk of the 64-bit simhash
-    // (banding); verify: Hamming distance via bit_count(xor) <= 6.
+  /** Naive single-stage SimHash pipeline (reference implementation for
+    * the equivalence spec): band + verify every doc, including exact
+    * copies.
+    */
+  private[graft] def simhashNearDupNaive(spark: SparkSession, sfDir: String): DataFrame = {
     SimHash64.register(spark)
     val d = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), expr("simhash64(text)").as("sh"))
@@ -127,7 +133,7 @@ object Similarity extends QueryModule {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "cv")))
-    val cands = chunks.alias("x")
+    chunks.alias("x")
       .join(chunks.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -135,11 +141,38 @@ object Similarity extends QueryModule {
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sh").as("sha"), col("y.sh").as("shb"))
       .distinct()
-    cands
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy("doc_a", "doc_b")
+  }
+
+  private def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // Staged (see StagedDedup): byte-identical texts have identical
+    // simhashes (Hamming 0), so exact groups collapse first and banding +
+    // Hamming verify run on distinct-content representatives only.
+    // Candidates: reps sharing any 16-bit chunk of the 64-bit simhash
+    // (banding); verify: Hamming distance via bit_count(xor) <= 6.
+    SimHash64.register(spark)
+    StagedDedup.stagedPairs(
+      Tables(spark, sfDir, "documents"), "hamming", lit(0L)) { reps =>
+      val d = reps.select(col("doc_id"), expr("simhash64(text)").as("sh"))
+      val chunks = d.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "cv")))
+      chunks.alias("x")
+        .join(chunks.alias("y"),
+          col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh").as("sha"), col("y.sh").as("shb"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast(LongType).as("hamming"))
+        .filter(col("hamming") <= 6)
+    }
   }
 
   override val defs: Map[String, QueryDef] = Map(

@@ -107,4 +107,21 @@ object Sources {
       .option("upperBound", upper.toString)
       .option("numPartitions", numPartitions.toString)
       .load()
+
+  /** Production Kafka source (R1, HdfsSink.java:47-55 + kafkaConfig.conf:
+    * 1-6): value bytes cast to string, earliest offsets, one Spark input
+    * partition per Kafka partition. Not exercisable offline (no broker +
+    * no kafka connector jar in this environment); graft.stream.Streaming
+    * uses the file source as the bounded stand-in with identical
+    * downstream plans.
+    */
+  def kafka(spark: SparkSession, brokers: String, topic: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(col("value").cast("string").as("value"))
+  }
 }
