@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,10 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `DataType` only — `AbstractDataType`/`ExpectsInputTypes` are
   * private[sql] in Spark 4.1.2 and unusable from third-party packages.
   *
-  * CodegenFallback: the expression is evaluated per-row without codegen;
-  * the surrounding projection still participates in whole-stage codegen.
+  * Codegen: `doGenCode` emits a static call to the hash kernel, so the
+  * expression participates in whole-stage codegen (no UDF serialization
+  * boundary, no interpreted-eval fallback on the hot path).
   */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -36,13 +37,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(SimHash64.hashUtf8(input.asInstanceOf[UTF8String]))
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hashUtf8($c)")
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
 object SimHash64 {
 
-  private[graft] def hashUtf8(u: UTF8String): Long = {
+  /** Public + JVM-static so generated (Janino) code can call it. */
+  def hashUtf8(u: UTF8String): Long = {
     val s = u.toString
     val lanes = new Array[Int](64)
     var start = 0
