@@ -8,12 +8,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // toRdd.count() consumes the query's own physical plan, forcing
+      // every output column to materialize — df.count() would let the
+      // optimizer prune the projections being measured.
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

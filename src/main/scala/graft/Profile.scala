@@ -14,13 +14,16 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // toRdd.count() forces every output column (df.count() lets the
+        // optimizer prune the work being measured) — same as Bench.
+        val n = fn(spark, sfDir).queryExecution.toRdd.count()
         println(f"[profile] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
     }

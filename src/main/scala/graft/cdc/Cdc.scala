@@ -128,22 +128,29 @@ object Cdc extends QueryModule {
         round(col("value"), 2).as("value"), col("ts"))
       .orderBy("user_id")
 
-  private def ddlFilterQuery(spark: SparkSession, sfDir: String): DataFrame =
-    // R2 shape on events.props: predicate on a JSON field of the raw payload.
+  private def ddlFilterQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    // R2 shape on events.props: predicate on a JSON field of the raw
+    // payload. json_get is the engine's single-scan field extractor —
+    // get_json_object builds a Jackson parser per row and dominated this
+    // pipeline at scale (graft.functions.JsonGet).
+    graft.functions.JsonGet.register(spark)
     Tables(spark, sfDir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("k", expr("json_get(props, 'k')").cast(IntegerType))
       .filter(col("k") < 50 && col("k").isNotNull)
       .select(col("event_id"), col("event_type"), col("k"))
       .orderBy("event_id")
+  }
 
-  private def flattenQuery(spark: SparkSession, sfDir: String): DataFrame =
+  private def flattenQuery(spark: SparkSession, sfDir: String): DataFrame = {
     // R3 shape on events: parse the JSON payload, emit the delimited record.
+    graft.functions.JsonGet.register(spark)
     Tables(spark, sfDir, "events")
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .withColumn("k", expr("json_get(props, 'k')").cast(IntegerType))
       .select(
         col("event_id"),
         concat_ws(",", col("event_id"), col("user_id"), col("event_type"), col("k")).as("line"))
       .orderBy("event_id")
+  }
 
   private def scanPruneDt(spark: SparkSession, sfDir: String): DataFrame =
     // R10: partition-pruned scan. The `dt` derivation is the write-side

@@ -19,24 +19,17 @@ import graft.functions.SimHash64
   */
 object Similarity extends QueryModule {
 
-  /** Double-precision dot product of two float-array columns, folded
-    * left-to-right (deterministic order, matching the oracle's summation).
-    */
-  private def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def norm(a: String): Column = sqrt(dotExpr(a, a))
-
-  private def cosine(a: String, b: String): Column =
-    dotExpr(a, b) / (norm(a) * norm(b))
-
   private def similarityTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    // cosineUdf accumulates dot/norms left-to-right over i = 0..dim-1 —
+    // the same operation sequence as the interpreted `aggregate(zip_with)`
+    // fold (and the oracle's ordered sum), so results are bit-identical
+    // while the kernel runs compiled (the fold evaluated interpreted and
+    // dominated the scan at scale).
     val e = Tables(spark, sfDir, "embeddings")
     val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("ae"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(anchor))
-      .select(col("vec_id"), round(cosine("embedding", "ae"), 4).as("cos_sim"))
+      .select(col("vec_id"), round(cosineUdf(col("embedding"), col("ae")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }

@@ -59,14 +59,21 @@ object Scalars extends QueryModule {
         round(pow(col("l_tax"), 2), 6).as("tax_sq"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  private def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame =
+  private def jsonFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    // json_get (graft.functions.JsonGet): linear-scan field extraction in
+    // whole-stage codegen. Spark's get_json_object/from_json allocate a
+    // Jackson parser per row (measured 16-70 µs/row) — the scanner is the
+    // difference between JSON work dominating a scan and disappearing
+    // into it.
+    graft.functions.JsonGet.register(spark)
     Tables(spark, sfDir, "events")
       .select(
         col("event_id"),
-        get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
-        get_json_object(col("props"), "$.missing").as("k_missing"))
+        expr("json_get(props, 'k')").as("k_str"),
+        expr("json_get(props, 'k')").cast(IntegerType).as("k_int"),
+        expr("json_get(props, 'missing')").as("k_missing"))
       .orderBy("event_id")
+  }
 
   private def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
     def e(i: Int) = element_at(col("embedding"), i).cast(DoubleType)

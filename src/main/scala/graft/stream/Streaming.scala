@@ -104,8 +104,9 @@ object Streaming extends QueryModule {
     // (inference would turn "20240105" into an int).
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val out = tmpDir("graft_pipe")
+    graft.functions.JsonGet.register(spark)
     val shaped = streamEvents(spark, sfDir)
-      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .filter(expr("json_get(props, 'k')").isNotNull)
       .withColumn("dt", Cdc.eventTimeDt((unix_micros(col("ts")) / lit(1000L)).cast(LongType)))
       .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
     val q = shaped.writeStream
