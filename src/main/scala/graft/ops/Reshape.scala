@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Reshaping + SQL-entry surface: pivot/unpivot, exact percentiles, and a
+  * `spark.sql(...)` entry point. The pivot is one hash aggregation with
+  * the pivot values folded into conditional aggregates (no extra shuffle
+  * vs a plain groupBy); unpivot (`stack`) is a generator — row fan-out in
+  * the scan stage, shuffle-free.
+  */
+object Reshape extends QueryModule {
+
+  private def pivot(spark: SparkSession, sfDir: String): DataFrame =
+    // Explicit pivot values: skips Spark's extra distinct-values job and
+    // makes the output schema static (both required for a sane plan at
+    // scale).
+    Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy("o_orderpriority")
+
+  private def unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)
+               | AS (metric, val)""".stripMargin))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  private def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    // Exact percentiles (linear interpolation) — the deterministic twin of
+    // approx_percentile; at 100 TB the approx sketch is the default and
+    // this is the audit path.
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  private def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    // The sketch path (KLL-style, fixed memory, mergeable) — what actually
+    // runs at 100 TB; q_percentiles above is its exact audit twin.
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pcts"), 1), 2).as("p50"),
+        round(element_at(col("pcts"), 2), 2).as("p90"),
+        round(element_at(col("pcts"), 3), 2).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** One SQL text, two engines: Spark runs it via spark.sql over temp
+    * views; the driver runs the SAME string in DuckDB as the oracle.
+    */
+  private val sqlEntryText = """
+      SELECT o.o_orderkey,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             count(*) AS n_lines
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY o.o_orderkey
+      HAVING count(*) >= 5
+      ORDER BY o.o_orderkey
+      LIMIT 500"""
+
+  private def sqlEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders")
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(sqlEntryText)
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_pivot" -> QueryDef(pivot, Some("""
+      SELECT o_orderpriority,
+             round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+             round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+             round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+    "q_unpivot" -> QueryDef(unpivot, Some("""
+      SELECT l_orderkey, l_linenumber, metric, val FROM (
+        SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, metric""")),
+    "q_percentiles" -> QueryDef(percentiles, Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+    "q_approx_percentiles" -> QueryDef(approxPercentiles, None),
+    "q_sql_entry" -> QueryDef(sqlEntry, Some(sqlEntryText)))
+}

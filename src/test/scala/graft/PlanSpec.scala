@@ -47,6 +47,15 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q_bucketed_join joins co-located buckets with no join-side Exchange") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The aggregation after the join may shuffle; the join inputs must not.
+    val joinSection = p.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
