@@ -21,6 +21,10 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Local fixtures are single small parquet files; without a small
+      // split cap every scan is one task. Production deployments override
+      // per cluster (default 128m is right for real file sizes).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
