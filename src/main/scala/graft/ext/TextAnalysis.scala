@@ -84,15 +84,18 @@ object TextAnalysis extends QueryModule {
     // Rolling-hash fingerprint: md5 over strided char-20-gram shingles,
     // keep the min/max digest per doc (winnowing-style representative).
     // md5 is bit-identical across engines, so this is oracle-checkable.
+    // The digest is projected ONCE before the aggregation — inlining
+    // md5(gram) into each of the three aggregates evaluated it three
+    // times per shingle and tripled the dominant cost at scale.
     Tables(spark, sfDir, "documents")
       .withColumn("pos", explode(expr(
         "sequence(1, greatest(length(text) - 19, 1), 4)")))
-      .withColumn("gram", expr("substring(text, pos, 20)"))
+      .select(col("doc_id"), md5(expr("substring(text, pos, 20)")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(col("gram"))).as("fp_min"),
-        max(md5(col("gram"))).as("fp_max"),
-        countDistinct(md5(col("gram"))).as("n_grams"))
+        min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"),
+        countDistinct(col("h")).as("n_grams"))
       .orderBy("doc_id")
 
   override val defs: Map[String, QueryDef] = Map(
