@@ -34,42 +34,67 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
-  // ---- LSH-bucketed ANN ------------------------------------------------
+  // ---- LSH-bucketed ANN (banded multi-probe, n-adaptive) ---------------
 
-  private val SigBits = 10
   private val Dim = 64
+  // Bands = independent hash tables: a pair is a candidate if it collides
+  // in ANY band, so recall for truly-similar pairs is 1-(1-p^r)^Bands
+  // (p = 1 - angle/pi per random hyperplane). Four bands keep recall
+  // ~1.0 for near-duplicates (cos >= 0.95) at any adaptive r <= 16.
+  private val Bands = 4
+  // Expected vectors per bucket. bitsPerBand solves n/2^r ~ TargetBucket,
+  // so per-band candidate work is n * TargetBucket/2 pairs — LINEAR in n
+  // (total ~ Bands * 32 * n) — replacing the round-2 fixed 10-bit
+  // signature whose in-bucket join grew quadratically (n^2/1024).
+  private val TargetBucket = 64
+  private val MaxBitsPerBand = 16
 
-  /** Deterministic seeded random hyperplanes (~5 KB), captured in the UDF
-    * closure so every executor gets an identical copy with the task — no
-    * stored model, no per-row hashing. An earlier version derived each
-    * component per row via xxhash64-of-string inside nested higher-order
-    * functions; that evaluated interpreted (no codegen) and was ~100×
-    * slower than this compiled dot-product loop.
+  /** Deterministic seeded random hyperplanes (Bands x 16 x Dim ~ 32 KB),
+    * captured in the UDF closure so every executor gets an identical copy
+    * with the task — no stored model, no per-row hashing. An earlier
+    * version derived each component per row via xxhash64-of-string inside
+    * nested higher-order functions; that evaluated interpreted (no
+    * codegen) and was ~100× slower than this compiled dot-product loop.
     */
-  private lazy val planes: Array[Array[Double]] = {
+  private lazy val bandPlanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(SigBits)(Array.fill(Dim)(rnd.nextDouble() * 2.0 - 1.0))
+    Array.fill(Bands, MaxBitsPerBand)(Array.fill(Dim)(rnd.nextDouble() * 2.0 - 1.0))
   }
 
-  /** Sign bit per hyperplane, packed to a long bucket id. Input is
-    * `Array[Float]`, not `Seq[Float]`: primitive arrays deserialize via a
-    * single unsafe copy, while Seq goes through per-element boxing
-    * (MapObjects) — the difference dominates at millions of pairs.
+  /** Signature width per band for a corpus of n vectors: the smallest r
+    * with n/2^r <= TargetBucket, clamped to [1, 16]. Computed ONCE per
+    * query from a count — the only driver-side action in the pipeline.
     */
-  private def bucketUdf = udf { (emb: Array[Float]) =>
-    val ps = planes
-    var bucket = 0L
-    var j = 0
-    while (j < ps.length) {
-      val p = ps(j)
-      var acc = 0.0
-      var i = 0
-      val n = math.min(emb.length, p.length)
-      while (i < n) { acc += emb(i) * p(i); i += 1 }
-      bucket = bucket * 2 + (if (acc > 0) 1L else 0L)
-      j += 1
+  private[graft] def bitsPerBand(n: Long): Int = {
+    val r = math.ceil(math.log(math.max(1L, n).toDouble / TargetBucket) / math.log(2.0)).toInt
+    math.min(MaxBitsPerBand, math.max(1, r))
+  }
+
+  /** Per-band r-bit sign signatures, packed to longs (one per band).
+    * Input is `Array[Float]`, not `Seq[Float]`: primitive arrays
+    * deserialize via a single unsafe copy, while Seq goes through
+    * per-element boxing (MapObjects) — the difference dominates at
+    * millions of rows.
+    */
+  private def bandKeysUdf(r: Int) = udf { (emb: Array[Float]) =>
+    val out = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var key = 0L
+      var j = 0
+      while (j < r) {
+        val p = bandPlanes(b)(j)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(emb.length, p.length)
+        while (i < n) { acc += emb(i) * p(i); i += 1 }
+        key = key * 2 + (if (acc > 0) 1L else 0L)
+        j += 1
+      }
+      out(b) = key
+      b += 1
     }
-    bucket
+    out
   }
 
   /** Compiled-loop cosine for the candidate-pair verify (no oracle parity
@@ -87,27 +112,39 @@ object Similarity extends QueryModule {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** vec_id + LSH bucket id: sign bit per hyperplane, packed to a long. */
-  def lshBuckets(embeddings: DataFrame): DataFrame =
-    embeddings.withColumn("bucket", bucketUdf(col("embedding")))
-
-  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // Bucket, then search pairs only within buckets; report the globally
-    // top-20 most similar candidate pairs (embeddings are near-orthogonal
-    // random vectors, so a fixed threshold would be empty — ranking is the
-    // robust contract). At 100 TB the signature scan runs once and is
-    // persisted; the pair join shuffles only (bucket, vec_id, embedding)
-    // rows and each bucket holds ~n/2^SigBits vectors.
-    val b = lshBuckets(Tables(spark, sfDir, "embeddings"))
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+  /** Candidate pairs with verified cosine, via banded multi-probe LSH.
+    * One count action sizes the signature; the signature scan is one pass
+    * with no shuffle; the pair join shuffles (band, key, vec_id,
+    * embedding) rows and runs only inside buckets of expected size
+    * TargetBucket, so candidate work is O(Bands * TargetBucket/2 * n) —
+    * linear in n at every scale. A pair colliding in several bands is
+    * deduplicated BEFORE the cosine verify.
+    */
+  def annPairs(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val r = bitsPerBand(e.count())
+    val b = e
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bandKeysUdf(r)(col("embedding"))).as(Seq("band", "bk")))
     val x = b.alias("x")
     val y = b.alias("y")
-    x.join(y, col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    x.join(y, col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.vec_id") < col("y.vec_id"))
       .select(
-        col("x.bucket").as("bucket"),
-        col("x.vec_id").as("vec_a"),
-        col("y.vec_id").as("vec_b"),
-        round(cosineUdf(col("x.embedding"), col("y.embedding")), 4).as("cos_sim"))
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosineUdf(col("ea"), col("eb")), 4).as("cos_sim"))
+  }
+
+  private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // Report the globally top-20 most similar candidate pairs (the
+    // fixture embeddings are near-orthogonal random vectors, so a fixed
+    // threshold would be empty — ranking is the robust contract).
+    // Recall vs brute-force ground truth is pinned in SimilaritySpec on a
+    // planted-near-duplicate corpus.
+    annPairs(Tables(spark, sfDir, "embeddings"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }

@@ -70,8 +70,16 @@ object JsonGet {
           })
     }
 
-  /** Public + JVM-static (via companion forwarder) for generated code. */
-  def extract(json: UTF8String, key: UTF8String): UTF8String = {
+  /** Public + JVM-static (via companion forwarder) for generated code.
+    * Malformed escapes surface as NumberFormatException from `unescape`;
+    * get_json_object parity is malformed → SQL NULL, so catch here at the
+    * single entry point rather than at each unescape call site.
+    */
+  def extract(json: UTF8String, key: UTF8String): UTF8String =
+    try extractImpl(json, key)
+    catch { case _: NumberFormatException => null }
+
+  private def extractImpl(json: UTF8String, key: UTF8String): UTF8String = {
     if (json == null || key == null) return null
     val s = json.toString
     val k = key.toString
@@ -170,7 +178,11 @@ object JsonGet {
           case 'n' => sb.append('\n'); i += 2
           case 'r' => sb.append('\r'); i += 2
           case 't' => sb.append('\t'); i += 2
-          case 'u' if i + 5 < to + 1 =>
+          case 'u' =>
+            // Needs 4 hex digits within the body; a truncated escape like
+            // "\u123 would otherwise swallow the closing quote. parseInt
+            // throws NumberFormatException on non-hex, caught in extract.
+            if (i + 6 > to) throw new NumberFormatException("truncated \\u escape")
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
           case other => sb.append(other); i += 2
         }

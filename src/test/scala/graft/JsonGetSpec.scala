@@ -13,6 +13,10 @@ import graft.functions.JsonGet
 class JsonGetSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
+  // Literal backslash-u built by concatenation: Scala processes
+  // source-level unicode escapes even inside triple quotes.
+  private val U = "\\" + "u"
+
   private val docs = Seq(
     """{"k": 7}""",
     """{"k": "str"}""",
@@ -33,6 +37,12 @@ class JsonGetSpec extends AnyFunSuite with SparkTest {
     """{}""",
     """[1, 2, 3]""",
     """{"K": "case-sensitive"}""",
+    """{"k": "{not json"}""",
+    """{"k": "[0] scalar"}""",
+    "{\"k\": \"a" + U + "0041b\"}",
+    "{\"k\": \"" + U + "ZZZZ\"}",
+    "{\"k\": \"" + U + "123\"}",
+    "{\"k\": \"tail" + U + "\"}",
     "")
 
   test("json_get matches get_json_object on scalar extraction") {
@@ -45,12 +55,28 @@ class JsonGetSpec extends AnyFunSuite with SparkTest {
     rows.foreach { r =>
       val doc = r.getString(0)
       // Nested subtree results diverge only in whitespace normalization
-      // (documented); compare scalars strictly.
+      // (documented); compare scalars strictly. Gate the skip on the SOURCE
+      // value being a nested object/array — a scalar string that merely
+      // starts with '{' or '[' must still be compared.
       val sv = Option(r.getString(1))
       val gv = Option(r.getString(2))
-      val isSubtree = sv.exists(v => v.startsWith("{") || v.startsWith("["))
+      val isSubtree = doc != null &&
+        """"k"\s*:\s*[\[{]""".r.findFirstIn(doc).isDefined
       if (!isSubtree) assert(sv == gv, s"doc=$doc spark=$sv graft=$gv")
     }
+  }
+
+  test("malformed \\u escapes return NULL, never throw") {
+    // Direct kernel check (independent of Spark's own behavior): one bad
+    // record must yield SQL NULL, not fail the task (ADVICE r2, medium).
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    assert(JsonGet.extract(u8("{\"k\":\"" + U + "ZZZZ\"}"), u8("k")) == null)
+    assert(JsonGet.extract(u8("{\"k\":\"" + U + "123\"}"), u8("k")) == null)
+    assert(JsonGet.extract(u8("{\"k\":\"tail" + U + "\"}"), u8("k")) == null)
+    assert(JsonGet.extract(u8("{\"k\":\"a" + U + "0041b\"}"), u8("k")).toString == "aAb")
+    // Lenient-scan divergence (documented): a bad escape in a NON-matched
+    // value is never tokenized, so extraction still succeeds.
+    assert(JsonGet.extract(u8("{\"bad\":\"" + U + "ZZ\",\"k\":1}"), u8("k")).toString == "1")
   }
 
   test("json_get null inputs and null key behavior") {

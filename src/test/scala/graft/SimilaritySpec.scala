@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+
+/** ANN LSH quality gate: on a corpus with PLANTED near-duplicate vectors
+  * the banded multi-probe pipeline must recover (nearly) all of them —
+  * the brute-force top-k ground truth — while doing only linear candidate
+  * work. Complements the rows-only CORRECTNESS entry for q_ann_lsh.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkTest {
+
+  private val Dim = 64
+  private val NBase = 500
+  private val NPlanted = 20
+
+  /** 500 random vectors + 20 near-copies (2% noise) of vectors 0..19.
+    * Planted pair (i, 1000+i) has cosine ~0.998; random 64-dim pairs
+    * concentrate near 0 (sd ~ 1/8), so ground-truth top-20 IS the
+    * planted set.
+    */
+  private lazy val corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until NBase).map { i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val planted = (0 until NPlanted).map { i =>
+      val src = base(i)._2
+      (1000L + i, src.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.02f))
+    }
+    base ++ planted
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < Dim) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("bitsPerBand keeps expected bucket size near the 64-vector target") {
+    assert(Similarity.bitsPerBand(64L) == 1)         // tiny corpus floor
+    assert(Similarity.bitsPerBand(520L) == 4)        // 520/2^4 = 32 <= 64
+    assert(Similarity.bitsPerBand(1000000L) == 14)   // 1e6/2^14 = 61 <= 64
+    assert(Similarity.bitsPerBand(1000000000L) == 16) // clamped ceiling
+    // The adaptive property the round-2 fixed constant lacked: signature
+    // width grows with n, so bucket size (and the in-bucket pair join)
+    // stays bounded instead of growing linearly with the corpus.
+    assert(Similarity.bitsPerBand(1000000L) > Similarity.bitsPerBand(1000L))
+  }
+
+  test("annPairs recalls planted near-duplicates vs brute-force ground truth") {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+
+    // Brute-force ground truth, driver-side (520 vectors): top-20 pairs.
+    val all = corpus.toArray
+    val truth = (for {
+      i <- all.indices.iterator
+      j <- (i + 1) until all.length
+    } yield ((all(i)._1 min all(j)._1, all(i)._1 max all(j)._1), cos(all(i)._2, all(j)._2)))
+      .toSeq.sortBy(-_._2).take(NPlanted)
+    val truthPairs = truth.map(_._1).toSet
+    assert(truthPairs == (0 until NPlanted).map(i => (i.toLong, 1000L + i)).toSet,
+      "fixture sanity: ground-truth top-20 must be the planted pairs")
+
+    val ann = Similarity.annPairs(df)
+      .orderBy(org.apache.spark.sql.functions.col("cos_sim").desc)
+      .limit(NPlanted)
+      .collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+
+    val recall = (ann & truthPairs).size.toDouble / NPlanted
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9; found=${ann.size} truth=$truthPairs ann=$ann")
+  }
+
+  test("annPairs verified cosine matches exact cosine on planted pairs") {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val byPair = Similarity.annPairs(df).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lookup = corpus.toMap
+    (0 until NPlanted).foreach { i =>
+      byPair.get((i.toLong, 1000L + i)).foreach { got =>
+        val exact = cos(lookup(i.toLong), lookup(1000L + i))
+        assert(math.abs(got - exact) < 1e-3, s"pair ($i, ${1000 + i}): $got vs $exact")
+      }
+    }
+  }
+}
