@@ -122,6 +122,46 @@ object Cdc extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** R14 end to end (reference README.md:222, `INSERT OVERWRITE TABLE
+    * code_city SELECT ...`): the merge-restore result atomically REPLACES
+    * the snapshot table, and the query result is served from the
+    * overwritten table — not from the in-flight DataFrame.
+    *
+    * Spark (unlike Hive) statically refuses `INSERT OVERWRITE t ... FROM t`
+    * ("Cannot overwrite a path that is also being read from"), so the
+    * merge materializes to a staging table first; the final
+    * `insertInto(overwrite)` is the reference's INSERT OVERWRITE — it
+    * truncates and rewrites the managed table in one command. At scale
+    * the staging write is the snapshot-size cost Hive pays internally in
+    * its staging dir; nothing here is driver-side.
+    */
+  private val mergeCols = Seq("event_id", "event_type", "value", "ts")
+
+  def snapshotOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.core.Warehouse
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val snapTable = s"snapshot_restore_$tag"
+    val stageTable = s"snapshot_restore_stage_$tag"
+    Warehouse.reset(spark, snapTable)
+    Warehouse.reset(spark, stageTable)
+    val ev = Tables(spark, sfDir, "events")
+    val cut = lit(cutoff).cast(TimestampType)
+    // Day 0: seed the managed snapshot table with yesterday's state.
+    latestState(ev.filter(col("ts") < cut), "user_id", "ts", "event_id")
+      .select(col("user_id") +: mergeCols.map(col): _*)
+      .write.mode("overwrite").saveAsTable(snapTable)
+    // Day 1: merge the READ-BACK snapshot table with today's delta ...
+    val delta = latestState(ev.filter(col("ts") >= cut), "user_id", "ts", "event_id")
+    mergeSnapshot(spark.table(snapTable), delta, "user_id", mergeCols)
+      .write.mode("overwrite").saveAsTable(stageTable)
+    // ... and INSERT OVERWRITE it back into the snapshot table (R14).
+    spark.table(stageTable).write.mode("overwrite").insertInto(snapTable)
+    spark.table(snapTable)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts"))
+      .orderBy("user_id")
+  }
+
   private def latestStateQuery(spark: SparkSession, sfDir: String): DataFrame =
     latestState(Tables(spark, sfDir, "events"), "user_id", "ts", "event_id")
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -165,6 +205,24 @@ object Cdc extends QueryModule {
 
   override val defs: Map[String, QueryDef] = Map(
     "q_join_full_merge" -> QueryDef(fullMerge, Some(s"""
+      WITH snap AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts < TIMESTAMP '$cutoff') WHERE rn = 1),
+      delta AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts >= TIMESTAMP '$cutoff') WHERE rn = 1)
+      SELECT COALESCE(t2.user_id, t1.user_id) AS user_id,
+             COALESCE(t2.event_id, t1.event_id) AS event_id,
+             COALESCE(t2.event_type, t1.event_type) AS event_type,
+             round(COALESCE(t2.value, t1.value), 2) AS value,
+             COALESCE(t2.ts, t1.ts) AS ts
+      FROM snap t1 FULL OUTER JOIN delta t2 ON t1.user_id = t2.user_id
+      ORDER BY user_id""")),
+    // Same relational answer as q_join_full_merge, but served from the
+    // OVERWRITTEN managed table (R14) — the oracle is identical on purpose.
+    "q_snapshot_overwrite" -> QueryDef(snapshotOverwrite, Some(s"""
       WITH snap AS (
         SELECT * FROM (
           SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

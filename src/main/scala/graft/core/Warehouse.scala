@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Warehouse-table hygiene for managed-table queries (bucketed layouts,
+  * snapshot overwrites): the warehouse directory outlives the in-memory
+  * catalog across JVM runs, and a stale location with no catalog entry
+  * fails table creation — drop both the entry and the directory before
+  * (re)creating.
+  */
+object Warehouse {
+
+  def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    clearLocation(spark, table)
+  }
+
+  /** Remove a stale on-disk location that has no catalog entry. */
+  def clearLocation(spark: SparkSession, table: String): Unit = {
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == null) wh.toString else wh.getPath, table)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+  }
+}

@@ -27,26 +27,14 @@ object Bucketed extends QueryModule {
     val tag = java.lang.Integer.toHexString(sfDir.hashCode)
     val (ot, ct) = (s"orders_bkt_$tag", s"customer_bkt_$tag")
     val catalog = spark.catalog
-    // The warehouse directory outlives the in-memory catalog across JVM
-    // runs; a stale location with no table entry fails CTAS, so clear it.
-    def clearStaleLocation(table: String): Unit = {
-      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-      val dir = new java.io.File(
-        if (wh.getScheme == null) wh.toString else wh.getPath, table)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      if (dir.exists()) rm(dir)
-    }
     if (!catalog.tableExists(ot)) {
-      clearStaleLocation(ot)
+      graft.core.Warehouse.clearLocation(spark, ot)
       Tables(spark, sfDir, "orders")
         .write.bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
         .mode("overwrite").saveAsTable(ot)
     }
     if (!catalog.tableExists(ct)) {
-      clearStaleLocation(ct)
+      graft.core.Warehouse.clearLocation(spark, ct)
       Tables(spark, sfDir, "customer")
         .write.bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
         .mode("overwrite").saveAsTable(ct)
