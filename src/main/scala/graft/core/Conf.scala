@@ -1,0 +1,121 @@
+package graft.core
+
+/** HOCON config loader (R9) — the reference boots from a HOCON file via
+  * Typesafe Config (`Utility.parseConf`, reference Utility.java:19-23;
+  * file kafkaConfig.conf) holding Kafka topic/brokers/group, zookeeper,
+  * and the MySQL JDBC URLs. The Typesafe Config artifact is not present
+  * in this environment's jar set, so the engine carries a small parser
+  * for the HOCON subset such a bootstrap file actually uses:
+  *
+  *   - `key = value` and `key: value` pairs
+  *   - nested `section { ... }` blocks and dotted keys (`a.b = 1`)
+  *   - quoted or bare scalar values; `#` and `//` comments
+  *
+  * The accessor surface mirrors Typesafe Config
+  * (`conf.getString("kafka.brokers")`), so swapping the real library in
+  * on a cluster deployment is a drop-in change at this one seam.
+  */
+final class Conf private[core] (entries: Map[String, String]) {
+
+  def hasPath(path: String): Boolean = entries.contains(path)
+
+  def getString(path: String): String =
+    entries.getOrElse(path,
+      throw new NoSuchElementException(s"no config value at path '$path'"))
+
+  def getString(path: String, default: String): String =
+    entries.getOrElse(path, default)
+
+  def getInt(path: String): Int = getString(path).trim.toInt
+  def getInt(path: String, default: Int): Int =
+    entries.get(path).map(_.trim.toInt).getOrElse(default)
+
+  def getLong(path: String): Long = getString(path).trim.toLong
+
+  def getBoolean(path: String): Boolean = getString(path).trim.toBoolean
+
+  /** All leaf paths, for diagnostics. */
+  def paths: Set[String] = entries.keySet
+}
+
+object Conf {
+
+  /** Parse HOCON-subset text into path → value entries. */
+  def parse(text: String): Conf = {
+    val entries = Map.newBuilder[String, String]
+    var stack = List.empty[String]
+
+    def fullPath(key: String): String = (key :: stack).reverse.mkString(".")
+
+    // Strip a trailing # or // comment that is OUTSIDE quotes.
+    def stripComment(line: String): String = {
+      var inQuote = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '"') inQuote = !inQuote
+        else if (!inQuote && (c == '#' ||
+          (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+          return line.substring(0, i)
+        i += 1
+      }
+      line
+    }
+
+    def unquote(v: String): String = {
+      val t = v.trim
+      if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+        t.substring(1, t.length - 1)
+      else t
+    }
+
+    text.linesIterator.foreach { raw =>
+      val line = stripComment(raw).trim
+      if (line.nonEmpty) {
+        if (line == "}") {
+          require(stack.nonEmpty, s"unbalanced '}' in config")
+          stack = stack.tail
+        } else if (line.endsWith("{")) {
+          val key = line.dropRight(1).trim
+          require(key.nonEmpty, "anonymous block in config")
+          stack = key :: stack
+        } else {
+          val sep = {
+            // first '=' or ':' outside quotes
+            var inQuote = false
+            var found = -1
+            var i = 0
+            while (i < line.length && found < 0) {
+              val c = line.charAt(i)
+              if (c == '"') inQuote = !inQuote
+              else if (!inQuote && (c == '=' || c == ':')) found = i
+              i += 1
+            }
+            found
+          }
+          require(sep > 0, s"unparsable config line: '$line'")
+          val key = line.substring(0, sep).trim
+          val value = unquote(line.substring(sep + 1))
+          entries += fullPath(key) -> value
+        }
+      }
+    }
+    require(stack.isEmpty, s"unclosed block(s) in config: ${stack.reverse.mkString(".")}")
+    new Conf(entries.result())
+  }
+
+  /** Load from the classpath (the engine's bundled engine.conf), exactly
+    * the reference's `ConfigFactory.parseResources` usage.
+    */
+  def load(resource: String = "engine.conf"): Conf = {
+    val in = Thread.currentThread().getContextClassLoader.getResourceAsStream(resource)
+    require(in != null, s"config resource '$resource' not on classpath")
+    try parse(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Load from an explicit file path (`Utility.parseConf(fileName)`). */
+  def fromFile(path: String): Conf =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+}

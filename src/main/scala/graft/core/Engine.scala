@@ -29,6 +29,23 @@ object Engine {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Config-driven bootstrap (R9): the reference loads kafkaConfig.conf
+    * via Typesafe Config and wires it into the environment
+    * (Utility.java:19-23); here the bundled engine.conf (or any file
+    * passed to Conf.fromFile) drives master + shuffle parallelism.
+    */
+  def session(conf: Conf): SparkSession = {
+    val (master, partitions) = sessionSettings(conf)
+    session(master, partitions)
+  }
+
+  /** Exposed separately so specs can pin the conf→settings mapping
+    * without creating a second SparkSession.
+    */
+  def sessionSettings(conf: Conf): (String, Int) =
+    (conf.getString("engine.master", "local[*]"),
+      conf.getInt("engine.shuffle-partitions", 32))
 }
 
 /** Table registry over the driver-generated parquet fixtures.

@@ -52,11 +52,16 @@ object Scans extends QueryModule {
       .orderBy("event_id")
 
   private def jdbcSnapshot(spark: SparkSession, sfDir: String): DataFrame =
-    // R15 declared surface: the initial snapshot bulk import. In production
-    // this is spark.read.format("jdbc") with partitionColumn/numPartitions
-    // for a parallel fetch (kafkaConfig.conf:13-16 holds the URLs); in this
-    // environment the source registry is file-backed, same downstream plan.
-    Sources.snapshot(spark, sfDir).orderBy("event_id")
+    // R15 for real (reference README.md:31 + kafkaConfig.conf:13-16): bulk
+    // import the source-of-truth table into a relational database, then
+    // snapshot-read it back through Spark's partitioned JDBC source — a
+    // genuine parallel range fetch over `event_id`. Embedded Derby (ships
+    // in /opt/spark/jars) stands in for MySQL; the oracle checks the
+    // round-trip against the original parquet.
+    Sources.jdbcSnapshot(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts"))
+      .orderBy("event_id")
 
   override val defs: Map[String, QueryDef] = Map(
     "q_scan_project" -> QueryDef(scanProject, Some("""
@@ -81,7 +86,9 @@ object Scans extends QueryModule {
     "q_csv_roundtrip" -> QueryDef(csvRoundtrip, Some("""
       SELECT event_id, concat_ws(',', event_id, user_id, event_type) AS line
       FROM events ORDER BY event_id""")),
-    "q_jdbc_snapshot" -> QueryDef(jdbcSnapshot, None))
+    "q_jdbc_snapshot" -> QueryDef(jdbcSnapshot, Some("""
+      SELECT event_id, user_id, event_type, round(value, 2) AS value, ts
+      FROM events ORDER BY event_id""")))
 }
 
 /** Source registry (R9/R15): config-driven source selection. JDBC in
@@ -93,20 +100,83 @@ object Sources {
   def snapshot(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "events")
 
-  /** Production JDBC read (not exercisable offline — no database in the
-    * test environment; kept as the single point where the JDBC source
-    * plugs in).
+  // ---- embedded-Derby JDBC snapshot (R15) ------------------------------
+
+  private val DerbyRoot = "/tmp/graft_derby"
+  private val DerbyDriver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  private def derbyDir(sfDir: String): java.io.File =
+    new java.io.File(DerbyRoot, java.lang.Integer.toHexString(sfDir.hashCode))
+
+  private def derbyUrl(sfDir: String): String =
+    s"jdbc:derby:${derbyDir(sfDir).getPath}/events_db"
+
+  /** Bulk-import the events fixture into embedded Derby, once per sfDir
+    * per machine (fixture content is static; a marker file records a
+    * completed seed so a crashed partial write is redone). This is the
+    * reference's Sqoop full load (README.md:31) expressed as Spark's JDBC
+    * batch writer.
+    */
+  private def seedDerby(spark: SparkSession, sfDir: String): Unit = {
+    val dir = derbyDir(sfDir)
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (marker.exists()) return
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+    Tables(spark, sfDir, "events")
+      .write.format("jdbc")
+      .option("url", derbyUrl(sfDir) + ";create=true")
+      .option("dbtable", "events")
+      .option("driver", DerbyDriver)
+      .mode("overwrite").save()
+    marker.createNewFile()
+    ()
+  }
+
+  /** R15 end to end: seed (once), then a partitioned parallel JDBC read —
+    * 8 concurrent range queries over `event_id`, exactly the shape of a
+    * production MySQL snapshot import.
+    */
+  def jdbcSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    seedDerby(spark, sfDir)
+    import org.apache.spark.sql.functions.{max, min}
+    val b = Tables(spark, sfDir, "events")
+      .agg(min("event_id").as("lo"), max("event_id").as("hi")).head()
+    jdbc(spark, derbyUrl(sfDir), "events", "event_id",
+      b.getLong(0), b.getLong(1) + 1, 8, driver = Some(DerbyDriver))
+  }
+
+  /** Partitioned JDBC read: each partition is a bounded range scan, so N
+    * executors fetch concurrently (the single point where any JDBC source
+    * plugs in; MySQL in the reference, Derby in the offline tests).
     */
   def jdbc(spark: SparkSession, url: String, table: String,
-           partitionColumn: String, lower: Long, upper: Long, numPartitions: Int): DataFrame =
-    spark.read.format("jdbc")
+           partitionColumn: String, lower: Long, upper: Long, numPartitions: Int,
+           driver: Option[String] = None): DataFrame = {
+    val r = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", lower.toString)
       .option("upperBound", upper.toString)
       .option("numPartitions", numPartitions.toString)
-      .load()
+    driver.fold(r)(d => r.option("driver", d)).load()
+  }
+
+  /** Conf-driven variants (R9 feeding R1/R15): connection parameters come
+    * from the HOCON file, mirroring the reference's
+    * `Utility.parseConf("kafkaConfig.conf")` bootstrap.
+    */
+  def kafka(spark: SparkSession, conf: graft.core.Conf): DataFrame =
+    kafka(spark, conf.getString("kafka.brokers"), conf.getString("kafka.topic"))
+
+  def jdbc(spark: SparkSession, conf: graft.core.Conf, lower: Long, upper: Long): DataFrame =
+    jdbc(spark, conf.getString("jdbc.url"), conf.getString("jdbc.table"),
+      conf.getString("jdbc.partition-column"), lower, upper,
+      conf.getInt("jdbc.num-partitions", 8))
 
   /** Production Kafka source (R1, HdfsSink.java:47-55 + kafkaConfig.conf:
     * 1-6): value bytes cast to string, earliest offsets, one Spark input
