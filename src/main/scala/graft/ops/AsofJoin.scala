@@ -26,25 +26,36 @@ object AsofJoin extends QueryModule {
     *
     * `quoteCols` are carried from the quote side; both inputs must share
     * the `key` and `ts` column names. Ties at equal ts match (>=), which
-    * is why quotes sort before ticks within a timestamp.
+    * is why quotes sort before ticks within a timestamp. `quoteTiebreak`
+    * (a quote column) makes the pick among duplicate (key, ts) quote rows
+    * deterministic — the LARGEST tiebreak value wins; without it,
+    * `last(ignoreNulls)` would return whichever duplicate the sort
+    * happened to place last. Matched-ness is tracked with an explicit
+    * marker column, not `quoteCols.head IS NOT NULL`, so a quote row
+    * carrying a legitimately-null payload column still matches.
     */
   def asof(ticks: DataFrame, quotes: DataFrame, key: String, ts: String,
-      tickCols: Seq[String], quoteCols: Seq[String]): DataFrame = {
+      tickCols: Seq[String], quoteCols: Seq[String], quoteTiebreak: String): DataFrame = {
     val nul = (c: String) => lit(null).as(c)
+    val tbType = quotes.schema(quoteTiebreak).dataType
     val t = ticks.select(
       (col(key) +: col(ts).as("__t") +: lit(1).as("__is_tick") +:
+        lit(null).cast(tbType).as("__qtb") +: lit(null).cast("int").as("__q") +:
         (tickCols.map(col) ++ quoteCols.map(nul))): _*)
     val q = quotes.select(
       (col(key) +: col(ts).as("__t") +: lit(0).as("__is_tick") +:
+        col(quoteTiebreak).as("__qtb") +: lit(1).as("__q") +:
         (tickCols.map(nul) ++ quoteCols.map(col))): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__is_tick"))
+      .orderBy(col("__t"), col("__is_tick"), col("__qtb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried: Seq[Column] = quoteCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+    val matched = last(col("__q"), ignoreNulls = true).over(w).as("__q")
     t.unionByName(q)
-      .select((col(key) +: col("__t") +: col("__is_tick") +: (tickCols.map(col) ++ carried)): _*)
-      .filter(col("__is_tick") === 1 && col(quoteCols.head).isNotNull)
-      .drop("__is_tick")
+      .select((col(key) +: col("__t") +: col("__is_tick") +: matched +:
+        (tickCols.map(col) ++ carried)): _*)
+      .filter(col("__is_tick") === 1 && col("__q").isNotNull)
+      .drop("__is_tick", "__q")
       .withColumnRenamed("__t", ts)
   }
 
@@ -58,7 +69,8 @@ object AsofJoin extends QueryModule {
     val quotes = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"),
         col("event_id").as("view_id"), col("ts").as("view_ts"))
-    asof(ticks, quotes, "user_id", "ts", Seq("event_id"), Seq("view_id", "view_ts"))
+    asof(ticks, quotes, "user_id", "ts", Seq("event_id"), Seq("view_id", "view_ts"),
+      quoteTiebreak = "view_id")
       .orderBy("user_id", "event_id")
   }
 

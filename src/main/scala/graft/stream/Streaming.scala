@@ -72,6 +72,23 @@ object Streaming extends QueryModule {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Run `body` with a session conf overridden, restoring (or unsetting)
+    * after — a streaming query must not leak conf changes into later
+    * queries sharing the SparkSession. Only safe when `body` runs every
+    * dependent action to completion: partition-schema inference happens
+    * eagerly at `spark.read`, so a DataFrame CREATED inside keeps its
+    * inferred schema after restore, but lazily-executed reads would not.
+    */
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink contents. AvailableNow = process everything then stop — the
     * batch-driven smoke mode; the same code runs continuously with a
@@ -99,10 +116,12 @@ object Streaming extends QueryModule {
     * reader of the sink directory sees, so the DuckDB oracle checks the
     * whole pipeline including the partitioned write.
     */
-  private def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pipeline(spark: SparkSession, sfDir: String): DataFrame =
     // dt comes back as a partition directory name; keep it a string
-    // (inference would turn "20240105" into an int).
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // (inference would turn "20240105" into an int). Scoped via withConf so
+    // later queries in the session see normal inference again (the final
+    // read's partition schema is inferred eagerly, before restore).
+    withConf(spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
     val out = tmpDir("graft_pipe")
     graft.functions.JsonGet.register(spark)
     val shaped = streamEvents(spark, sfDir)
@@ -134,8 +153,8 @@ object Streaming extends QueryModule {
     * survive per partition, so envelope parse, filter, flatten fan-out and
     * the partitioned write are all under the driver's differential check.
     */
-  private def cdcCanal(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+  private def cdcCanal(spark: SparkSession, sfDir: String): DataFrame =
+    withConf(spark, "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
     val topicDir = tmpDir("graft_canal_topic")
     val outDir = tmpDir("graft_canal_out")
     graft.core.Tables(spark, sfDir, "events")
@@ -284,16 +303,24 @@ object Streaming extends QueryModule {
     * q_latest_state result, which is this entry's oracle.
     */
   /** ts-aware FULL OUTER upsert: the delta row wins only when its event
-    * time is at least the snapshot's, so replayed or out-of-order batches
-    * cannot regress a key (strictly stronger than the reference's
-    * unconditional COALESCE, which assumes delta ⊇ newer).
+    * time is newer than the snapshot's — or equal with a winning
+    * `tiebreak` — so replayed or out-of-order batches cannot regress a
+    * key (strictly stronger than the reference's unconditional COALESCE,
+    * which assumes delta ⊇ newer). The (ts, tiebreak) ordering mirrors
+    * latestState's (ts DESC, tiebreak DESC) exactly; without the
+    * tiebreak, equal-ts rows for one key split across micro-batches could
+    * let a later batch's LOWER-tiebreak row overwrite a higher one and
+    * diverge from the batch oracle.
     */
   def tsAwareMerge(snap: DataFrame, delta: DataFrame, key: String, ts: String,
-      cols: Seq[String]): DataFrame = {
+      tiebreak: String, cols: Seq[String]): DataFrame = {
     val t1 = snap.alias("t1")
     val t2 = delta.alias("t2")
     val deltaWins = col(s"t2.$ts").isNotNull &&
-      (col(s"t1.$ts").isNull || col(s"t2.$ts") >= col(s"t1.$ts"))
+      (col(s"t1.$ts").isNull ||
+        col(s"t2.$ts") > col(s"t1.$ts") ||
+        (col(s"t2.$ts") === col(s"t1.$ts") &&
+          col(s"t2.$tiebreak") >= col(s"t1.$tiebreak")))
     t1.join(t2, col(s"t1.$key") === col(s"t2.$key"), "full_outer")
       .select(cols.map(c =>
         when(deltaWins, col(s"t2.$c")).otherwise(col(s"t1.$c")).as(c)): _*)
@@ -312,7 +339,7 @@ object Streaming extends QueryModule {
           case None => delta
           case Some(prev) =>
             tsAwareMerge(batch.sparkSession.read.parquet(prev), delta,
-              "user_id", "ts", cols)
+              "user_id", "ts", "event_id", cols)
         }
         val next = s"$root/v$batchId"
         merged.write.mode("overwrite").parquet(next)

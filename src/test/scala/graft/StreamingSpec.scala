@@ -28,17 +28,69 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamRes.toSeq == batchRes.toSeq)
   }
 
-  test("tsAwareMerge: older delta cannot regress a key; new keys insert") {
+  private val mergeCols = Seq("user_id", "event_id", "v", "ts")
+
+  private def mergeDf(rows: Seq[(Long, Long, String, String)]) = {
     import spark.implicits._
-    val cols = Seq("user_id", "v", "ts")
-    def df(rows: Seq[(Long, String, String)]) =
-      rows.toDF("user_id", "v", "ts_s")
-        .select(col("user_id"), col("v"), col("ts_s").cast("timestamp").as("ts"))
-    val snap = df(Seq((1L, "new", "2024-01-02 00:00:00"), (2L, "only-snap", "2024-01-01 00:00:00")))
-    val delta = df(Seq((1L, "stale", "2024-01-01 00:00:00"), (3L, "inserted", "2024-01-03 00:00:00")))
-    val got = Streaming.tsAwareMerge(snap, delta, "user_id", "ts", cols)
+    rows.toDF("user_id", "event_id", "v", "ts_s")
+      .select(col("user_id"), col("event_id"), col("v"),
+        col("ts_s").cast("timestamp").as("ts"))
+  }
+
+  test("tsAwareMerge: older delta cannot regress a key; new keys insert") {
+    val snap = mergeDf(Seq((1L, 10L, "new", "2024-01-02 00:00:00"),
+      (2L, 11L, "only-snap", "2024-01-01 00:00:00")))
+    val delta = mergeDf(Seq((1L, 12L, "stale", "2024-01-01 00:00:00"),
+      (3L, 13L, "inserted", "2024-01-03 00:00:00")))
+    val got = Streaming.tsAwareMerge(snap, delta, "user_id", "ts", "event_id", mergeCols)
       .orderBy("user_id").select("user_id", "v").collect().toSeq
     assert(got == Seq(Row(1L, "new"), Row(2L, "only-snap"), Row(3L, "inserted")))
+  }
+
+  test("tsAwareMerge: equal-ts ties break by event_id like latestState") {
+    val ts = "2024-01-02 00:00:00"
+    // Snapshot holds (ts, event_id=20); a later batch replays the SAME ts
+    // with a lower event_id — must NOT overwrite (latestState keeps the
+    // higher event_id at equal ts). A higher event_id at equal ts must win.
+    val snap = mergeDf(Seq((1L, 20L, "keep", ts), (2L, 30L, "lose", ts)))
+    val delta = mergeDf(Seq((1L, 19L, "lower-id", ts), (2L, 31L, "higher-id", ts)))
+    val got = Streaming.tsAwareMerge(snap, delta, "user_id", "ts", "event_id", mergeCols)
+      .orderBy("user_id").select("user_id", "v").collect().toSeq
+    assert(got == Seq(Row(1L, "keep"), Row(2L, "higher-id")))
+  }
+
+  test("checkpoint restart resumes exactly-once (R6)") {
+    // Kill-and-resume: run a file stream to completion on the first input
+    // file, stop, drop a second file in, restart from the SAME
+    // checkpointLocation. The restarted query must process ONLY the new
+    // file (offsets come from the checkpoint) and the committed sink must
+    // contain every input row exactly once.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_ckpt_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_meta").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    def writeFile(ids: Range, name: String): Unit =
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile(0 until 10, "f1")
+    run() // first life of the query: commits f1, then "dies"
+    writeFile(10 until 25, "f2")
+    run() // second life: resumes from the checkpoint
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 25L), "restart must add only the new file's rows, no duplicates")
   }
 
   test("s_dedup_stateful snapshot equals batch latest-state") {
