@@ -181,7 +181,83 @@ object Dedup extends QueryModule {
         .filter(col("jaccard") >= 0.8)
     }
 
+  // ---- cluster-id emission (the 100 TB output contract) ----------------
+
+  /** (doc_id → cluster_id) over CANONICAL WORD-SET groups: documents with
+    * the same distinct-word set (reordered / repeated-word duplicates)
+    * share a cluster, bound cluster_id = min(doc_id) of the group. This
+    * is the output a curation pipeline consumes — one row per document —
+    * instead of the all-pairs list, whose size is quadratic in copy
+    * count. Same-word-set is an EQUIVALENCE relation, so components are
+    * exact groups: one shuffle on a digest of the canonical form (never
+    * the document body, never n²) and a window per group.
+    */
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))).as("ck"))
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("cluster_id"),
+        count(lit(1)).over(w).as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id → cluster_id) as CONNECTED COMPONENTS of the verified
+    * near-dup pair graph (the StagedDedup minhash pipeline above) — the
+    * graph generalization of `q_dedup_clusters` for non-transitive
+    * similarity. Distributed min-label propagation: every round each node
+    * adopts the smallest label among itself and its neighbors, so rounds
+    * = component diameter (near-dup components are small cliques; bounded
+    * at 15 with a convergence check — the only driver-side values are the
+    * per-round changed-counts, never the data). Not DuckDB-expressible
+    * (the edge set comes from seeded MinHash banding), so rows-only here;
+    * DedupSpec pins equivalence against a union-find ground truth.
+    */
+  private[graft] def dedupClusterGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    clusterByLabelPropagation(
+      Tables(spark, sfDir, "documents").select(col("doc_id")), pairs)
+  }
+
+  /** Min-label propagation over an undirected edge list; returns
+    * (doc_id, cluster_id) for every node (singletons cluster to self).
+    */
+  private[graft] def clusterByLabelPropagation(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 15) {
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = next.alias("n").join(labels.alias("p"), "node")
+        .filter(col("n.label") < col("p.label")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_dedup_clusters" -> QueryDef(dedupClusters, Some("""
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY ck) AS cluster_id,
+             count(*) OVER (PARTITION BY ck) AS cluster_size
+      FROM (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS ck
+            FROM documents)
+      ORDER BY doc_id""")),
+    "q_dedup_cluster_graph" -> QueryDef(dedupClusterGraph, None),
     "q_dedup_exact" -> QueryDef(dedupExact, Some("""
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
