@@ -87,7 +87,43 @@ object Joins extends QueryModule {
       .orderBy("r_name")
   }
 
+  /** Deliberately skewed fact join — the canonical hot-key shape: 90% of
+    * lineitem rows collapse onto orderkey 1 while the rest keep their
+    * key, then join against orders. At scale the hot hash partition
+    * would straggle one executor; AQE's OptimizeSkewedJoin splits it at
+    * runtime into advisory-sized sub-partitions (the dim side is
+    * replicated to each split). The semantics are plain inner-join-agg —
+    * oracle-checked — and the runtime skew split (`skew=true` on the
+    * SortMergeJoin) is pinned in PlanSpec with demo-scale thresholds
+    * (production keeps the 256 MB default).
+    */
+  private def joinSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    // repartition(32): AQE can split a skewed reduce partition only at
+    // MAP-output boundaries. The single-row-group fixture parquet yields
+    // ONE effective mapper (nothing to split); the round-robin exchange
+    // restores the many-mapper shape a real cluster scan always has.
+    val fact = Tables(spark, sfDir, "lineitem")
+      .select(
+        when(col("l_orderkey") % 10 =!= 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      .repartition(32)
+    val o = Tables(spark, sfDir, "orders")
+    fact.join(o, fact("k") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_join_skew" -> QueryDef(joinSkew, Some("""
+      WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,
+               l_quantity
+        FROM lineitem)
+      SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM fact JOIN orders ON k = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     "q_join_inner" -> QueryDef(joinInner, Some("""
       SELECT o_orderkey, c_name, o_totalprice, c_mktsegment
       FROM orders JOIN customer ON o_custkey = c_custkey

@@ -56,6 +56,41 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!joinSection.contains("Exchange hashpartitioning"), p)
   }
 
+  test("q_join_skew gets AQE skew-split at runtime (skew=true in the join)") {
+    // Production skew thresholds are 256 MB / factor 5; scale them to the
+    // tiny fixture so OptimizeSkewedJoin fires, and force the shuffle join
+    // (the dim side is broadcast-small only at test SF). Conf changes are
+    // restored — join strategy and skew handling are decided at EXECUTION
+    // time, so they must be active around collect(), not around plan
+    // construction.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // A skewed reduce partition can only split at MAP-output boundaries;
+      // with the default 128 MB split size the tiny fixture scan is ONE
+      // map task, leaving nothing to split. Many small input splits
+      // emulate the many-mapper shape of a real cluster.
+      "spark.sql.files.maxPartitionBytes" -> "16KB",
+      // The agg downstream of the join needs hash partitioning, so the
+      // skew split adds a shuffle; AQE declines that trade by default and
+      // must be told the straggler is worse (at 100 TB it always is).
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = SparkEntry.queries("q_join_skew")(spark, "/root/testdata/sf0.01")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
