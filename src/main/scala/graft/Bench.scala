@@ -35,10 +35,11 @@ object Bench {
     // The host VM has noisy-neighbor windows (identical queries observed
     // 30-400x slower for a few minutes at a time). Re-time outliers once
     // and keep the minimum — per-query noise should not define the
-    // recorded throughput of an operator.
+    // recorded throughput of an operator. 3x median (was 5x with a 10 s
+    // floor): a 6.6 s spike on a 0.5 s query must not enter the record.
     val sorted = first.map(_._2).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val threshold = math.max(10.0, 5.0 * median)
+    val threshold = math.max(1.0, 3.0 * median)
     val results = first.map { case (name, dt) =>
       if (dt > threshold) {
         val dt2 = time(name)

@@ -69,16 +69,20 @@ object TextAnalysis extends QueryModule {
       .agg(count(lit(1)).as("n"), trunc(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
       .orderBy("lang", "pred_lang")
 
-  private def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+  private def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    // token_runs = regexp_count(text, '[a-z]+') as a codegen byte scan;
+    // the regex engine was this query's entire cost (TokenRuns scaladoc).
+    graft.functions.TokenRuns.register(spark)
     Tables(spark, sfDir, "documents")
       .select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast(LongType).as("ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("re_tokens"),
+        expr("token_runs(text)").as("re_tokens"),
         // BPE-ish upper bound: each word contributes ceil(len/4) pieces.
         expr("CAST(aggregate(transform(split(text, ' '), w -> ceil(length(w) / 4.0)), " +
           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS BIGINT)").as("bpe_pieces"))
       .orderBy("doc_id")
+  }
 
   private def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     // Rolling-hash fingerprint: md5 over strided char-20-gram shingles,
