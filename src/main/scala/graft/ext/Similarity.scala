@@ -97,10 +97,11 @@ object Similarity extends QueryModule {
     out
   }
 
-  /** Compiled-loop cosine for the candidate-pair verify (no oracle parity
-    * constraint on summation order here, unlike `cosine` above).
+  /** Compiled cosine kernel, shared by the pair-verify UDF and the IVF
+    * assignment/probe closures (no oracle parity constraint on summation
+    * order here, unlike the aligned accumulation in `similarityTopk`).
     */
-  private def cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
+  private[ext] def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -111,6 +112,8 @@ object Similarity extends QueryModule {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  private def cosineUdf = udf { (a: Array[Float], b: Array[Float]) => cosineKernel(a, b) }
 
   /** Candidate pairs with verified cosine, via banded multi-probe LSH.
     * One count action sizes the signature; the signature scan is one pass
@@ -147,6 +150,61 @@ object Similarity extends QueryModule {
     annPairs(Tables(spark, sfDir, "embeddings"))
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
+  }
+
+  // ---- IVF-partitioned ANN --------------------------------------------
+
+  /** IVF (inverted-file) ANN — the cell-partitioned scale path next to
+    * the LSH pair search: a coarse quantizer assigns every vector to its
+    * nearest of C centroid cells (one scan, no shuffle); a query probes
+    * only the `nprobe` nearest cells, scanning ~nprobe/C of the corpus
+    * instead of all of it. C scales as sqrt(n), so cell size and cell
+    * count grow together and probe cost is ~nprobe * sqrt(n).
+    *
+    * Centroids are a deterministic sample (the C lowest vec_ids) —
+    * production would k-means them for tighter cells, but the
+    * partitioned-search mechanics (the 100 TB property) are identical,
+    * and a seeded sample keeps every run reproducible. The collected
+    * centroid set is broadcast-sized (C*dim floats, ~8 MB at n=1e9).
+    */
+  def ivfSearch(embeddings: DataFrame, query: Array[Float], nprobe: Int, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val c = math.max(4, math.sqrt(n.toDouble).toInt)
+    val centroids: Array[Array[Float]] = e.orderBy("vec_id").limit(c)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val probed: Seq[Int] = centroids.zipWithIndex
+      .map { case (cent, i) => (i, cosineKernel(cent, query)) }
+      .sortBy(-_._2).take(math.min(nprobe, c)).map(_._1).toSeq
+    val assignUdf = udf { (emb: Array[Float]) =>
+      var best = 0
+      var bestSim = Double.MinValue
+      var ci = 0
+      while (ci < centroids.length) {
+        val s = cosineKernel(centroids(ci), emb)
+        if (s > bestSim) { bestSim = s; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val simUdf = udf { (emb: Array[Float]) => cosineKernel(query, emb) }
+    e.withColumn("cell", assignUdf(col("embedding")))
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"),
+        round(simUdf(col("embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    // Probe with the anchor vector (vec 0), like q_similarity_topk but
+    // scanning only the probed cells. Rows-only entry (cell contents
+    // depend on the quantizer); recall is pinned in SimilaritySpec on the
+    // planted corpus.
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    ivfSearch(e.filter(col("vec_id") =!= 0), anchor, nprobe = 4, k = 10)
   }
 
   // ---- SimHash near-dup over documents --------------------------------
@@ -220,5 +278,6 @@ object Similarity extends QueryModule {
       SELECT vec_id, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
     "q_ann_lsh" -> QueryDef(annLsh, None),
+    "q_ann_ivf" -> QueryDef(annIvf, None),
     "q_simhash_near_dup" -> QueryDef(simhashNearDup, None))
 }

@@ -355,7 +355,52 @@ object Streaming extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---- Arbitrary stateful processing (mapGroupsWithState) ---------------
+
+  /** Per-key running state via `KeyValueGroupedDataset.mapGroupsWithState`
+    * — the arbitrary-state API (the declared surface SURVEY §2.2 maps the
+    * reference's keyed-state story to; every other s_* entry uses either
+    * built-in window state or foreachBatch). State per user: event count +
+    * latest ts. On bounded input the final state equals the batch
+    * GROUP BY, which is this entry's oracle. At scale state lives in the
+    * state store partitioned by key — one shuffle on user_id per batch,
+    * state size O(distinct keys).
+    */
+  private def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val events = streamEvents(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    // State carries java.sql.Timestamp, not epoch millis: getTime would
+    // silently truncate the fixture's microsecond precision and diverge
+    // from the batch oracle.
+    val updated = events
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, java.sql.Timestamp), (Long, Long, java.sql.Timestamp)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var (n, maxTs) = state.getOption.getOrElse((0L, null: java.sql.Timestamp))
+          rows.foreach { r =>
+            n += 1
+            if (maxTs == null || r._2.after(maxTs)) maxTs = r._2
+          }
+          state.update((n, maxTs))
+          (user, n, maxTs)
+      }
+      .toDF("user_id", "n_events", "last_ts")
+    // Update mode re-emits a user's state every micro-batch; the final
+    // state has the largest n (monotone), so max() folds re-emissions.
+    runToMemory(updated, "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"), max(col("last_ts")).as("last_ts"))
+      .orderBy("user_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "s_stateful_count" -> QueryDef(statefulCount, Some("""
+      SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
+      FROM events GROUP BY user_id ORDER BY user_id""")),
     "s_pipeline" -> QueryDef(pipeline, Some("""
       SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n
       FROM events

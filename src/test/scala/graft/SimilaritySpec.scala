@@ -80,6 +80,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"ANN recall $recall < 0.9; found=${ann.size} truth=$truthPairs ann=$ann")
   }
 
+  test("ivfSearch finds the planted near-duplicate of each probe vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val lookup = corpus.toMap
+    // Query the index with each planted copy's vector; the original must
+    // surface in the top-3 (cos ~0.998 vs ~0 for random vectors). IVF can
+    // only miss when quantization puts the pair in different cells AND
+    // nprobe misses the twin cell — near-identical vectors almost always
+    // share a nearest centroid.
+    val found = (0 until NPlanted).count { i =>
+      val hits = graft.ext.Similarity
+        .ivfSearch(df.filter(col("vec_id") =!= (1000L + i)), lookup(1000L + i),
+          nprobe = 4, k = 3)
+        .collect().map(_.getLong(0)).toSet
+      hits.contains(i.toLong)
+    }
+    val recall = found.toDouble / NPlanted
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9")
+  }
+
   test("annPairs verified cosine matches exact cosine on planted pairs") {
     import spark.implicits._
     val df = corpus.toDF("vec_id", "embedding")
