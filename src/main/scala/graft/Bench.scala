@@ -40,12 +40,19 @@ object Bench {
     val sorted = first.map(_._2).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
     val threshold = math.max(1.0, 3.0 * median)
+    // Up to two retimes: noise windows last minutes, so a single retime
+    // taken immediately can land inside the same window (observed: first
+    // 11 s, retime 84 s on a 2 s query).
     val results = first.map { case (name, dt) =>
-      if (dt > threshold) {
-        val dt2 = time(name)
-        System.err.println(f"[bench] $name%-24s $dt2%8.2f s (retimed, was $dt%.2f)")
-        name -> math.min(dt, dt2)
-      } else name -> dt
+      var best = dt
+      var tries = 0
+      while (best > threshold && tries < 2) {
+        val dtN = time(name)
+        System.err.println(f"[bench] $name%-24s $dtN%8.2f s (retimed, was $best%.2f)")
+        best = math.min(best, dtN)
+        tries += 1
+      }
+      name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
