@@ -72,22 +72,11 @@ object Streaming extends QueryModule {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** Run `body` with a session conf overridden, restoring (or unsetting)
-    * after — a streaming query must not leak conf changes into later
-    * queries sharing the SparkSession. Only safe when `body` runs every
-    * dependent action to completion: partition-schema inference happens
-    * eagerly at `spark.read`, so a DataFrame CREATED inside keeps its
-    * inferred schema after restore, but lazily-executed reads would not.
+  /** See graft.core.SessionConf.scoped — a streaming query must not leak
+    * conf changes into later queries sharing the SparkSession.
     */
-  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+  private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T =
+    graft.core.SessionConf.scoped(spark, key, value)(body)
 
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink contents. AvailableNow = process everything then stop — the

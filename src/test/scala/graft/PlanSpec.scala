@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q_partitioned_write prunes partitions at the scan") {
+    val df = SparkEntry.queries("q_partitioned_write")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    // The dt predicate must appear as a PARTITION filter (directory-level
+    // pruning), not a data filter applied after reading every file.
+    assert(scanLine.contains("PartitionFilters: [") && scanLine.contains("dt"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
