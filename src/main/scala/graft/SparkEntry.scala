@@ -16,7 +16,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     cdc.Cdc,
     ops.Scans, ops.Joins, ops.Aggregates, ops.Windows, ops.SetOps, ops.Scalars,
-    ops.AsofJoin, ops.Reshape, ops.Bucketed, ops.Formats,
+    ops.AsofJoin, ops.Reshape, ops.Bucketed, ops.Formats, ops.Subqueries,
     ext.Dedup, ext.Similarity, ext.TextAnalysis, ext.Multimodal,
     stream.Streaming)
 
