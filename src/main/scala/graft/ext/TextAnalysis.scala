@@ -88,18 +88,21 @@ object TextAnalysis extends QueryModule {
     // Rolling-hash fingerprint: md5 over strided char-20-gram shingles,
     // keep the min/max digest per doc (winnowing-style representative).
     // md5 is bit-identical across engines, so this is oracle-checkable.
-    // The digest is projected ONCE before the aggregation — inlining
-    // md5(gram) into each of the three aggregates evaluated it three
-    // times per shingle and tripled the dominant cost at scale.
+    // The aggregation is ROW-LOCAL (higher-order transform + array
+    // min/max/distinct): a fingerprint only combines shingles of its own
+    // document, so the earlier explode → groupBy(doc_id) shuffled every
+    // (doc_id, digest) pair — ~50M rows of 32-char strings at 20x scale —
+    // to reassemble rows the scan already had intact. Zero-shuffle now;
+    // only the determinism orderBy exchanges data.
     Tables(spark, sfDir, "documents")
-      .withColumn("pos", explode(expr(
-        "sequence(1, greatest(length(text) - 19, 1), 4)")))
-      .select(col("doc_id"), md5(expr("substring(text, pos, 20)")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(col("h")).as("fp_min"),
-        max(col("h")).as("fp_max"),
-        countDistinct(col("h")).as("n_grams"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, greatest(length(text) - 19, 1), 4), " +
+          "p -> md5(substring(text, p, 20)))").as("hs"))
+      .select(
+        col("doc_id"),
+        array_min(col("hs")).as("fp_min"),
+        array_max(col("hs")).as("fp_max"),
+        size(array_distinct(col("hs"))).cast(LongType).as("n_grams"))
       .orderBy("doc_id")
 
   override val defs: Map[String, QueryDef] = Map(
