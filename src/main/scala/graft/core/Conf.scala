@@ -69,34 +69,39 @@ object Conf {
       else t
     }
 
+    // First '=' or ':' outside quotes, -1 if none.
+    def sepOutsideQuotes(line: String): Int = {
+      var inQuote = false
+      var found = -1
+      var i = 0
+      while (i < line.length && found < 0) {
+        val c = line.charAt(i)
+        if (c == '"') inQuote = !inQuote
+        else if (!inQuote && (c == '=' || c == ':')) found = i
+        i += 1
+      }
+      found
+    }
+
     text.linesIterator.foreach { raw =>
       val line = stripComment(raw).trim
       if (line.nonEmpty) {
+        val sep = sepOutsideQuotes(line)
         if (line == "}") {
           require(stack.nonEmpty, s"unbalanced '}' in config")
           stack = stack.tail
+        } else if (sep > 0) {
+          // Key/value wins over the block-open check: a quoted value may
+          // legitimately END with '{' (e.g. prefix = "{").
+          val key = line.substring(0, sep).trim
+          val value = unquote(line.substring(sep + 1))
+          entries += fullPath(key) -> value
         } else if (line.endsWith("{")) {
           val key = line.dropRight(1).trim
           require(key.nonEmpty, "anonymous block in config")
           stack = key :: stack
         } else {
-          val sep = {
-            // first '=' or ':' outside quotes
-            var inQuote = false
-            var found = -1
-            var i = 0
-            while (i < line.length && found < 0) {
-              val c = line.charAt(i)
-              if (c == '"') inQuote = !inQuote
-              else if (!inQuote && (c == '=' || c == ':')) found = i
-              i += 1
-            }
-            found
-          }
-          require(sep > 0, s"unparsable config line: '$line'")
-          val key = line.substring(0, sep).trim
-          val value = unquote(line.substring(sep + 1))
-          entries += fullPath(key) -> value
+          throw new IllegalArgumentException(s"unparsable config line: '$line'")
         }
       }
     }

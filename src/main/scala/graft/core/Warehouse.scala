@@ -18,12 +18,17 @@ object Warehouse {
   /** Remove a stale on-disk location that has no catalog entry. */
   def clearLocation(spark: SparkSession, table: String): Unit = {
     val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
-    val dir = new java.io.File(
-      if (wh.getScheme == null) wh.toString else wh.getPath, table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    deleteRecursively(new java.io.File(
+      if (wh.getScheme == null) wh.toString else wh.getPath, table))
+  }
+
+  /** Shared recursive delete (also used by the Derby seed dir). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
     }
-    if (dir.exists()) rm(dir)
+    f.delete()
+    ()
   }
 }

@@ -166,20 +166,28 @@ object Dedup extends QueryModule {
     * On a 20× corpus where every doc has 19 exact copies this turns a
     * ~1M-pair verify (278 s locally) into a ~250-pair verify.
     */
+  /** LSH candidates + exact word-set Jaccard >= 0.8 verify over one
+    * representative per distinct content. Shared by the staged pair
+    * pipeline AND the graph clustering — the cluster components are
+    * defined over exactly this pair set (DedupSpec pins that), so the
+    * two must never drift apart.
+    */
+  private def verifiedRepPairs(reps: DataFrame): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(reps))
+    val words = reps.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("w"))
+    cands
+      .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
+      .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("wa"), col("wb"))).cast(DoubleType) /
+          size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
   private def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     StagedDedup.stagedPairs(
-      Tables(spark, sfDir, "documents"), "jaccard", lit(1.0)) { reps =>
-      val cands = lshCandidates(minhashSignatures(reps))
-      val words = reps.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("w"))
-      cands
-        .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
-        .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("wa"), col("wb"))).cast(DoubleType) /
-            size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }
+      Tables(spark, sfDir, "documents"), "jaccard", lit(1.0))(verifiedRepPairs)
 
   // ---- cluster-id emission (the 100 TB output contract) ----------------
 
@@ -226,18 +234,7 @@ object Dedup extends QueryModule {
     val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val groups = StagedDedup.exactGroups(d)
     val reps = StagedDedup.representatives(d, groups)
-    val repPairs = {
-      val cands = lshCandidates(minhashSignatures(reps))
-      val words = reps.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("w"))
-      cands
-        .join(words.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("w", "wa"), "doc_a")
-        .join(words.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("w", "wb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("wa"), col("wb"))).cast(DoubleType) /
-            size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-    }
+    val repPairs = verifiedRepPairs(reps)
     val repClusters = clusterByLabelPropagation(
       groups.select(col("rep").as("doc_id")),
       repPairs.select(col("doc_a"), col("doc_b")))
@@ -249,7 +246,13 @@ object Dedup extends QueryModule {
 
   /** Min-label propagation over an undirected edge list; returns
     * (doc_id, cluster_id) for every node (singletons cluster to self).
+    * Converges in diameter rounds; near-dup components are small cliques
+    * so this is 1-3 in practice. A component with diameter > MaxRounds
+    * FAILS LOUDLY rather than silently emitting a half-propagated
+    * labeling (two members of one component with different cluster_ids).
     */
+  private val MaxRounds = 30
+
   private[graft] def clusterByLabelPropagation(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -257,7 +260,7 @@ object Dedup extends QueryModule {
     var labels = nodes.select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < 15) {
+    while (changed > 0 && round < MaxRounds) {
       val nbrMin = edges.join(labels, edges("src") === labels("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
@@ -270,6 +273,10 @@ object Dedup extends QueryModule {
       labels = next
       round += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $MaxRounds rounds " +
+          s"($changed labels still improving) — component diameter exceeds the bound")
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

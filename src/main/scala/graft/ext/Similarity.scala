@@ -38,18 +38,25 @@ object Similarity extends QueryModule {
 
   private val Dim = 64
   // Bands = independent hash tables: a pair is a candidate if it collides
-  // in ANY band, so recall for truly-similar pairs is 1-(1-p^r)^Bands
-  // (p = 1 - angle/pi per random hyperplane). Four bands keep recall
-  // ~1.0 for near-duplicates (cos >= 0.95) at any adaptive r <= 16.
-  private val Bands = 4
-  // Expected vectors per bucket. bitsPerBand solves n/2^r ~ TargetBucket,
-  // so per-band candidate work is n * TargetBucket/2 pairs — LINEAR in n
-  // (total ~ Bands * 32 * n) — replacing the round-2 fixed 10-bit
-  // signature whose in-bucket join grew quadratically (n^2/1024).
+  // in ANY band, so recall for truly-similar pairs is 1-(1-p^r)^B
+  // (p = 1 - angle/pi per random hyperplane). Per-band collision p^r
+  // FALLS as the adaptive r grows with n, so the band count must GROW to
+  // hold recall — a fixed B=4 at r=16 would silently drop ~45% of
+  // cos=0.95 pairs. bandsFor solves 1-(1-p0^r)^B >= TargetRecall at the
+  // cos >= 0.95 design point; B tops out at 16 (r=16, i.e. n >= ~4M).
+  // Expected vectors per bucket stays TargetBucket, so candidate work is
+  // B(n) * TargetBucket/2 * n — linear in n with a log-growing constant —
+  // replacing the round-2 fixed 10-bit signature whose in-bucket join
+  // grew quadratically (n^2/1024).
   private val TargetBucket = 64
   private val MaxBitsPerBand = 16
+  private val MaxBands = 16
+  private val MinBands = 4
+  // p for two vectors at the cos = 0.95 design point.
+  private val P0 = 1.0 - math.acos(0.95) / math.Pi
+  private val TargetRecall = 0.95
 
-  /** Deterministic seeded random hyperplanes (Bands x 16 x Dim ~ 32 KB),
+  /** Deterministic seeded random hyperplanes (16 x 16 x Dim ~ 131 KB),
     * captured in the UDF closure so every executor gets an identical copy
     * with the task — no stored model, no per-row hashing. An earlier
     * version derived each component per row via xxhash64-of-string inside
@@ -58,7 +65,7 @@ object Similarity extends QueryModule {
     */
   private lazy val bandPlanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(Bands, MaxBitsPerBand)(Array.fill(Dim)(rnd.nextDouble() * 2.0 - 1.0))
+    Array.fill(MaxBands, MaxBitsPerBand)(Array.fill(Dim)(rnd.nextDouble() * 2.0 - 1.0))
   }
 
   /** Signature width per band for a corpus of n vectors: the smallest r
@@ -70,16 +77,25 @@ object Similarity extends QueryModule {
     math.min(MaxBitsPerBand, math.max(1, r))
   }
 
+  /** Bands needed for >= TargetRecall on cos >= 0.95 pairs at width r:
+    * B = ceil(ln(1-recall) / ln(1-p0^r)), clamped to [4, 16].
+    */
+  private[graft] def bandsFor(r: Int): Int = {
+    val miss = 1.0 - math.pow(P0, r)
+    val b = math.ceil(math.log(1.0 - TargetRecall) / math.log(miss)).toInt
+    math.min(MaxBands, math.max(MinBands, b))
+  }
+
   /** Per-band r-bit sign signatures, packed to longs (one per band).
     * Input is `Array[Float]`, not `Seq[Float]`: primitive arrays
     * deserialize via a single unsafe copy, while Seq goes through
     * per-element boxing (MapObjects) — the difference dominates at
     * millions of rows.
     */
-  private def bandKeysUdf(r: Int) = udf { (emb: Array[Float]) =>
-    val out = new Array[Long](Bands)
+  private def bandKeysUdf(r: Int, bands: Int) = udf { (emb: Array[Float]) =>
+    val out = new Array[Long](bands)
     var b = 0
-    while (b < Bands) {
+    while (b < bands) {
       var key = 0L
       var j = 0
       while (j < r) {
@@ -126,9 +142,10 @@ object Similarity extends QueryModule {
   def annPairs(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val r = bitsPerBand(e.count())
+    val bands = bandsFor(r)
     val b = e
       .select(col("vec_id"), col("embedding"),
-        posexplode(bandKeysUdf(r)(col("embedding"))).as(Seq("band", "bk")))
+        posexplode(bandKeysUdf(r, bands)(col("embedding"))).as(Seq("band", "bk")))
     val x = b.alias("x")
     val y = b.alias("y")
     // Cosine is computed INSIDE the join projection so the pair-dedup
@@ -171,15 +188,21 @@ object Similarity extends QueryModule {
     * and a seeded sample keeps every run reproducible. The collected
     * centroid set is broadcast-sized (C*dim floats, ~8 MB at n=1e9).
     */
-  def ivfSearch(embeddings: DataFrame, query: Array[Float], nprobe: Int, k: Int): DataFrame = {
+  /** The IVF index: centroids + the cell-assigned corpus. INDEX BUILD is
+    * the one-time n * C assignment scan (in production: persist/write the
+    * cell column alongside the vectors, refresh on ingest); every probe
+    * afterwards touches only the probed cells. Keeping build and probe as
+    * separate steps is what makes the per-query cost ~nprobe * sqrt(n),
+    * not n * sqrt(n).
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], cells: DataFrame)
+
+  def ivfBuild(embeddings: DataFrame): IvfIndex = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val n = e.count()
     val c = math.max(4, math.sqrt(n.toDouble).toInt)
     val centroids: Array[Array[Float]] = e.orderBy("vec_id").limit(c)
       .collect().map(_.getSeq[Float](1).toArray)
-    val probed: Seq[Int] = centroids.zipWithIndex
-      .map { case (cent, i) => (i, cosineKernel(cent, query)) }
-      .sortBy(-_._2).take(math.min(nprobe, c)).map(_._1).toSeq
     val assignUdf = udf { (emb: Array[Float]) =>
       var best = 0
       var bestSim = Double.MinValue
@@ -191,14 +214,31 @@ object Similarity extends QueryModule {
       }
       best
     }
+    IvfIndex(centroids, e.withColumn("cell", assignUdf(col("embedding"))).persist())
+  }
+
+  /** Probe the nprobe cells nearest to `query` (nearest-cell choice is a
+    * tiny driver-side loop over the collected centroids), brute-force
+    * cosine within them, top-k.
+    */
+  def ivfProbe(index: IvfIndex, query: Array[Float], nprobe: Int, k: Int): DataFrame = {
+    val probed: Seq[Int] = index.centroids.zipWithIndex
+      .map { case (cent, i) => (i, cosineKernel(cent, query)) }
+      .sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1).toSeq
     val simUdf = udf { (emb: Array[Float]) => cosineKernel(query, emb) }
-    e.withColumn("cell", assignUdf(col("embedding")))
+    index.cells
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"), col("cell"),
         round(simUdf(col("embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** One-shot convenience: build + single probe (the spec's per-query
+    * loop builds once and probes many times instead).
+    */
+  def ivfSearch(embeddings: DataFrame, query: Array[Float], nprobe: Int, k: Int): DataFrame =
+    ivfProbe(ivfBuild(embeddings), query, nprobe, k)
 
   private def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     // Probe with the anchor vector (vec 0), like q_similarity_topk but

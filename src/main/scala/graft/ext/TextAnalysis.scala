@@ -94,7 +94,10 @@ object TextAnalysis extends QueryModule {
     // (doc_id, digest) pair — ~50M rows of 32-char strings at 20x scale —
     // to reassemble rows the scan already had intact. Zero-shuffle now;
     // only the determinism orderBy exchanges data.
+    // Null text drops the row, matching the previous explode semantics
+    // and the oracle's unnest(range(...)) (both produce no rows on null).
     Tables(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(
         "transform(sequence(1, greatest(length(text) - 19, 1), 4), " +
           "p -> md5(substring(text, p, 20)))").as("hs"))

@@ -179,11 +179,21 @@ object JsonGet {
           case 'r' => sb.append('\r'); i += 2
           case 't' => sb.append('\t'); i += 2
           case 'u' =>
-            // Needs 4 hex digits within the body; a truncated escape like
-            // "\u123 would otherwise swallow the closing quote. parseInt
-            // throws NumberFormatException on non-hex, caught in extract.
+            // Needs exactly 4 HEX DIGITS within the body; a truncated
+            // escape like "\u123 would otherwise swallow the closing
+            // quote, and parseInt alone accepts a sign ("\u+123") that
+            // strict-JSON Jackson rejects. Malformed → NumberFormatException,
+            // caught in extract → SQL NULL.
             if (i + 6 > to) throw new NumberFormatException("truncated \\u escape")
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            var cp = 0
+            var h = i + 2
+            while (h < i + 6) {
+              val d = Character.digit(s.charAt(h), 16)
+              if (d < 0) throw new NumberFormatException("invalid \\u escape")
+              cp = cp * 16 + d
+              h += 1
+            }
+            sb.append(cp.toChar); i += 6
           case other => sb.append(other); i += 2
         }
       } else { sb.append(c); i += 1 }

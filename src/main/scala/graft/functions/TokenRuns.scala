@@ -45,8 +45,11 @@ object TokenRuns {
       "token_runs", exprs => TokenRuns(exprs.head), "built-in")
     catch {
       case _: Throwable =>
+        // Boxed return type: a `if (null) null else Long` lambda infers
+        // Any, which spark.udf.register rejects at runtime.
         spark.udf.register("token_runs", (s: String) =>
-          if (s == null) null else count(UTF8String.fromString(s)))
+          if (s == null) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(count(UTF8String.fromString(s))))
     }
 
   /** Public + JVM-static for generated code. */

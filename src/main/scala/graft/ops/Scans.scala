@@ -121,11 +121,7 @@ object Sources {
     val dir = derbyDir(sfDir)
     val marker = new java.io.File(dir, "_SEEDED")
     if (marker.exists()) return
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (dir.exists()) rm(dir)
+    if (dir.exists()) graft.core.Warehouse.deleteRecursively(dir)
     Tables(spark, sfDir, "events")
       .write.format("jdbc")
       .option("url", derbyUrl(sfDir) + ";create=true")

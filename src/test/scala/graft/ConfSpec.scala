@@ -52,6 +52,12 @@ class ConfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Conf.parse("}\n"))
   }
 
+  test("a quoted value ending in '{' is a value, not a block open") {
+    val c = Conf.parse("prefix = \"{\"\nsuffix = \"x{\"\n")
+    assert(c.getString("prefix") == "{")
+    assert(c.getString("suffix") == "x{")
+  }
+
   test("bundled engine.conf loads from the classpath and feeds Engine") {
     val c = Conf.load()
     assert(c.getString("kafka.topic") == "qfbap_ods.code_city")

@@ -74,6 +74,9 @@ class JsonGetSpec extends AnyFunSuite with SparkTest {
     assert(JsonGet.extract(u8("{\"k\":\"" + U + "123\"}"), u8("k")) == null)
     assert(JsonGet.extract(u8("{\"k\":\"tail" + U + "\"}"), u8("k")) == null)
     assert(JsonGet.extract(u8("{\"k\":\"a" + U + "0041b\"}"), u8("k")).toString == "aAb")
+    // parseInt accepts a sign; strict-JSON hex must not ("\u+123").
+    assert(JsonGet.extract(u8("{\"k\":\"" + U + "+123\"}"), u8("k")) == null)
+    assert(JsonGet.extract(u8("{\"k\":\"" + U + "-123\"}"), u8("k")) == null)
     // Lenient-scan divergence (documented): a bad escape in a NON-matched
     // value is never tokenized, so extraction still succeeds.
     assert(JsonGet.extract(u8("{\"bad\":\"" + U + "ZZ\",\"k\":1}"), u8("k")).toString == "1")

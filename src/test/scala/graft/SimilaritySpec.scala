@@ -54,6 +54,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(Similarity.bitsPerBand(1000000L) > Similarity.bitsPerBand(1000L))
   }
 
+  test("bandsFor grows the band count as signature width erodes per-band recall") {
+    // Per-band collision p0^r falls with r; the band count must rise to
+    // hold 1-(1-p0^r)^B >= 0.95 at the cos=0.95 design point.
+    assert(Similarity.bandsFor(4) == 4)   // floor
+    assert(Similarity.bandsFor(16) > Similarity.bandsFor(7))
+    assert(Similarity.bandsFor(16) <= 16) // ceiling
+    // Overall recall with the chosen B stays >= target at every r.
+    val p0 = 1.0 - math.acos(0.95) / math.Pi
+    (1 to 16).foreach { r =>
+      val b = Similarity.bandsFor(r)
+      val recall = 1.0 - math.pow(1.0 - math.pow(p0, r), b)
+      assert(recall >= 0.95 || b == 16, s"r=$r B=$b recall=$recall")
+    }
+  }
+
   test("annPairs recalls planted near-duplicates vs brute-force ground truth") {
     import spark.implicits._
     val df = corpus.toDF("vec_id", "embedding")
@@ -85,15 +100,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     import org.apache.spark.sql.functions.col
     val df = corpus.toDF("vec_id", "embedding")
     val lookup = corpus.toMap
-    // Query the index with each planted copy's vector; the original must
-    // surface in the top-3 (cos ~0.998 vs ~0 for random vectors). IVF can
-    // only miss when quantization puts the pair in different cells AND
-    // nprobe misses the twin cell — near-identical vectors almost always
-    // share a nearest centroid.
+    // Build the index ONCE (the production shape — assignment is a
+    // one-time build cost), then probe with each planted copy's vector;
+    // the original must surface in the top-3 (cos ~0.998 vs ~0 for random
+    // vectors; the copy itself ranks first at cos 1.0). IVF can only miss
+    // when quantization puts the pair in different cells AND nprobe
+    // misses the twin cell — near-identical vectors almost always share a
+    // nearest centroid.
+    val index = graft.ext.Similarity.ivfBuild(df)
     val found = (0 until NPlanted).count { i =>
       val hits = graft.ext.Similarity
-        .ivfSearch(df.filter(col("vec_id") =!= (1000L + i)), lookup(1000L + i),
-          nprobe = 4, k = 3)
+        .ivfProbe(index, lookup(1000L + i), nprobe = 4, k = 3)
         .collect().map(_.getLong(0)).toSet
       hits.contains(i.toLong)
     }
