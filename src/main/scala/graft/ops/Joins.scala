@@ -115,7 +115,36 @@ object Joins extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Event-time interval join (view→click attribution): each click pairs
+    * with the same user's views from the preceding hour. Kept as an equi
+    * join on user_id with a residual time-range predicate — hash/SMJ on
+    * the key, never a cartesian. This is the batch twin of
+    * s_join_interval, which runs the identical semantics as a watermarked
+    * stream-stream join.
+    */
+  private def intervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    clicks.join(views,
+        expr("user_id = v_user AND view_ts <= click_ts AND view_ts > click_ts - INTERVAL 60 MINUTE"))
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
+  /** Shared by q_interval_join and the stream-stream twin s_join_interval. */
+  private[graft] val intervalOracle: String = """
+      SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+             c.ts AS click_ts, v.ts AS view_ts
+      FROM events c JOIN events v
+        ON c.user_id = v.user_id AND c.event_type = 'click' AND v.event_type = 'view'
+       AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 60 MINUTE
+      ORDER BY 1, 2, 3"""
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_interval_join" -> QueryDef(intervalJoin, Some(intervalOracle)),
     "q_join_skew" -> QueryDef(joinSkew, Some("""
       WITH fact AS (
         SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,

@@ -393,7 +393,36 @@ object Streaming extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---- Stream-stream interval join --------------------------------------
+
+  /** Watermarked stream-stream inner join: clicks join the same user's
+    * views from the preceding hour (identical semantics to the batch
+    * q_interval_join, which is also this entry's oracle). Both sides carry
+    * a watermark and the join condition bounds event time on both sides —
+    * exactly what Structured Streaming needs to evict buffered rows: a
+    * view can be dropped from state once the click watermark passes
+    * view_ts + 60 min, so state is O(rate × window), not O(stream). At
+    * scale both sides shuffle on user_id once and the join runs inside the
+    * keyed state store.
+    */
+  private def intervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val clicks = streamEvents(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val views = streamEvents(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val joined = clicks.join(views,
+        expr("user_id = v_user AND view_ts <= click_ts AND view_ts > click_ts - INTERVAL 60 MINUTE"))
+      .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
+    runToMemory(joined, "append")
+      .orderBy("user_id", "click_id", "view_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "s_join_interval" -> QueryDef(intervalJoinStream, Some(graft.ops.Joins.intervalOracle)),
     "s_stateful_count" -> QueryDef(statefulCount, Some("""
       SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
       FROM events GROUP BY user_id ORDER BY user_id""")),
