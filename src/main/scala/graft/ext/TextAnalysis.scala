@@ -108,7 +108,149 @@ object TextAnalysis extends QueryModule {
         size(array_distinct(col("hs"))).cast(LongType).as("n_grams"))
       .orderBy("doc_id")
 
+  /** Deterministic train/test split by content-independent hash: the first
+    * two hex chars of md5(doc_id) land below '1a' (26/256 ≈ 10%) → test.
+    * Row-local, no shuffle, reproducible across runs/engines/cluster sizes
+    * — the property a 100 TB corpus split must have (a random() split is
+    * neither reproducible nor resumable). md5 is bit-identical in Spark
+    * and DuckDB, so the assignment itself is oracle-checked.
+    */
+  private def splitTrainTest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        substring(md5(col("doc_id").cast(StringType)), 1, 2).as("h2"))
+      .withColumn("split", when(col("h2") < "1a", "test").otherwise("train"))
+      .orderBy("doc_id")
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
+    * word fraction, duplicate 2-gram fraction, and the top 2-gram's share.
+    * All ROW-LOCAL higher-order expressions — no explode, no shuffle; the
+    * top-gram count uses sort + max-equal-run (O(n log n) per doc) rather
+    * than a per-distinct-gram rescan (O(n²), a hazard on book-length
+    * docs).
+    */
+  private def gopherQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("n_uniq", size(array_distinct(col("w"))).cast(LongType))
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+      .withColumn("n_grams", size(col("grams")).cast(LongType))
+      .withColumn("uniq_grams", size(array_distinct(col("grams"))).cast(LongType))
+      .withColumn("top_c", expr(
+        """aggregate(array_sort(grams),
+             named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+             (acc, x) -> named_struct(
+               'prev', x,
+               'run', IF(x <=> acc.prev, acc.run + 1, 1),
+               'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+             acc -> acc.best)""").cast(LongType))
+      .select(
+        col("doc_id"), col("n_words"),
+        trunc(lit(1.0) - col("n_uniq").cast(DoubleType) / col("n_words"), 4)
+          .as("dup_word_frac"),
+        trunc((col("n_grams") - col("uniq_grams")).cast(DoubleType) / col("n_grams"), 4)
+          .as("dup_gram_frac"),
+        trunc(col("top_c").cast(DoubleType) / col("n_grams"), 4).as("top_gram_share"))
+      .orderBy("doc_id")
+
+  /** PII redaction at scan speed: mask every run of 3+ digits (account /
+    * ID numbers) inside a free-text column, count digits seen. Pure
+    * regexp_replace/length expressions (codegen'd, row-local); patterns
+    * stay inside RE2's subset (no lookaround) so the same redaction runs
+    * on any engine.
+    */
+  private def piiMask(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]{3,}", "***").as("masked_name"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", ""))).cast(LongType)
+          .as("n_digits"))
+      .orderBy("c_custkey")
+
+  /** Corpus-level top-k word bigrams: explode 2-grams, partial-agg'd
+    * groupBy (map-side combine makes the shuffle vocabulary-sized, not
+    * corpus-sized), TakeOrderedAndProject for the global top 20 with a
+    * total tie order.
+    */
+  private def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
+  /** Document length histogram: width_bucket into fixed bins — the
+    * standard curation dashboard cut. One partial-agg'd groupBy over a
+    * row-local bucket id.
+    */
+  private def docLenHist(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(width_bucket(length(col("text")), lit(0), lit(600), lit(12)).as("bucket"),
+        length(col("text")).as("len"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("len")).cast(LongType).as("min_len"),
+        max(col("len")).cast(LongType).as("max_len"))
+      .orderBy("bucket")
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_split_train_test" -> QueryDef(splitTrainTest, Some("""
+      SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id""")),
+    "q_gopher_quality" -> QueryDef(gopherQuality, Some("""
+      WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      b2 AS (
+        SELECT doc_id, w, len(w) AS n_words, len(list_distinct(w)) AS n_uniq
+        FROM base),
+      g AS (
+        SELECT doc_id, n_words, n_uniq,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM b2),
+      cnt AS (
+        SELECT doc_id, any_value(n_words) AS n_words, any_value(n_uniq) AS n_uniq,
+               gram, count(*) AS c
+        FROM g GROUP BY doc_id, gram),
+      top AS (
+        SELECT doc_id, any_value(n_words) AS n_words, any_value(n_uniq) AS n_uniq,
+               max(c) AS top_c, sum(c) AS n_grams, count(*) AS uniq_grams
+        FROM cnt GROUP BY doc_id)
+      SELECT doc_id, n_words,
+             floor((1 - CAST(n_uniq AS DOUBLE) / n_words) * 10000) / 10000 AS dup_word_frac,
+             floor(CAST(n_grams - uniq_grams AS DOUBLE) / n_grams * 10000) / 10000 AS dup_gram_frac,
+             floor(CAST(top_c AS DOUBLE) / n_grams * 10000) / 10000 AS top_gram_share
+      FROM top ORDER BY doc_id""")),
+    "q_pii_mask" -> QueryDef(piiMask, Some("""
+      SELECT c_custkey,
+             regexp_replace(c_name, '[0-9]{3,}', '***', 'g') AS masked_name,
+             length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_digits
+      FROM customer ORDER BY c_custkey""")),
+    "q_ngram_freq" -> QueryDef(ngramFreq, Some("""
+      WITH g AS (
+        SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS gram
+        FROM documents)
+      SELECT gram, count(*) AS n FROM g
+      GROUP BY gram ORDER BY n DESC, gram LIMIT 20""")),
+    // DuckDB has no width_bucket; floor(len/50)+1 capped at 13 is the
+    // exact arithmetic equivalent of width_bucket(len, 0, 600, 12) for
+    // len >= 0 (bucket 13 = overflow), so the oracle still checks values.
+    "q_doc_len_hist" -> QueryDef(docLenHist, Some("""
+      SELECT CAST(least(floor(length(text) / 50) + 1, 13) AS BIGINT) AS bucket,
+             count(*) AS n_docs, min(length(text)) AS min_len,
+             max(length(text)) AS max_len
+      FROM documents GROUP BY 1 ORDER BY 1""")),
     "q_text_stats" -> QueryDef(textStats, Some("""
       SELECT doc_id, lang,
              length(text) AS n_chars_c,
