@@ -63,6 +63,27 @@ object Windows extends QueryModule {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Value-based (RANGE) frame over event time: trailing-30-day spend per
+    * customer. Unlike ROWS frames, the frame bound follows the ORDER BY
+    * VALUE, so duplicate dates share one frame and the result is
+    * deterministic without a tiebreaker. The sum runs over exact
+    * DECIMAL and is cast to DOUBLE at the end: both engines then emit
+    * the double of the same exact decimal, instead of accumulating
+    * doubles in engine-specific association order (DuckDB's segment-tree
+    * frames associate differently than Spark's sliding accumulation).
+    */
+  private def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .selectExpr(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        """CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d""",
+        """CAST(count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_30d""")
+      .orderBy("o_custkey", "o_orderkey")
+
   private def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
     // Spark plans orderBy().limit(n) as TakeOrderedAndProject: per-partition
     // top-n then a single driver merge of n*partitions rows — never a full
@@ -100,6 +121,14 @@ object Windows extends QueryModule {
                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) WHERE rn <= 3
       ORDER BY o_custkey, rn""")),
+    "q_win_range_frame" -> QueryDef(winRangeFrame, Some("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_30d,
+             count(*) OVER w AS n_30d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""")),
     "q_sort_limit" -> QueryDef(sortLimit, Some("""
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")))

@@ -118,6 +118,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("kmeansRefine improves quantizer quality and keeps IVF recall") {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val init = Similarity.seedCentroids(df)
+    val (refined, hist) = Similarity.kmeansRefine(df, init, iters = 4)
+    // Lloyd property: mean assignment cosine must not degrade from seed
+    // to final (small tolerance for double-sum partition-order jitter).
+    assert(hist.size == 4)
+    assert(hist.last >= hist.head - 1e-9, s"quality regressed: $hist")
+    // On the random corpus the seed sample is a poor quantizer; real
+    // refinement must show actual improvement, not just non-degradation.
+    assert(hist.last > hist.head + 0.01, s"no measurable improvement: $hist")
+    // The refined index must still find every planted near-duplicate.
+    val lookup = corpus.toMap
+    val index = Similarity.ivfBuildWith(df, refined)
+    val found = (0 until NPlanted).count { i =>
+      val hits = Similarity.ivfProbe(index, lookup(1000L + i), nprobe = 4, k = 3)
+        .collect().map(_.getLong(0)).toSet
+      hits.contains(i.toLong)
+    }
+    assert(found.toDouble / NPlanted >= 0.9, s"refined IVF recall ${found.toDouble / NPlanted}")
+  }
+
   test("annPairs verified cosine matches exact cosine on planted pairs") {
     import spark.implicits._
     val df = corpus.toDF("vec_id", "embedding")

@@ -28,6 +28,27 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamRes.toSeq == batchRes.toSeq)
   }
 
+  test("s_join_interval equals q_interval_join on the same data") {
+    val streamRes = SparkEntry.queries("s_join_interval")(spark, sf).collect()
+    val batchRes = SparkEntry.queries("q_interval_join")(spark, sf).collect()
+    assert(streamRes.nonEmpty && streamRes.toSeq == batchRes.toSeq)
+  }
+
+  test("stateful query output is state-store-provider-agnostic (RocksDB == default)") {
+    // The state store is a deployment knob, not a semantic: the same
+    // mapGroupsWithState query must produce identical output on the
+    // RocksDB provider (the production choice at 100 TB — state spills
+    // off-heap to local SSD instead of living on the JVM heap) and the
+    // default HDFS-backed in-memory provider.
+    val rocks = graft.core.SessionConf.scoped(spark,
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    }
+    val default = SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    assert(rocks.nonEmpty && rocks == default)
+  }
+
   private val mergeCols = Seq("user_id", "event_id", "v", "ts")
 
   private def mergeDf(rows: Seq[(Long, Long, String, String)]) = {
