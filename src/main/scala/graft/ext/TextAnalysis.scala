@@ -123,6 +123,22 @@ object TextAnalysis extends QueryModule {
       .withColumn("split", when(col("h2") < "1a", "test").otherwise("train"))
       .orderBy("doc_id")
 
+  /** Deterministic stratified sample: per-language rates (en 50%, rest
+    * 20%) applied as a content-independent hash threshold — the same
+    * reproducibility argument as q_split_train_test (a rand(seed) sample
+    * depends on partition layout; a hash threshold does not, so the
+    * sample is stable across engines, cluster sizes, and reruns, and a
+    * document's membership can be re-derived at any time). The salt
+    * decorrelates this hash from the train/test split hash.
+    */
+  private def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("h",
+        substring(md5(concat(col("doc_id").cast(StringType), lit(":strat"))), 1, 4))
+      .filter(when(col("lang") === "en", col("h") < "8000").otherwise(col("h") < "3333"))
+      .select(col("doc_id"), col("lang"), col("h"))
+      .orderBy("doc_id")
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): duplicate
     * word fraction, duplicate 2-gram fraction, and the top 2-gram's share.
     * All ROW-LOCAL higher-order expressions — no explode, no shuffle; the
@@ -208,6 +224,14 @@ object TextAnalysis extends QueryModule {
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
                   THEN 'test' ELSE 'train' END AS split
       FROM documents ORDER BY doc_id""")),
+    "q_stratified_sample" -> QueryDef(stratifiedSample, Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 4) AS h
+        FROM documents)
+      SELECT doc_id, lang, h FROM t
+      WHERE CASE WHEN lang = 'en' THEN h < '8000' ELSE h < '3333' END
+      ORDER BY doc_id""")),
     "q_gopher_quality" -> QueryDef(gopherQuality, Some("""
       WITH base AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents),

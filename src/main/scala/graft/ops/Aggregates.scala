@@ -88,7 +88,43 @@ object Aggregates extends QueryModule {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Incremental materialized-view refresh: yesterday's materialized
+    * monthly summary plus today's delta aggregate, merged by re-applying
+    * the same mergeable aggregates — count merges by sum, sum by sum,
+    * min/max by min/max (l_quantity is integer-valued, so the double
+    * sums are exact under any association). Refresh cost is
+    * O(|delta| + |MV|) instead of O(history) — the only aggregation
+    * shape that survives a 100 TB table growing daily. avg is derived
+    * from merged (sum, count), never maintained directly (it does not
+    * merge). The oracle is the full recompute, which the merge must
+    * equal exactly.
+    */
+  private def mvRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("ship_month", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("first_ship"), max(col("l_shipdate")).as("last_ship"))
+    val cutoff = expr("TIMESTAMP '1998-01-01 00:00:00'")
+    val mv = partial(li.filter(col("l_shipdate") < cutoff))
+    val delta = partial(li.filter(col("l_shipdate") >= cutoff))
+    mv.unionByName(delta)
+      .groupBy("ship_month", "l_returnflag")
+      .agg(sum(col("n_items")).as("n_items"), sum(col("sum_qty")).as("sum_qty"),
+        min(col("first_ship")).as("first_ship"), max(col("last_ship")).as("last_ship"))
+      .withColumn("avg_qty", floor(col("sum_qty") / col("n_items") * 100) / 100)
+      .orderBy("ship_month", "l_returnflag")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_mv_refresh" -> QueryDef(mvRefresh, Some("""
+      SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
+             count(*) AS n_items, sum(l_quantity) AS sum_qty,
+             min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+             floor(sum(l_quantity) / count(*) * 100) / 100 AS avg_qty
+      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
     "q_agg_group" -> QueryDef(aggGroup, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,

@@ -64,7 +64,45 @@ object Formats extends QueryModule {
         .orderBy("event_id")
     }
 
+  /** Compact `df` into files targeting `targetFileBytes` each: measure the
+    * source footprint, repartition to ceil(bytes/target), rewrite. The
+    * repartition is a round-robin exchange — the one shuffle a compaction
+    * pass costs — and the write stays fully distributed. Returns the
+    * compacted read-back.
+    */
+  private[graft] def compactTo(spark: SparkSession, srcDir: String, out: String,
+      targetFileBytes: Long): DataFrame = {
+    val frag = spark.read.parquet(srcDir)
+    val bytes = frag.inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    frag.repartition(target).write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  /** The small-files problem, end to end: a simulated streaming ingest
+    * leaves 64 tiny files (one per sink task — exactly what the
+    * reference's rolling file sink produces per trigger interval);
+    * compaction rewrites them into size-targeted files. At 100 TB this
+    * is the daily maintenance pass that keeps scan task counts sane —
+    * file listing, footer reads, and scheduler overhead are all
+    * per-file. Content equality with the source is the oracle.
+    */
+  private def compactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val frag = Files.createTempDirectory("graft_frag").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    compactTo(spark, frag, out, targetFileBytes = 128L * 1024 * 1024)
+      .orderBy("event_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_compact_files" -> QueryDef(compactFiles, Some("""
+      SELECT event_id, user_id, event_type, value, ts
+      FROM events ORDER BY event_id""")),
     "q_fmt_csv" -> QueryDef(roundtrip("csv"), Some(roundtripOracle)),
     "q_fmt_json" -> QueryDef(roundtrip("json"), Some(roundtripOracle)),
     "q_fmt_orc" -> QueryDef(roundtrip("orc"), Some(roundtripOracle)),

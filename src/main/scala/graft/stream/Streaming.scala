@@ -393,6 +393,30 @@ object Streaming extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---- Streaming dedup within watermark ---------------------------------
+
+  /** At-least-once ingest made effectively-once: the same source read
+    * twice and unioned (the canonical duplicated-delivery shape — a Kafka
+    * producer retry, a replayed partition), then
+    * `dropDuplicatesWithinWatermark(event_id)` keeps one copy of each id.
+    * Unlike plain dropDuplicates (whose id state grows forever), the
+    * watermark bounds state: an id can be evicted once no duplicate can
+    * still arrive — O(rate × delay) state at any corpus size. The deduped
+    * stream must equal the original exactly-once input, which the batch
+    * oracle checks via per-type counts.
+    */
+  private def dedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    def side() = streamEvents(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val doubled = side().union(side())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(doubled, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   // ---- Stream-stream interval join --------------------------------------
 
   /** Watermarked stream-stream inner join: clicks join the same user's
@@ -422,6 +446,9 @@ object Streaming extends QueryModule {
   }
 
   override val defs: Map[String, QueryDef] = Map(
+    "s_dedup_within_wm" -> QueryDef(dedupWithinWatermark, Some("""
+      SELECT event_type, count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
     "s_join_interval" -> QueryDef(intervalJoinStream, Some(graft.ops.Joins.intervalOracle)),
     "s_stateful_count" -> QueryDef(statefulCount, Some("""
       SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
