@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Corpus-construction operators for a training-data pipeline over
+  * `documents` — the steps between "filtered documents" and "training
+  * batches": benchmark decontamination, token packing into fixed-budget
+  * sequences, TF-IDF term weighting, and target-mixture resampling.
+  *
+  * Scale design: decontamination shuffles 16-byte gram digests (never the
+  * text); packing is a per-shard (source-partitioned) window, so shards
+  * pack in parallel instead of through one global running sum; TF-IDF's
+  * shuffles are vocabulary-sized after map-side partial aggregation; the
+  * mixture sampler is a row-local integer-hash threshold against
+  * broadcast per-source rates. Nothing here carries a document body
+  * through an exchange except the sampler's pass-through of selected rows.
+  */
+object Corpus extends QueryModule {
+
+  /** Benchmark decontamination (the n-gram-overlap flavor every LLM
+    * pipeline runs before training): documents sharing any 8-word shingle
+    * with the held-out eval set (here: every 50th doc_id) are flagged.
+    * Shingles are md5-compacted scan-side, so the semi-join shuffles
+    * (digest, doc_id) pairs — 16 bytes of key per gram, never text. Docs
+    * shorter than 8 words contribute their whole text as one shingle
+    * (the q_minhash_near_dup convention).
+    */
+  private def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").withColumn("w", split(col("text"), " "))
+    val grams = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, greatest(size(w) - 8, 0)), " +
+        "i -> md5(concat_ws(' ', slice(w, i + 1, 8))))")).as("gh"))
+    val evalGrams = grams.filter(col("doc_id") % 50 === 0).select("gh").distinct()
+    val hits = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(evalGrams, "gh")
+      .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_shared"))
+    d.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Token budget per packed training sequence. */
+  private val PackBudget = 512L
+
+  /** Greedy sequence packing: concatenate each shard's documents in
+    * doc_id order and cut every PackBudget tokens; a document occupies
+    * token interval [start, start+n) and therefore lands in sequences
+    * floor(start/B) .. floor((start+n-1)/B). The running sum is windowed
+    * PER SOURCE SHARD, so at 100 TB every shard packs independently in
+    * parallel — a single global ORDER BY would serialize the corpus
+    * through one partition (and real pipelines pack per shard anyway so
+    * that shards stay independently reproducible and resumable).
+    */
+  private def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok div $PackBudget").as("first_seq"),
+        expr(s"(start_tok + n_tok - 1) div $PackBudget").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms: tf over the scored slice, document frequency over
+    * the WHOLE corpus (the statistic that must be global), smoothed
+    * ln((N+1)/(df+1)) weighting, top-3 terms per document. Both counts
+    * partial-aggregate before their shuffles, so exchanged rows are
+    * vocabulary-sized; the single-row corpus count is a broadcast.
+    */
+  private def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val terms = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.filter(col("doc_id") < 50)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** Target-mixture resampling (domain mixing): even-numbered sources get
+    * 3x the weight of odd ones; per-source keep rates are DERIVED from
+    * the corpus (rate_s ∝ weight_s / n_s, normalized so the most
+    * under-represented weighted source keeps everything), then applied as
+    * a row-local integer-hash threshold. Pure multiply/divide/modulo is
+    * IEEE-identical across engines (unlike transcendental-heavy scoring),
+    * and the Knuth multiplicative hash keeps membership reproducible
+    * across reruns, engines, and cluster sizes — same argument as
+    * q_split_train_test, decorrelated from its md5 by construction.
+    */
+  private def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val weight: Column =
+      when(expr("CAST(substring(source, 4) AS INT) % 2 = 0"), lit(3.0)).otherwise(lit(1.0))
+    val rates = Tables(spark, sfDir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("wpd", weight / col("n_docs"))
+    val maxWpd = rates.agg(max(col("wpd")).as("max_wpd"))
+    val withRate = rates.crossJoin(broadcast(maxWpd))
+      .select(col("source"), (col("wpd") / col("max_wpd")).as("rate"))
+    Tables(spark, sfDir, "documents")
+      .join(broadcast(withRate), "source")
+      .withColumn("bucket", expr("(doc_id * 2654435761) % 65536"))
+      .filter(col("bucket") < floor(col("rate") * 65536.0))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_decontaminate" -> QueryDef(decontaminate, Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, CAST(greatest(len(w) - 8, 0) + 1 AS INTEGER)),
+                 i -> array_to_string(w[CAST(i + 1 AS INTEGER):CAST(i + 8 AS INTEGER)], ' '))) AS g8
+        FROM d),
+      ev AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 50 = 0),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.g8) AS n_shared
+        FROM g JOIN ev USING (g8) WHERE g.doc_id % 50 <> 0 GROUP BY g.doc_id)
+      SELECT t.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+             coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) t
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id""")),
+    "q_pack_sequences" -> QueryDef(packSequences, Some("""
+      WITH t AS (
+        SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        FROM t)
+      SELECT doc_id, source, n_tok, start_tok,
+             start_tok // 512 AS first_seq,
+             (start_tok + n_tok - 1) // 512 AS last_seq,
+             (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_seqs
+      FROM c ORDER BY doc_id""")),
+    "q_tfidf" -> QueryDef(tfidf, Some("""
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms
+        WHERE doc_id < 50 GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)), 4) AS score
+        FROM tf JOIN dfq USING (term), n),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM s)
+      SELECT doc_id, term, tf, df, score, rn FROM r WHERE rn <= 3
+      ORDER BY doc_id, rn""")),
+    "q_domain_mix" -> QueryDef(domainMix, Some("""
+      WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+      r0 AS (
+        SELECT source,
+               (CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+                     THEN 3.0 ELSE 1.0 END) / n_docs AS wpd
+        FROM c),
+      r AS (SELECT source, wpd / (SELECT max(wpd) FROM r0) AS rate FROM r0)
+      SELECT d.doc_id, d.source, (d.doc_id * 2654435761) % 65536 AS bucket
+      FROM documents d JOIN r USING (source)
+      WHERE (d.doc_id * 2654435761) % 65536 < floor(rate * 65536.0)
+      ORDER BY doc_id""")))
+}

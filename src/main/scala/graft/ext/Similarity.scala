@@ -162,6 +162,29 @@ object Similarity extends QueryModule {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Embedding-cosine near-duplicate detection, exact bounded form — the
+    * audit twin that completes the dedup family (exact hash / MinHash /
+    * SimHash / n-gram Jaccard / embedding cosine): all pairs within a
+    * bounded id range ranked by cosine. The bound keeps the n² pair
+    * explosion out of the oracle exactly like q_ngram_jaccard; the
+    * UNBOUNDED scale path is the same banded LSH as q_ann_lsh (annPairs),
+    * whose recall against this exact ground truth is pinned in
+    * SimilaritySpec. cosineUdf (not cosineKernel directly) keeps the
+    * summation order aligned with the oracle's ordered term sum.
+    */
+  private[graft] def exactPairs(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosineUdf(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+  }
+
+  private def embedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    exactPairs(Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 400))
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+
   private def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // Report the globally top-20 most similar candidate pairs (the
     // fixture embeddings are near-orthogonal random vectors, so a fixed
@@ -400,6 +423,19 @@ object Similarity extends QueryModule {
         FROM terms GROUP BY vec_id)
       SELECT vec_id, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
+    "q_embed_near_dup" -> QueryDef(embedNearDup, Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+      terms AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM e a, e b, range(1, 65) t(i)
+        WHERE a.vec_id < b.vec_id),
+      sims AS (
+        SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+        FROM terms GROUP BY va, vb)
+      SELECT va AS vec_a, vb AS vec_b, round(c, 4) AS cos_sim FROM sims
+      ORDER BY round(c, 4) DESC, vec_a, vec_b LIMIT 20""")),
     "q_ann_lsh" -> QueryDef(annLsh, None),
     "q_ann_ivf" -> QueryDef(annIvf, None),
     "q_kmeans_refine" -> QueryDef(kmeansRefineQuery, None),

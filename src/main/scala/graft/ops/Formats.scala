@@ -99,7 +99,79 @@ object Formats extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Schema evolution across file generations — the lakehouse reality the
+    * reference's fixed Canal envelope sidesteps: an early ingest wrote
+    * (event_id, user_id), a later one added (event_type, value). Reading
+    * the directory with mergeSchema unions the schemas BY NAME and
+    * null-fills columns absent from older files — no rewrite of the old
+    * generation. At 100 TB rewriting history for every added column is a
+    * non-starter; merge-on-read is the only evolution path. Footer-only
+    * schema merge: data pages of the old generation are untouched.
+    */
+  private def schemaEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_evolve").toString
+    val e = Tables(spark, sfDir, "events")
+    e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$out/gen=1", s"$out/gen=2")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** 16-bit Morton (z-order) code over two 8-bit dimensions, as pure bit
+    * expressions (shift/and/or — whole-stage codegen, no UDF): bit i of
+    * `a` lands at position 2i+1, bit i of `b` at 2i.
+    */
+  private[graft] def zval16(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustering — multi-dimensional data skipping for the layout
+    * maintenance pass: sort the table by the Morton interleave of
+    * (user_id, value-bucket) and range-partition the write, so every
+    * output file covers a compact RECTANGLE of the 2-D key space and its
+    * parquet min/max stats are tight on BOTH columns. A single-column
+    * sort gives perfect skipping on that column and none on the other;
+    * z-order trades a little of each for skipping on both (FormatsSpec
+    * pins that a value-range predicate touches fewer z-ordered files than
+    * single-key-sorted ones). Content is untouched — the oracle is
+    * identity — and the z column is dropped before the write; skipping
+    * works off the natural columns' file stats.
+    */
+  private def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_zorder").toString
+    zorderWrite(Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value")), out, nFiles = 8)
+    spark.read.parquet(out).orderBy("event_id")
+  }
+
+  /** Shared by the query and FormatsSpec: z-order `df` by
+    * (user_id, floor(value/2)) into `nFiles` range-partitioned files.
+    */
+  private[graft] def zorderWrite(df: DataFrame, out: String, nFiles: Int): Unit =
+    df.withColumn("z",
+        zval16(pmod(col("user_id"), lit(256L)),
+          pmod(floor(col("value") / 2).cast("long"), lit(256L))))
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_schema_evolve" -> QueryDef(schemaEvolve, Some("""
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,
+             CASE WHEN event_id % 2 = 1 THEN value END AS value
+      FROM events ORDER BY event_id""")),
+    "q_zorder_cluster" -> QueryDef(zorderCluster, Some("""
+      SELECT event_id, user_id, value FROM events ORDER BY event_id""")),
     "q_compact_files" -> QueryDef(compactFiles, Some("""
       SELECT event_id, user_id, event_type, value, ts
       FROM events ORDER BY event_id""")),

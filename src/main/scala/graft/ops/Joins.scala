@@ -134,6 +134,35 @@ object Joins extends QueryModule {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** Bloom-prefiltered join — the runtime-filter pattern made explicit:
+    * the selective dim side (high-balance customers, ~1/3 of the table)
+    * builds a bloom filter over its join keys (one distributed aggregate;
+    * the resulting bitset is a few KB), the filter rides to every fact
+    * scan task in the UDF closure, and fact rows that cannot match are
+    * dropped BEFORE the join's exchange. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~selectivity
+    * fraction that can join. False positives (fpp 1%) pass the prefilter
+    * but are eliminated by the exact join, so the result — and the oracle
+    * — are exactly the plain join's. Spark's own InjectRuntimeFilter does
+    * this automatically for suitable shapes; the explicit form works for
+    * any dim predicate and documents the mechanics.
+    */
+  private def joinBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 6000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val bf = dim.stat.bloomFilter("c_custkey", expectedNumItems = 10000L, fpp = 0.01)
+    val mightContain = udf { (k: java.lang.Long) =>
+      k != null && bf.mightContain(k.longValue())
+    }
+    val o = Tables(spark, sfDir, "orders")
+    o.filter(mightContain(col("o_custkey")))
+      .join(dim, o("o_custkey") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Shared by q_interval_join and the stream-stream twin s_join_interval. */
   private[graft] val intervalOracle: String = """
       SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
@@ -145,6 +174,11 @@ object Joins extends QueryModule {
 
   override val defs: Map[String, QueryDef] = Map(
     "q_interval_join" -> QueryDef(intervalJoin, Some(intervalOracle)),
+    "q_join_bloom" -> QueryDef(joinBloom, Some("""
+      SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 6000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
     "q_join_skew" -> QueryDef(joinSkew, Some("""
       WITH fact AS (
         SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,

@@ -55,6 +55,35 @@ object Reshape extends QueryModule {
         round(element_at(col("pcts"), 3), 2).as("p99"))
       .orderBy("l_returnflag")
 
+  /** IQR anomaly detection — the corpus-audit cut of the percentile
+    * family: per-group Tukey fences (q3 + 1.5*IQR) from exact quartiles,
+    * then one pass counting the rows above the fence. The 3-row fence
+    * table broadcasts to the second scan, so the whole operator is two
+    * scans and one tiny exchange — the shape that survives 100 TB (with
+    * approx_percentile substituting for the exact quartiles, as in
+    * q_approx_percentiles). Fences are rounded to 4 decimals BEFORE the
+    * comparison so the outlier predicate is bit-identical across engines.
+    */
+  private def anomalyIqr(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    val fences = e.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("q1"),
+        round(expr("percentile(value, 0.75)"), 4).as("q3"))
+      .withColumn("hi_fence", round(col("q3") + (col("q3") - col("q1")) * 1.5, 4))
+    e.join(broadcast(fences), "event_type")
+      .filter(col("value") > col("hi_fence"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_outliers"),
+        round(min(col("value")), 2).as("min_outlier"),
+        round(max(col("value")), 2).as("max_outlier"))
+      .join(fences.select(col("event_type"), col("hi_fence")), "event_type")
+      .select(col("event_type"), col("hi_fence"), col("n_outliers"),
+        col("min_outlier"), col("max_outlier"))
+      .orderBy("event_type")
+  }
+
   /** One SQL text, two engines: Spark runs it via spark.sql over temp
     * views; the driver runs the SAME string in DuckDB as the oracle.
     */
@@ -98,5 +127,19 @@ object Reshape extends QueryModule {
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     "q_approx_percentiles" -> QueryDef(approxPercentiles, None),
+    "q_anomaly_iqr" -> QueryDef(anomalyIqr, Some("""
+      WITH f AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 4) AS q1,
+               round(quantile_cont(value, 0.75), 4) AS q3
+        FROM events GROUP BY event_type),
+      f2 AS (SELECT event_type, round(q3 + (q3 - q1) * 1.5, 4) AS hi_fence FROM f)
+      SELECT e.event_type, f2.hi_fence, count(*) AS n_outliers,
+             round(min(e.value), 2) AS min_outlier,
+             round(max(e.value), 2) AS max_outlier
+      FROM events e JOIN f2 ON e.event_type = f2.event_type
+      WHERE e.value > f2.hi_fence
+      GROUP BY e.event_type, f2.hi_fence
+      ORDER BY e.event_type""")),
     "q_sql_entry" -> QueryDef(sqlEntry, Some(sqlEntryText)))
 }

@@ -445,7 +445,33 @@ object Streaming extends QueryModule {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** Stream-static join — the enrichment every CDC/event pipeline runs:
+    * the unbounded event stream joins a STATIC dimension (customer) that
+    * is re-read per micro-batch, broadcast, and never held in the state
+    * store (stateless join — unlike the stream-stream s_join_interval
+    * whose both sides buffer under watermarks). The joined rows land in
+    * the sink; the per-segment rollup over the sink is what the oracle
+    * checks, so the join itself is fully correctness-gated. At 100 TB/day
+    * the static side stays a broadcast (dims are small) and state is
+    * ZERO regardless of stream volume.
+    */
+  private def joinStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = graft.core.Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = streamEvents(spark, sfDir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"), col("value"))
+    runToMemory(joined, "append")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "s_join_static" -> QueryDef(joinStatic, Some("""
+      SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
     "s_dedup_within_wm" -> QueryDef(dedupWithinWatermark, Some("""
       SELECT event_type, count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""")),

@@ -27,4 +27,51 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(partFiles(out) == 1, s"expected 1 compacted file, got ${partFiles(out)}")
     assert(back.count() == graft.core.Tables(spark, sf, "events").count())
   }
+
+  /** The part of q_zorder_cluster the identity oracle cannot see: the
+    * z-ordered layout must actually enable data skipping on BOTH
+    * dimensions. Proxy for parquet row-group stats pruning: the number of
+    * FILES whose [min, max] value range intersects a value-band predicate
+    * — every skipped file is a scan task a 100 TB reader never schedules.
+    * A user_id-sorted layout spreads every value range across all files
+    * (zero skipping on value); the z-order interleave must beat it.
+    */
+  test("z-order layout skips files on the second dimension where single-key sort cannot") {
+    // Deterministic 256x256 grid so the skipping arithmetic is exact: with
+    // 16 range partitions over uniform z, each file is (nearly) a fixed
+    // (a7 b7 a6 b6) bit prefix; the band b < 32 (b7=b6=b5=0) lives only in
+    // files with b7=0 AND b6=0 — 4 of 16 (+ boundary-straddle slack from
+    // the range partitioner's sampling). A user_id-sorted layout spreads
+    // every b value across all 16 files: zero skipping on the second key.
+    import spark.implicits._
+    val grid = (0 until 65536)
+      .map(i => (i.toLong, (i / 256).toLong, (i % 256) * 2.0))
+      .toDF("event_id", "user_id", "value")
+    val nFiles = 16
+
+    val zDir = Files.createTempDirectory("graft_z_spec").toString
+    graft.ops.Formats.zorderWrite(grid, zDir, nFiles)
+
+    val uDir = Files.createTempDirectory("graft_u_spec").toString
+    grid.repartitionByRange(nFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(uDir)
+
+    // Files whose min value stat overlaps the band value < 64 — the files
+    // a stats-pruning reader must still open; every other file is a scan
+    // task a 100 TB reader never schedules.
+    def unskippable(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .count { f =>
+          spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("value"))).head().getDouble(0) < 64.0
+        }
+
+    val zHit = unskippable(zDir)
+    val uHit = unskippable(uDir)
+    assert(uHit == nFiles, s"user-sorted layout should be unskippable on value (got $uHit)")
+    assert(zHit <= nFiles / 2,
+      s"z-order should confine value<64 to a minority of files (hit $zHit of $nFiles)")
+  }
 }

@@ -95,6 +95,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"ANN recall $recall < 0.9; found=${ann.size} truth=$truthPairs ann=$ann")
   }
 
+  test("exactPairs is the brute-force ground truth and annPairs recalls it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+
+    // q_embed_near_dup's kernel (exactPairs) must agree pair-for-pair
+    // with the driver-side brute force on the planted corpus...
+    val exact = Similarity.exactPairs(df)
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(NPlanted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == (0 until NPlanted).map(i => (i.toLong, 1000L + i)).toSet,
+      s"exact top-$NPlanted must be the planted pairs, got $exact")
+
+    // ...and the LSH scale path (q_ann_lsh) must recall >= 90% of that
+    // exact twin's pairs — the relation that lets a 100 TB run use LSH
+    // with the bounded exact operator as its audit.
+    val ann = Similarity.annPairs(df)
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(NPlanted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann & exact).size.toDouble / NPlanted
+    assert(recall >= 0.9, s"LSH recall vs exact twin $recall < 0.9")
+  }
+
   test("ivfSearch finds the planted near-duplicate of each probe vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
