@@ -117,9 +117,14 @@ object Corpus extends QueryModule {
     val maxWpd = rates.agg(max(col("wpd")).as("max_wpd"))
     val withRate = rates.crossJoin(broadcast(maxWpd))
       .select(col("source"), (col("wpd") / col("max_wpd")).as("rate"))
+    // 16-bit Knuth multiplicative hash with the id reduced into the field
+    // FIRST: Spark 4 runs ANSI mode, so doc_id * k must not overflow a
+    // long for any id the pipeline will ever see (same reduced-field rule
+    // as Dedup's 1e9+7 prime — the unreduced form crashed at 20x scale
+    // where replica ids are large).
     Tables(spark, sfDir, "documents")
       .join(broadcast(withRate), "source")
-      .withColumn("bucket", expr("(doc_id * 2654435761) % 65536"))
+      .withColumn("bucket", expr("((doc_id % 65536) * 40503) % 65536"))
       .filter(col("bucket") < floor(col("rate") * 65536.0))
       .select(col("doc_id"), col("source"), col("bucket"))
       .orderBy("doc_id")
@@ -181,8 +186,8 @@ object Corpus extends QueryModule {
                      THEN 3.0 ELSE 1.0 END) / n_docs AS wpd
         FROM c),
       r AS (SELECT source, wpd / (SELECT max(wpd) FROM r0) AS rate FROM r0)
-      SELECT d.doc_id, d.source, (d.doc_id * 2654435761) % 65536 AS bucket
+      SELECT d.doc_id, d.source, ((d.doc_id % 65536) * 40503) % 65536 AS bucket
       FROM documents d JOIN r USING (source)
-      WHERE (d.doc_id * 2654435761) % 65536 < floor(rate * 65536.0)
+      WHERE ((d.doc_id % 65536) * 40503) % 65536 < floor(rate * 65536.0)
       ORDER BY doc_id""")))
 }
