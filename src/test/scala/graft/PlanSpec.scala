@@ -100,6 +100,41 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(scanLine.contains("PartitionFilters: [") && scanLine.contains("dt"), p)
   }
 
+  test("q_join_bloom prefilters the fact side BEFORE the join") {
+    // The bloom might-contain UDF must sit between the orders scan and the
+    // join, so non-matching fact rows die scan-side instead of riding the
+    // exchange — at 100 TB that is the entire point of the operator.
+    val p = plan("q_join_bloom")
+    val joinIdx = p.indexOfSlice("Join")
+    val filterIdx = p.indexOfSlice("mightContain")
+    val udfFilter = if (filterIdx >= 0) filterIdx else p.indexOfSlice("UDF")
+    assert(joinIdx >= 0 && udfFilter > joinIdx,
+      s"expected the bloom prefilter below the join in the plan tree:\n$p")
+  }
+
+  test("q_tfidf partial-aggregates both counts before their shuffles") {
+    // tf and df are both groupBy counts over exploded terms; without
+    // map-side combine the shuffles are corpus-sized instead of
+    // vocabulary-sized.
+    val p = plan("q_tfidf")
+    assert("partial_count|HashAggregate\\(keys".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_decontaminate never shuffles document text") {
+    // The semi-join and count exchange md5 digests + doc ids; the raw text
+    // column must be consumed scan-side (shuffling bodies is the 100 TB
+    // failure mode this operator is shaped to avoid).
+    val p = plan("q_decontaminate")
+    val lines = p.linesIterator.toVector
+    // The operator feeding each Exchange prints its output columns
+    // (Project [...] / HashAggregate(keys=[...])) — none may carry `text`.
+    val feeding = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange") && i + 1 < lines.size => lines(i + 1)
+    }
+    assert(feeding.nonEmpty, p)
+    feeding.foreach(l => assert(!l.contains("text#"), s"text rides a shuffle:\n$l\n$p"))
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
