@@ -164,7 +164,82 @@ object Formats extends QueryModule {
       .drop("z")
       .write.mode("overwrite").parquet(out)
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Retention pruning — the data-lifecycle maintenance pass: expired `dt`
+    * partitions are dropped by DELETING THEIR DIRECTORIES, zero rows read
+    * or rewritten (FormatsSpec pins that surviving files are byte-for-byte
+    * untouched). At 100 TB this is the difference between a metadata
+    * operation and re-writing the table through a filter; it is what the
+    * reference's Hive-style dt layout (R4/R10) exists to make cheap.
+    */
+  private def retentionPrune(spark: SparkSession, sfDir: String): DataFrame =
+    SessionConf.scoped(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      val out = Files.createTempDirectory("graft_retain").toString
+      Tables(spark, sfDir, "events")
+        .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(out)
+      expirePartitions(out, cutoff = "20240115")
+      spark.read.parquet(out)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
+        .orderBy("event_id")
+    }
+
+  /** Shared with FormatsSpec: drop dt=<day> partition directories below
+    * the cutoff. Pure filesystem metadata — no Spark job.
+    */
+  private[graft] def expirePartitions(dir: String, cutoff: String): Unit =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("dt=") &&
+        f.getName.stripPrefix("dt=") < cutoff)
+      .foreach(deleteRecursively)
+
+  /** Dynamic partition pruning — the runtime twin of q_partitioned_write's
+    * static pruning: the fact side is partitioned by `dt`, the dim side's
+    * qualifying days are only known after its filter runs, and Spark
+    * injects the dim's dt values into the fact scan's PartitionFilters at
+    * runtime (`dynamicpruning` subquery, pinned in PlanSpec). At 100 TB
+    * this reads 3 days instead of the table whenever a query joins a
+    * filtered calendar/dim — no hand-written IN list needed.
+    */
+  private def dppJoin(spark: SparkSession, sfDir: String): DataFrame =
+    SessionConf.scoped(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      val factDir = Files.createTempDirectory("graft_dpp_fact").toString
+      val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+      Tables(spark, sfDir, "events")
+        .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+        .select(col("event_id"), col("value"), col("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(factDir)
+      val keepDays = Seq("20240105", "20240112", "20240120")
+      spark.read.parquet(factDir).select("dt").distinct()
+        .withColumn("tag", when(col("dt").isin(keepDays: _*), "keep").otherwise("drop"))
+        .write.mode("overwrite").parquet(dimDir)
+      val fact = spark.read.parquet(factDir)
+      val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+      fact.join(dim, "dt")
+        .groupBy(col("dt"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("dt")
+    }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_retention_prune" -> QueryDef(retentionPrune, Some("""
+      SELECT event_id, user_id, event_type, strftime(ts, '%Y%m%d') AS dt
+      FROM events
+      WHERE strftime(ts, '%Y%m%d') >= '20240115'
+      ORDER BY event_id""")),
+    "q_dpp_join" -> QueryDef(dppJoin, Some("""
+      SELECT strftime(ts, '%Y%m%d') AS dt, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE strftime(ts, '%Y%m%d') IN ('20240105', '20240112', '20240120')
+      GROUP BY 1 ORDER BY 1""")),
     "q_schema_evolve" -> QueryDef(schemaEvolve, Some("""
       SELECT event_id, user_id,
              CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type,

@@ -28,6 +28,35 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     assert(back.count() == graft.core.Tables(spark, sf, "events").count())
   }
 
+  /** The part of q_retention_prune the oracle cannot see: expiry must be a
+    * pure directory delete — surviving partition files byte-for-byte
+    * untouched (a filter-and-rewrite implementation would pass the content
+    * oracle while re-writing the whole table at 100 TB).
+    */
+  test("expirePartitions deletes expired dirs and never rewrites survivors") {
+    import org.apache.spark.sql.functions.date_format
+    val out = Files.createTempDirectory("graft_retain_spec").toString
+    graft.core.Tables(spark, sf, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .select(col("event_id"), col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    val cutoff = "20240115"
+    graft.ops.Formats.expirePartitions(out, cutoff)
+    val after = files()
+    val expired = before.keySet.filter(_.contains("dt=2024010")) // 01..09 all < cutoff
+    assert(expired.nonEmpty && (after.keySet & expired).isEmpty, "expired dirs must vanish")
+    // Every surviving file is the SAME file: same path, size, mtime.
+    assert(after == before.filter { case (p, _) => !p.split("/").exists(seg =>
+      seg.startsWith("dt=") && seg.stripPrefix("dt=") < cutoff) })
+  }
+
   /** The part of q_zorder_cluster the identity oracle cannot see: the
     * z-ordered layout must actually enable data skipping on BOTH
     * dimensions. Proxy for parquet row-group stats pruning: the number of

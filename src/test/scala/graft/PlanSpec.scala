@@ -135,6 +135,16 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     feeding.foreach(l => assert(!l.contains("text#"), s"text rides a shuffle:\n$l\n$p"))
   }
 
+  test("q_dpp_join prunes fact partitions dynamically from the dim filter") {
+    // The fact scan must carry a runtime `dynamicpruning` partition filter
+    // fed by the dim side — the property that turns a 30-day scan into a
+    // 3-day scan without a hand-written IN list.
+    val df = SparkEntry.queries("q_dpp_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
