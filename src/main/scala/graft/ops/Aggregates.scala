@@ -118,7 +118,28 @@ object Aggregates extends QueryModule {
       .orderBy("ship_month", "l_returnflag")
   }
 
+  /** Mergeable distinct-count sketches (DataSketches HLL via Spark's
+    * hll_sketch_agg / hll_union_agg): one sketch per day, global distinct
+    * = estimate of the UNION of the daily sketches. This is the 100 TB
+    * distinct-count pattern — history is never re-scanned; a new day adds
+    * one partial sketch and the union re-estimates in O(days * 2^lgK).
+    * Approximate by nature (measured ~2% at the default lgConfigK=12,
+    * and NOT exact even at a few hundred items) → rows-only entry;
+    * SketchSpec pins the error envelope and the exact merge property
+    * (union of partial sketches == one global sketch, the reason this
+    * beats count(DISTINCT) at scale).
+    */
+  private def hllUnion(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .groupBy("dt")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users"))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_hll_union" -> QueryDef(hllUnion, None),
     "q_mv_refresh" -> QueryDef(mvRefresh, Some("""
       SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
              count(*) AS n_items, sum(l_quantity) AS sum_qty,

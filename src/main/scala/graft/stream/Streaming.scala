@@ -351,6 +351,48 @@ object Streaming extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Streaming materialized-view maintenance — q_mv_refresh as a
+    * continuous pipeline: each micro-batch partial-aggregates ONLY its own
+    * rows, then merges into the served MV by key (count/sum merge; any
+    * ratio derives at serve time). The MV table is the only state, its
+    * size is O(groups) regardless of stream volume, and history is never
+    * re-scanned — the foreachBatch shape every streaming dashboard table
+    * uses. Oracle = the full recompute over all events, which the
+    * incremental merge must equal exactly.
+    */
+  private def mvRefreshStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = tmpDir("graft_smv")
+    var current: Option[String] = None
+    def partial(df: DataFrame): DataFrame = df
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .groupBy("dt", "event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = streamEvents(spark, sfDir)
+      .select(col("event_type"), col("value"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = partial(batch)
+        val merged = current match {
+          case None => delta
+          case Some(prev) => batch.sparkSession.read.parquet(prev)
+            .unionByName(delta)
+            .groupBy("dt", "event_type")
+            .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
+        }
+        val next = s"$root/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+      }
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(sys.error("no batch ran")))
+      .select(col("dt"), col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("dt", "event_type")
+  }
+
   // ---- Arbitrary stateful processing (mapGroupsWithState) ---------------
 
   /** Per-key running state via `KeyValueGroupedDataset.mapGroupsWithState`
@@ -472,6 +514,10 @@ object Streaming extends QueryModule {
       SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    "s_mv_refresh" -> QueryDef(mvRefreshStream, Some("""
+      SELECT strftime(ts, '%Y%m%d') AS dt, event_type, count(*) AS n,
+             round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
     "s_dedup_within_wm" -> QueryDef(dedupWithinWatermark, Some("""
       SELECT event_type, count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""")),
