@@ -130,7 +130,75 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-document token entropy — the information-density curation signal
+    * (low entropy = repetitive/templated text): H = ln(n) - Σ c·ln(c) / n
+    * over word counts c. Computed ROW-LOCALLY as a single fold over the
+    * sorted word array (run-length accumulation — the q_gopher_quality
+    * trick), so no explode, no shuffle: at 100 TB this is a pure scan.
+    * Floor-truncated to 4 decimals (cross-engine double-sum convention).
+    */
+  private def entropy(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("s", expr(
+        """aggregate(array_sort(w),
+             named_struct('prev', CAST(NULL AS STRING), 'run', 0, 's', CAST(0.0 AS DOUBLE)),
+             (acc, x) -> named_struct(
+               'prev', x,
+               'run', IF(x <=> acc.prev, acc.run + 1, 1),
+               's', acc.s + IF(x <=> acc.prev, CAST(0.0 AS DOUBLE),
+                               IF(acc.run > 0, acc.run * ln(acc.run), CAST(0.0 AS DOUBLE)))),
+             acc -> acc.s + acc.run * ln(acc.run))"""))
+      .select(col("doc_id"), col("n_words"),
+        (floor((log(col("n_words")) - col("s") / col("n_words")) * 10000) / 10000)
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  /** The composite curation gate — the decision every pipeline's filter
+    * stage actually emits: a document survives if it passes the length,
+    * stopword-ratio, and duplicate-word gates TOGETHER. Every predicate is
+    * an exact integer ratio comparison (IEEE division of identical inputs
+    * is identical across engines), so the verdict is deterministic. One
+    * scan, row-local, survivors forwarded — the composition glue over
+    * q_text_quality / q_gopher_quality that downstream training consumes.
+    */
+  private def curationGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopList = Seq("the", "a").map(s => s"'$s'").mkString(", ")
+    Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(w, x -> x IN ($stopList))")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+      .filter(col("n_words").between(10, 200) &&
+        col("n_stop").cast("double") / col("n_words") < 0.3 &&
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_words")) < 0.3)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"))
+      .orderBy("doc_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_entropy" -> QueryDef(entropy, Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+      t AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s FROM c GROUP BY doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             floor((ln(n) - s / n) * 10000) / 10000 AS entropy
+      FROM t ORDER BY doc_id""")),
+    "q_curation_gate" -> QueryDef(curationGate, Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents)
+      SELECT doc_id, lang, source, CAST(n_words AS BIGINT) AS n_words FROM t
+      WHERE n_words BETWEEN 10 AND 200
+        AND CAST(n_stop AS DOUBLE) / n_words < 0.3
+        AND 1.0 - CAST(n_uniq AS DOUBLE) / n_words < 0.3
+      ORDER BY doc_id""")),
     "q_decontaminate" -> QueryDef(decontaminate, Some("""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       g AS (
