@@ -122,6 +122,19 @@ object Cdc extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** The delete-APPLYING restore variant. The reference's merge keeps
+    * deletes as rows — README.md:217,257 punts true deletion to
+    * kudu/HBase — and q_join_full_merge faithfully preserves that. This
+    * variant completes the CDC semantics story: the same full-outer merge,
+    * then entities whose LATEST state is a delete tombstone are dropped.
+    * One row-local filter on the merged result (no extra shuffle), and the
+    * deleted entity vanishes from the restored snapshot exactly as the
+    * kudu/HBase apply would make it. The fixture's 'error' event type
+    * stands in for `dml_type = 'DELETE'`.
+    */
+  def mergeApplyDeletes(spark: SparkSession, sfDir: String): DataFrame =
+    fullMerge(spark, sfDir).filter(col("event_type") =!= "error")
+
   /** R14 end to end (reference README.md:222, `INSERT OVERWRITE TABLE
     * code_city SELECT ...`): the merge-restore result atomically REPLACES
     * the snapshot table, and the query result is served from the
@@ -219,6 +232,23 @@ object Cdc extends QueryModule {
              round(COALESCE(t2.value, t1.value), 2) AS value,
              COALESCE(t2.ts, t1.ts) AS ts
       FROM snap t1 FULL OUTER JOIN delta t2 ON t1.user_id = t2.user_id
+      ORDER BY user_id""")),
+    "q_merge_apply_deletes" -> QueryDef(mergeApplyDeletes, Some(s"""
+      WITH snap AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts < TIMESTAMP '$cutoff') WHERE rn = 1),
+      delta AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts >= TIMESTAMP '$cutoff') WHERE rn = 1)
+      SELECT COALESCE(t2.user_id, t1.user_id) AS user_id,
+             COALESCE(t2.event_id, t1.event_id) AS event_id,
+             COALESCE(t2.event_type, t1.event_type) AS event_type,
+             round(COALESCE(t2.value, t1.value), 2) AS value,
+             COALESCE(t2.ts, t1.ts) AS ts
+      FROM snap t1 FULL OUTER JOIN delta t2 ON t1.user_id = t2.user_id
+      WHERE COALESCE(t2.event_type, t1.event_type) <> 'error'
       ORDER BY user_id""")),
     // Same relational answer as q_join_full_merge, but served from the
     // OVERWRITTEN managed table (R14) — the oracle is identical on purpose.

@@ -25,8 +25,9 @@ object Corpus extends QueryModule {
   /** Benchmark decontamination (the n-gram-overlap flavor every LLM
     * pipeline runs before training): documents sharing any 8-word shingle
     * with the held-out eval set (here: every 50th doc_id) are flagged.
-    * Shingles are md5-compacted scan-side, so the semi-join shuffles
-    * (digest, doc_id) pairs — 16 bytes of key per gram, never text. Docs
+    * Shingles are md5-compacted scan-side — unhex folds the 32-char hex
+    * string down to the raw 16 digest bytes — so the semi-join shuffles
+    * (digest, doc_id) pairs at 16 bytes of key per gram, never text. Docs
     * shorter than 8 words contribute their whole text as one shingle
     * (the q_minhash_near_dup convention).
     */
@@ -34,7 +35,7 @@ object Corpus extends QueryModule {
     val d = Tables(spark, sfDir, "documents").withColumn("w", split(col("text"), " "))
     val grams = d.select(col("doc_id"), explode(expr(
       "transform(sequence(0, greatest(size(w) - 8, 0)), " +
-        "i -> md5(concat_ws(' ', slice(w, i + 1, 8))))")).as("gh"))
+        "i -> unhex(md5(concat_ws(' ', slice(w, i + 1, 8)))))")).as("gh"))
     val evalGrams = grams.filter(col("doc_id") % 50 === 0).select("gh").distinct()
     val hits = grams.filter(col("doc_id") % 50 =!= 0)
       .join(evalGrams, "gh")
@@ -108,10 +109,21 @@ object Corpus extends QueryModule {
     * across reruns, engines, and cluster sizes — same argument as
     * q_split_train_test, decorrelated from its md5 by construction.
     */
-  private def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+  private def domainMix(spark: SparkSession, sfDir: String): DataFrame =
+    domainMixOf(Tables(spark, sfDir, "documents"))
+
+  /** Testable core of q_domain_mix (CorpusSpec feeds it hostile source
+    * names). try_cast, not CAST: Spark 4 runs ANSI mode, where a plain
+    * cast of a non-numeric source suffix is a task-killing runtime error —
+    * any source named outside the fixture's `srcN` shape must degrade to
+    * the default weight, not crash the pipeline (the json_get
+    * malformed-input lesson applied to casts). NULL % 2 = 0 is NULL, so
+    * the `when` falls through to the 1.0 fallback.
+    */
+  private[graft] def domainMixOf(docs: DataFrame): DataFrame = {
     val weight: Column =
-      when(expr("CAST(substring(source, 4) AS INT) % 2 = 0"), lit(3.0)).otherwise(lit(1.0))
-    val rates = Tables(spark, sfDir, "documents")
+      when(expr("try_cast(substring(source, 4) AS INT) % 2 = 0"), lit(3.0)).otherwise(lit(1.0))
+    val rates = docs
       .groupBy("source").agg(count(lit(1)).as("n_docs"))
       .withColumn("wpd", weight / col("n_docs"))
     val maxWpd = rates.agg(max(col("wpd")).as("max_wpd"))
@@ -122,7 +134,7 @@ object Corpus extends QueryModule {
     // long for any id the pipeline will ever see (same reduced-field rule
     // as Dedup's 1e9+7 prime — the unreduced form crashed at 20x scale
     // where replica ids are large).
-    Tables(spark, sfDir, "documents")
+    docs
       .join(broadcast(withRate), "source")
       .withColumn("bucket", expr("((doc_id % 65536) * 40503) % 65536"))
       .filter(col("bucket") < floor(col("rate") * 65536.0))
@@ -132,28 +144,22 @@ object Corpus extends QueryModule {
 
   /** Per-document token entropy — the information-density curation signal
     * (low entropy = repetitive/templated text): H = ln(n) - Σ c·ln(c) / n
-    * over word counts c. Computed ROW-LOCALLY as a single fold over the
-    * sorted word array (run-length accumulation — the q_gopher_quality
-    * trick), so no explode, no shuffle: at 100 TB this is a pure scan.
-    * Floor-truncated to 4 decimals (cross-engine double-sum convention).
+    * over word counts c. Row-local, no explode, no shuffle — at 100 TB a
+    * pure scan — via the compiled token_entropy kernel (an r5 HOF
+    * `aggregate()` fold computed the same sum but evaluated INTERPRETED,
+    * ~8x its scan-bound neighbors at 20x; TokenEntropySpec pins the kernel
+    * bit-identical to that fold, and functions/TokenEntropy.scala
+    * documents the equivalence discipline). Floor-truncated to 4 decimals
+    * (cross-engine double-sum convention).
     */
-  private def entropy(spark: SparkSession, sfDir: String): DataFrame =
+  private def entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.TokenEntropy.register(spark)
     Tables(spark, sfDir, "documents")
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_words", size(col("w")).cast("long"))
-      .withColumn("s", expr(
-        """aggregate(array_sort(w),
-             named_struct('prev', CAST(NULL AS STRING), 'run', 0, 's', CAST(0.0 AS DOUBLE)),
-             (acc, x) -> named_struct(
-               'prev', x,
-               'run', IF(x <=> acc.prev, acc.run + 1, 1),
-               's', acc.s + IF(x <=> acc.prev, CAST(0.0 AS DOUBLE),
-                               IF(acc.run > 0, acc.run * ln(acc.run), CAST(0.0 AS DOUBLE)))),
-             acc -> acc.s + acc.run * ln(acc.run))"""))
-      .select(col("doc_id"), col("n_words"),
-        (floor((log(col("n_words")) - col("s") / col("n_words")) * 10000) / 10000)
-          .as("entropy"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (floor(expr("token_entropy(text)") * 10000) / 10000).as("entropy"))
       .orderBy("doc_id")
+  }
 
   /** The composite curation gate — the decision every pipeline's filter
     * stage actually emits: a document survives if it passes the length,
@@ -250,7 +256,7 @@ object Corpus extends QueryModule {
       WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
       r0 AS (
         SELECT source,
-               (CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+               (CASE WHEN TRY_CAST(substring(source, 4) AS INTEGER) % 2 = 0
                      THEN 3.0 ELSE 1.0 END) / n_docs AS wpd
         FROM c),
       r AS (SELECT source, wpd / (SELECT max(wpd) FROM r0) AS rate FROM r0)

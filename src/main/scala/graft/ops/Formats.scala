@@ -1,11 +1,10 @@
 package graft.ops
 
-import java.nio.file.Files
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{QueryDef, QueryModule, SessionConf, Tables}
+import graft.core.{QueryDef, QueryModule, SessionConf, Tables, TempDirs}
 
 /** File-format source/sink round-trips — the reference's row-format file
   * sink (R5, HdfsSink.java:117-119) generalized to the batch engine's
@@ -28,7 +27,7 @@ object Formats extends QueryModule {
         col("o_totalprice"))
 
   private def roundtrip(format: String)(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory(s"graft_fmt_$format").toString
+    val out = TempDirs.create(s"graft_fmt_$format")
     val d = src(spark, sfDir)
     d.write.mode("overwrite").format(format)
       .option("header", "false") // csv only; ignored by json/orc
@@ -54,7 +53,7 @@ object Formats extends QueryModule {
     // before the query executes.
     SessionConf.scoped(spark,
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      val out = Files.createTempDirectory("graft_part").toString
+      val out = TempDirs.create("graft_part")
       Tables(spark, sfDir, "events")
         .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
         .write.mode("overwrite").partitionBy("dt").parquet(out)
@@ -73,8 +72,15 @@ object Formats extends QueryModule {
   private[graft] def compactTo(spark: SparkSession, srcDir: String, out: String,
       targetFileBytes: Long): DataFrame = {
     val frag = spark.read.parquet(srcDir)
-    val bytes = frag.inputFiles
-      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    // Hadoop FileSystem, not java.io.File: inputFiles are URIs and the
+    // compaction substrate at scale is HDFS/S3, where a local-File length
+    // probe throws. (FileSystem.get caches per scheme, so this is one FS
+    // handle, not one per file.)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bytes = frag.inputFiles.map { f =>
+      val p = new Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     frag.repartition(target).write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
@@ -89,8 +95,8 @@ object Formats extends QueryModule {
     * per-file. Content equality with the source is the oracle.
     */
   private def compactFiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val frag = Files.createTempDirectory("graft_frag").toString
-    val out = Files.createTempDirectory("graft_compact").toString
+    val frag = TempDirs.create("graft_frag")
+    val out = TempDirs.create("graft_compact")
     Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
       .repartition(64)
@@ -109,7 +115,7 @@ object Formats extends QueryModule {
     * schema merge: data pages of the old generation are untouched.
     */
   private def schemaEvolve(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_evolve").toString
+    val out = TempDirs.create("graft_evolve")
     val e = Tables(spark, sfDir, "events")
     e.filter(col("event_id") % 2 === 0)
       .select(col("event_id"), col("user_id"))
@@ -146,7 +152,7 @@ object Formats extends QueryModule {
     * works off the natural columns' file stats.
     */
   private def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_zorder").toString
+    val out = TempDirs.create("graft_zorder")
     zorderWrite(Tables(spark, sfDir, "events")
       .select(col("event_id"), col("user_id"), col("value")), out, nFiles = 8)
     spark.read.parquet(out).orderBy("event_id")
@@ -164,11 +170,6 @@ object Formats extends QueryModule {
       .drop("z")
       .write.mode("overwrite").parquet(out)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(); ()
-  }
-
   /** Retention pruning — the data-lifecycle maintenance pass: expired `dt`
     * partitions are dropped by DELETING THEIR DIRECTORIES, zero rows read
     * or rewritten (FormatsSpec pins that surviving files are byte-for-byte
@@ -179,25 +180,31 @@ object Formats extends QueryModule {
   private def retentionPrune(spark: SparkSession, sfDir: String): DataFrame =
     SessionConf.scoped(spark,
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      val out = Files.createTempDirectory("graft_retain").toString
+      val out = TempDirs.create("graft_retain")
       Tables(spark, sfDir, "events")
         .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
         .write.mode("overwrite").partitionBy("dt").parquet(out)
-      expirePartitions(out, cutoff = "20240115")
+      expirePartitions(spark, out, cutoff = "20240115")
       spark.read.parquet(out)
         .select(col("event_id"), col("user_id"), col("event_type"), col("dt"))
         .orderBy("event_id")
     }
 
   /** Shared with FormatsSpec: drop dt=<day> partition directories below
-    * the cutoff. Pure filesystem metadata — no Spark job.
+    * the cutoff. Pure filesystem metadata — no Spark job — and expressed
+    * against the Hadoop FileSystem API so the same pass runs on HDFS/S3
+    * (retention at 100 TB is exactly where java.io.File would break).
     */
-  private[graft] def expirePartitions(dir: String, cutoff: String): Unit =
-    new java.io.File(dir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("dt=") &&
-        f.getName.stripPrefix("dt=") < cutoff)
-      .foreach(deleteRecursively)
+  private[graft] def expirePartitions(spark: SparkSession, dir: String,
+      cutoff: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt=") &&
+        s.getPath.getName.stripPrefix("dt=") < cutoff)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
 
   /** Dynamic partition pruning — the runtime twin of q_partitioned_write's
     * static pruning: the fact side is partitioned by `dt`, the dim side's
@@ -210,8 +217,8 @@ object Formats extends QueryModule {
   private def dppJoin(spark: SparkSession, sfDir: String): DataFrame =
     SessionConf.scoped(spark,
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      val factDir = Files.createTempDirectory("graft_dpp_fact").toString
-      val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+      val factDir = TempDirs.create("graft_dpp_fact")
+      val dimDir = TempDirs.create("graft_dpp_dim")
       Tables(spark, sfDir, "events")
         .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
         .select(col("event_id"), col("value"), col("dt"))

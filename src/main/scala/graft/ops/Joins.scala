@@ -147,11 +147,24 @@ object Joins extends QueryModule {
     * this automatically for suitable shapes; the explicit form works for
     * any dim predicate and documents the mechanics.
     */
+  /** Bloom filter over `keyCol`, sized from the dim side's ACTUAL
+    * cardinality (one cheap count action, same pattern as annPairs'
+    * signature sizing): a constant capacity saturates once the dim
+    * outgrows it — fpp degrades toward 1 and the prefilter silently stops
+    * pruning (correct results via the exact join, scale value lost). The
+    * floor keeps tiny dims from under-sizing below useful resolution.
+    */
+  private[graft] def bloomFor(dim: DataFrame, keyCol: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val n = math.max(1024L, dim.count())
+    dim.stat.bloomFilter(keyCol, expectedNumItems = n, fpp = 0.01)
+  }
+
   private def joinBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val dim = Tables(spark, sfDir, "customer")
       .filter(col("c_acctbal") > 6000)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val bf = dim.stat.bloomFilter("c_custkey", expectedNumItems = 10000L, fpp = 0.01)
+    val bf = bloomFor(dim, "c_custkey")
     val mightContain = udf { (k: java.lang.Long) =>
       k != null && bf.mightContain(k.longValue())
     }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{QueryDef, QueryModule, Tables}
@@ -30,16 +31,70 @@ object Reshape extends QueryModule {
                | AS (metric, val)""".stripMargin))
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Distributed exact percentile (linear interpolation — quantile_cont /
+    * Spark `percentile` semantics) with NO per-group value buffering.
+    * Spark's built-in exact `percentile` collects every value of a group
+    * into one in-memory array on one task — the documented straggler-OOM
+    * at 100 TB (94 s at 20x, SURVEY §9). This replaces it with count-based
+    * selection over a value histogram:
+    *
+    *   scan 1  per-group row counts → the two neighbor RANKS each
+    *           requested percentile interpolates between (a
+    *           groups×percentiles-sized table, broadcast);
+    *   scan 2  the histogram: groupBy(group, value) counts — partial-
+    *           aggregated map-side, so the exchange carries one row per
+    *           DISTINCT value (money values here are already fixed
+    *           precision; quantize first for continuous data);
+    *   locate  a per-group cumulative count over the histogram assigns
+    *           each distinct value its 0-indexed rank interval
+    *           [cum - c, cum); the broadcast rank table picks the two
+    *           neighbor values, which interpolate exactly like the
+    *           built-in: (ceil(h)-h)·v_lo + (h-floor(h))·v_hi.
+    *
+    * The rank-location window is an external sort over distinct values
+    * (spills instead of OOMing), and every aggregate is mergeable — the
+    * whole operator survives a hot group with billions of rows.
+    */
+  private[graft] def exactPercentiles(df: DataFrame, groupCol: String,
+      valCol: String, ps: Seq[Double]): DataFrame = {
+    val targets = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .select(col(groupCol).as("tg"), explode(array(ps.map(lit): _*)).as("p"), col("n"))
+      .withColumn("h", col("p") * (col("n") - 1).cast("double"))
+      .select(col("tg"), col("p"), col("h"),
+        explode(array(floor(col("h")).cast("long"), ceil(col("h")).cast("long"))).as("r"))
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    // Value v covers 0-indexed ranks [cum - c, cum); floor(h)'s value is
+    // the smaller of the two picks, so min/max disambiguate lo vs hi.
+    cum.join(broadcast(targets),
+        col(groupCol) === col("tg") &&
+          col("r") >= col("cum") - col("c") && col("r") < col("cum"))
+      .groupBy(col(groupCol), col("p"), col("h"))
+      .agg(min(col("v")).as("v_lo"), max(col("v")).as("v_hi"))
+      .select(col(groupCol), col("p"),
+        // h integral → both exploded ranks coincide → v_lo == v_hi, so the
+        // equality branch also keeps the weighted form away from its
+        // 0·v + 0·v degenerate case.
+        when(col("v_lo") === col("v_hi"), col("v_lo"))
+          .otherwise((ceil(col("h")) - col("h")) * col("v_lo") +
+            (col("h") - floor(col("h"))) * col("v_hi")).as("pct"))
+  }
+
   private def percentiles(spark: SparkSession, sfDir: String): DataFrame =
-    // Exact percentiles (linear interpolation) — the deterministic twin of
-    // approx_percentile; at 100 TB the approx sketch is the default and
-    // this is the audit path.
-    Tables(spark, sfDir, "lineitem")
+    // Exact percentiles — the deterministic audit twin of
+    // approx_percentile, now scale-safe (see exactPercentiles).
+    exactPercentiles(Tables(spark, sfDir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        round(max(when(col("p") === 0.5, col("pct"))), 4).as("p50"),
+        round(max(when(col("p") === 0.9, col("pct"))), 4).as("p90"),
+        round(max(when(col("p") === 0.99, col("pct"))), 4).as("p99"))
       .orderBy("l_returnflag")
 
   private def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =

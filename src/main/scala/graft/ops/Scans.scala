@@ -169,6 +169,19 @@ object Sources {
   def kafka(spark: SparkSession, conf: graft.core.Conf): DataFrame =
     kafka(spark, conf.getString("kafka.brokers"), conf.getString("kafka.topic"))
 
+  /** The exact reader options the Spark Kafka connector contract requires,
+    * shared by kafka() and KafkaPlanSpec: the spec pins key spelling and
+    * conf plumbing even though the full path can't execute offline.
+    */
+  private[graft] def kafkaOptions(conf: graft.core.Conf): Map[String, String] =
+    kafkaOptions(conf.getString("kafka.brokers"), conf.getString("kafka.topic"))
+
+  private[graft] def kafkaOptions(brokers: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest")
+
   def jdbc(spark: SparkSession, conf: graft.core.Conf, lower: Long, upper: Long): DataFrame =
     jdbc(spark, conf.getString("jdbc.url"), conf.getString("jdbc.table"),
       conf.getString("jdbc.partition-column"), lower, upper,
@@ -184,9 +197,7 @@ object Sources {
   def kafka(spark: SparkSession, brokers: String, topic: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+      .options(kafkaOptions(brokers, topic))
       .load()
       .select(col("value").cast("string").as("value"))
   }

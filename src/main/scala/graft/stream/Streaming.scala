@@ -1,7 +1,5 @@
 package graft.stream
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -56,7 +54,7 @@ object Streaming extends QueryModule {
   }
 
   private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.core.TempDirs.create(prefix)
 
   /** Run `body` with a reduced shuffle-partition count, restoring after.
     * Streaming aggregations allocate one state-store instance per shuffle

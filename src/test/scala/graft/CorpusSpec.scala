@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The part of q_domain_mix the fixture oracle cannot see: source names
+  * outside the fixture's `srcN` shape must degrade to the default weight
+  * instead of crashing — Spark 4 runs ANSI mode, where a plain CAST of a
+  * non-numeric suffix is a task-killing runtime error.
+  */
+class CorpusSpec extends AnyFunSuite with SparkTest {
+
+  test("domain mix survives hostile source names (try_cast fallback weight)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "src2", "a b c"), // numeric suffix, even -> weight 3
+      (2L, "src3", "d e f"), // numeric suffix, odd -> weight 1
+      (3L, "web-crawl!", "g h i"), // non-numeric suffix -> fallback weight 1
+      (4L, "s", "j k l") // shorter than the substring offset -> fallback
+    ).toDF("doc_id", "source", "text")
+    // Must not throw; the most-weighted-per-doc source keeps everything,
+    // so at one doc per source the even srcN source survives for sure.
+    val out = graft.ext.Corpus.domainMixOf(docs).collect()
+    assert(out.exists(_.getString(1) == "src2"), "rate-1.0 source must survive")
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 65536))
+  }
+
+  test("hostile source names get the fallback weight, not a crash or a null rate") {
+    import spark.implicits._
+    // Two sources, same size: one hostile (fallback weight 1), one even
+    // srcN (weight 3). Rates normalize so src2 keeps 1.0 and the hostile
+    // source keeps 1/3 — i.e. the hostile source must land a rate, not
+    // null out of the weight expression.
+    val docs = (1L to 300L).map { i =>
+      if (i % 2 == 0) (i, "src2", "x y z") else (i, "api/v2", "x y z")
+    }.toDF("doc_id", "source", "text")
+    val kept = graft.ext.Corpus.domainMixOf(docs)
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("src2", 0L) > 0L)
+    assert(kept.getOrElse("api/v2", 0L) > 0L, "hostile source must keep ~1/3, not 0 or crash")
+    assert(kept("src2") > kept("api/v2"), "weight-3 source must keep more")
+  }
+}

@@ -22,7 +22,10 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
       .repartition(64)
       .write.mode("overwrite").parquet(frag)
     assert(partFiles(frag) == 64)
-    val back = graft.ops.Formats.compactTo(spark, frag, out, targetFileBytes = 128L * 1024 * 1024)
+    // file:-qualified URI: the byte sizing must go through the Hadoop
+    // FileSystem API (a java.io.File("file:/...") length probe returns 0
+    // and the sizing silently degrades), proving HDFS/S3 portability.
+    val back = graft.ops.Formats.compactTo(spark, s"file:$frag", out, targetFileBytes = 128L * 1024 * 1024)
     // The whole fixture is far below one 128 MB target file.
     assert(partFiles(out) == 1, s"expected 1 compacted file, got ${partFiles(out)}")
     assert(back.count() == graft.core.Tables(spark, sf, "events").count())
@@ -48,7 +51,9 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     }
     val before = files()
     val cutoff = "20240115"
-    graft.ops.Formats.expirePartitions(out, cutoff)
+    // file:-qualified URI, same reason as the compactTo test: the expiry
+    // must run through the Hadoop FileSystem API, not java.io.File.
+    graft.ops.Formats.expirePartitions(spark, s"file:$out", cutoff)
     val after = files()
     val expired = before.keySet.filter(_.contains("dt=2024010")) // 01..09 all < cutoff
     assert(expired.nonEmpty && (after.keySet & expired).isEmpty, "expired dirs must vanish")

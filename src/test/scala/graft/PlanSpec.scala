@@ -116,8 +116,11 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // tf and df are both groupBy counts over exploded terms; without
     // map-side combine the shuffles are corpus-sized instead of
     // vocabulary-sized.
+    // `partial_` specifically: generic HashAggregate(keys lines also match
+    // FINAL aggregates, so an alternation would pass a plan with no
+    // map-side combine at all.
     val p = plan("q_tfidf")
-    assert("partial_count|HashAggregate\\(keys".r.findAllIn(p).size >= 2, p)
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
   }
 
   test("q_decontaminate never shuffles document text") {

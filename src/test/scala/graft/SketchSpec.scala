@@ -28,9 +28,12 @@ class SketchSpec extends AnyFunSuite with SparkTest {
     import spark.implicits._
     // 50k distinct keys spread over 30 "days" — deep in HLL estimation mode.
     val df = (0 until 50000).map(i => (i.toLong, (i % 30).toLong)).toDF("k", "day")
-    val unioned = df.groupBy("day").agg(expr("hll_sketch_agg(k)").as("sk"))
+    // lgConfigK pinned EXPLICITLY on both sides: the merge-exactness
+    // property below holds when partials and the global sketch share a
+    // config, so the assert must not ride on Spark's default staying 12.
+    val unioned = df.groupBy("day").agg(expr("hll_sketch_agg(k, 12)").as("sk"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).head().getLong(0)
-    val single = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(k))")).head().getLong(0)
+    val single = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 12))")).head().getLong(0)
     assert(unioned == single,
       s"union-of-partials must equal the single global sketch ($unioned vs $single)")
     val err = math.abs(unioned - 50000.0) / 50000.0
