@@ -176,6 +176,40 @@ object Joins extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Explicit key-salting — the skew remedy that works where AQE's runtime
+    * split can't reach (first-shuffle aggregations, stateful streaming
+    * keys, map-side combine starved by one hot key): the hot fact key is
+    * spread across S sub-keys by a DETERMINISTIC salt (derived from a data
+    * column, never rand() — retries and reruns must land rows in the same
+    * sub-partition), and the dim side is replicated S ways scan-side with
+    * explode, so every (key, salt) partition holds a complete copy of its
+    * key's dim row. The join shuffle then hash-partitions on (k, salt) —
+    * pinned in PlanSpec — giving the hot key S-way parallelism instead of
+    * one straggling reducer. Semantics are exactly the plain join (same
+    * oracle as q_join_skew, which solves the same shape with AQE instead).
+    */
+  private def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 8
+    val fact = Tables(spark, sfDir, "lineitem")
+      .select(
+        when(col("l_orderkey") % 10 =!= 0, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        pmod(col("l_linenumber"), lit(S)).as("salt"),
+        col("l_quantity"))
+    val dim = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(array((0 until S).map(i => lit(i)): _*)).as("salt"))
+    // shuffle_hash hint: at fixture scale Spark would broadcast the dim
+    // and no shuffle would exist to salt — but salting is the technique
+    // for exactly the case where the dim is too big to broadcast, so the
+    // demo forces the shuffle join that case would plan.
+    fact.join(dim.hint("shuffle_hash"),
+        fact("k") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Shared by q_interval_join and the stream-stream twin s_join_interval. */
   private[graft] val intervalOracle: String = """
       SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
@@ -192,6 +226,14 @@ object Joins extends QueryModule {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_acctbal > 6000
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    "q_join_salted" -> QueryDef(joinSalted, Some("""
+      WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,
+               l_quantity
+        FROM lineitem)
+      SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM fact JOIN orders ON k = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     "q_join_skew" -> QueryDef(joinSkew, Some("""
       WITH fact AS (
         SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_orderkey END AS k,

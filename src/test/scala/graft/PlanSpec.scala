@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected the bloom prefilter below the join in the plan tree:\n$p")
   }
 
+  test("q_join_salted shuffles the fact on (key, salt) — S-way hot-key parallelism") {
+    // The whole point of explicit salting: the fact exchange must hash on
+    // BOTH the join key and the salt, so the hot key's rows spread over S
+    // reduce partitions instead of one straggler.
+    val p = plan("q_join_salted")
+    val saltedExchange = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("salt") && l.contains("k#"))
+    assert(saltedExchange, s"expected a hashpartitioning(k, salt) exchange:\n$p")
+  }
+
   test("q_tfidf partial-aggregates both counts before their shuffles") {
     // tf and df are both groupBy counts over exploded terms; without
     // map-side combine the shuffles are corpus-sized instead of
