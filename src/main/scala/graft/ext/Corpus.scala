@@ -142,6 +142,27 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-group capped sampling — the per-domain cap a corpus mixer applies
+    * before training (no single source may contribute more than k docs):
+    * keep the k docs per source with the smallest DETERMINISTIC hash —
+    * uniform-without-replacement per group, reproducible across engines,
+    * reruns, and cluster sizes (no rand(), same argument as
+    * q_split_train_test). Cost at scale: ONE shuffle on the group key, and
+    * the rank filter plans WindowGroupLimit (pinned in PlanSpec), so every
+    * map task forwards at most k rows per group INTO the exchange — the
+    * shuffle carries ~k·sources rows, not the corpus.
+    */
+  private def sampleKPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 20
+    Tables(spark, sfDir, "documents")
+      .withColumn("bucket", expr("((doc_id % 65536) * 40503) % 65536"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("bucket"), col("doc_id"))).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("bucket"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** Per-document token entropy — the information-density curation signal
     * (low entropy = repetitive/templated text): H = ln(n) - Σ c·ln(c) / n
     * over word counts c. Row-local, no explode, no shuffle — at 100 TB a
@@ -185,6 +206,15 @@ object Corpus extends QueryModule {
   }
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_sample_k_per_group" -> QueryDef(sampleKPerGroup, Some("""
+      WITH h AS (
+        SELECT doc_id, source, ((doc_id % 65536) * 40503) % 65536 AS bucket
+        FROM documents),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS rn
+        FROM h)
+      SELECT doc_id, source, bucket, rn FROM r WHERE rn <= 20
+      ORDER BY source, rn""")),
     "q_entropy" -> QueryDef(entropy, Some("""
       WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -122,6 +122,13 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(saltedExchange, s"expected a hashpartitioning(k, salt) exchange:\n$p")
   }
 
+  test("q_sample_k_per_group plans WindowGroupLimit before the exchange") {
+    // The per-group cap must rank-limit map-side so the shuffle carries
+    // ~k rows per group per mapper, not the corpus.
+    val p = plan("q_sample_k_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_tfidf partial-aggregates both counts before their shuffles") {
     // tf and df are both groupBy counts over exploded terms; without
     // map-side combine the shuffles are corpus-sized instead of
