@@ -122,6 +122,26 @@ object Cdc extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** SCD Type-2 historization — the history-PRESERVING twin of the merge
+    * restore: the reference's pipeline keeps only current state
+    * (README.md:222-252's merge + INSERT OVERWRITE); a warehouse keeping
+    * full history turns the same change stream into validity intervals
+    * instead. Each entity's events become [valid_from, valid_to) rows via
+    * lead(ts) over the entity window, open-ended (NULL) for the current
+    * row. Cost at scale: ONE shuffle on the entity key — the exact same
+    * exchange the merge restore uses — and the window is a streaming
+    * frame (lead(1)), no buffering beyond the sort.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** The delete-APPLYING restore variant. The reference's merge keeps
     * deletes as rows — README.md:217,257 punts true deletion to
     * kudu/HBase — and q_join_full_merge faithfully preserves that. This
@@ -233,6 +253,13 @@ object Cdc extends QueryModule {
              COALESCE(t2.ts, t1.ts) AS ts
       FROM snap t1 FULL OUTER JOIN delta t2 ON t1.user_id = t2.user_id
       ORDER BY user_id""")),
+    "q_scd2_intervals" -> QueryDef(scd2Intervals, Some("""
+      SELECT user_id, event_id, event_type, round(value, 2) AS value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM events
+      ORDER BY user_id, valid_from, event_id""")),
     "q_merge_apply_deletes" -> QueryDef(mergeApplyDeletes, Some(s"""
       WITH snap AS (
         SELECT * FROM (

@@ -139,6 +139,42 @@ object Reshape extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Time-series gap filling with forward fill — regularize each entity's
+    * irregular event stream onto a daily grid: one row per calendar day
+    * between the entity's first and last event, the latest observed value
+    * carried forward across gap days. The grid is GENERATED scan-side
+    * (`sequence` + `explode`, a Catalyst Generator — no shuffle and no
+    * calendar dim table to join); the forward fill is last(ignoreNulls)
+    * over the per-entity window. At 100 TB: the raw events shuffle once
+    * for the (key, day) daily dedup; everything after moves only
+    * (key, day, value)-thin rows — one exchange for the per-key bounds,
+    * one for the fill window — so the wide event payload never re-rides
+    * an exchange.
+    */
+  private def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    // Deterministic daily closing value: latest event per (user, day).
+    val wDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = e
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .withColumn("rn", row_number().over(wDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val grid = e.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val wFill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value").isNotNull.as("observed"),
+        last(col("value"), ignoreNulls = true).over(wFill).as("value"))
+      .orderBy("user_id", "day")
+  }
+
   /** One SQL text, two engines: Spark runs it via spark.sql over temp
     * views; the driver runs the SAME string in DuckDB as the oracle.
     */
@@ -182,6 +218,26 @@ object Reshape extends QueryModule {
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     "q_approx_percentiles" -> QueryDef(approxPercentiles, None),
+    "q_gap_fill" -> QueryDef(gapFill, Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, round(value, 2) AS value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+      d1 AS (SELECT user_id, day, value FROM daily WHERE rn = 1),
+      bounds AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS dn
+        FROM events GROUP BY user_id),
+      grid AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, dn, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds)
+      SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+             v.value IS NOT NULL AS observed,
+             last_value(v.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM grid g LEFT JOIN d1 v ON g.user_id = v.user_id AND g.day = v.day
+      ORDER BY g.user_id, g.day""")),
     "q_anomaly_iqr" -> QueryDef(anomalyIqr, Some("""
       WITH f AS (
         SELECT event_type,
