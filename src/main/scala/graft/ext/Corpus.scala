@@ -142,6 +142,43 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Chunk size / stride for q_chunk_tokens. Real embedding pipelines run
+    * 128-512-token windows; the fixture's docs top out at ~99 tokens, so
+    * the registered config is 32/8 — small enough that the MULTI-chunk
+    * fan-out and the tail-chunk boundary arithmetic actually execute
+    * under the DuckDB oracle instead of every doc degenerating to one
+    * chunk. The operator is config-independent integer arithmetic.
+    */
+  private val ChunkTokens = 32L
+  private val ChunkOverlap = 8L
+
+  /** Overlapping token-window chunking — the step between curation and
+    * embedding: each document becomes ceil((n - overlap) / stride) chunks
+    * of ChunkTokens tokens with ChunkOverlap-token overlap, emitted as
+    * (doc_id, chunk_id, tok_start, tok_len) spans. Row-local generator
+    * (sequence + explode — no shuffle; the chunk count is pure integer
+    * arithmetic on the token count), and the emitted rows carry OFFSETS,
+    * not text: at 100 TB the chunk table is id+3 ints per row, and the
+    * encoder slices the original column by span at read time.
+    */
+  private def chunkTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val stride = ChunkTokens - ChunkOverlap
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .withColumn("n_chunks",
+        // ceil((n_tok - overlap) / stride) via the add-then-floor form —
+        // SQL `div` truncates toward zero, so the negate-and-divide ceil
+        // trick is wrong for the short-doc negative case.
+        greatest(lit(1L), expr(s"(n_tok - $ChunkOverlap + $stride - 1) div $stride")))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("n_tok"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(ChunkTokens), col("n_tok") - col("chunk_id") * stride).as("tok_len"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Per-group capped sampling — the per-domain cap a corpus mixer applies
     * before training (no single source may contribute more than k docs):
     * keep the k docs per source with the smallest DETERMINISTIC hash —
@@ -206,6 +243,20 @@ object Corpus extends QueryModule {
   }
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_chunk_tokens" -> QueryDef(chunkTokens, Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               greatest(1, (n_tok - 8 + 24 - 1) // 24) AS n_chunks
+        FROM t),
+      x AS (
+        SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+      SELECT doc_id, n_tok, chunk_id,
+             chunk_id * 24 AS tok_start,
+             least(32, n_tok - chunk_id * 24) AS tok_len
+      FROM x ORDER BY doc_id, chunk_id""")),
     "q_sample_k_per_group" -> QueryDef(sampleKPerGroup, Some("""
       WITH h AS (
         SELECT doc_id, source, ((doc_id % 65536) * 40503) % 65536 AS bucket
