@@ -138,7 +138,74 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users"))
 
+  /** One-scan column-profiling report — the audit a data platform runs on
+    * every ingest batch (the reference's operators ASSUME well-formed
+    * input; a real deployment gates on a profile like this): per column,
+    * row/null/exact-distinct counts plus numeric min/max, emitted as one
+    * (col_name, metrics...) row per column via `stack`. The multiple
+    * exact distincts plan as ONE scan with an Expand (rows multiply by
+    * the distinct-agg count, then partial-aggregate map-side) — the
+    * canonical Spark shape; swap countDistinct for approx_count_distinct
+    * when a 2% answer is acceptable and the Expand matters.
+    */
+  private def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"${c}_nulls")
+    def nd(c: String) = countDistinct(col(c)).as(s"${c}_nd")
+    val m = e.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("event_id"), nd("event_id"),
+      min(col("event_id")).cast("double").as("event_id_min"),
+      max(col("event_id")).cast("double").as("event_id_max"),
+      nulls("user_id"), nd("user_id"),
+      min(col("user_id")).cast("double").as("user_id_min"),
+      max(col("user_id")).cast("double").as("user_id_max"),
+      nulls("event_type"), nd("event_type"),
+      nulls("value"), nd("value"),
+      min(col("value")).as("value_min"), max(col("value")).as("value_max"),
+      nulls("ts"), nd("ts"))
+    m.select(expr(
+      """stack(5,
+        |  'event_id',   n_rows, event_id_nulls,   event_id_nd,   event_id_min, event_id_max,
+        |  'event_type', n_rows, event_type_nulls, event_type_nd, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'ts',         n_rows, ts_nulls,         ts_nd,         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  'user_id',    n_rows, user_id_nulls,    user_id_nd,    user_id_min,  user_id_max,
+        |  'value',      n_rows, value_nulls,      value_nd,      value_min,    value_max)
+        | AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)""".stripMargin))
+      .orderBy("col_name")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_profile_columns" -> QueryDef(profileColumns, Some("""
+      WITH m AS (
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (event_id IS NULL) AS event_id_nulls,
+               count(DISTINCT event_id) AS event_id_nd,
+               CAST(min(event_id) AS DOUBLE) AS event_id_min,
+               CAST(max(event_id) AS DOUBLE) AS event_id_max,
+               count(*) FILTER (user_id IS NULL) AS user_id_nulls,
+               count(DISTINCT user_id) AS user_id_nd,
+               CAST(min(user_id) AS DOUBLE) AS user_id_min,
+               CAST(max(user_id) AS DOUBLE) AS user_id_max,
+               count(*) FILTER (event_type IS NULL) AS event_type_nulls,
+               count(DISTINCT event_type) AS event_type_nd,
+               count(*) FILTER (value IS NULL) AS value_nulls,
+               count(DISTINCT value) AS value_nd,
+               min(value) AS value_min, max(value) AS value_max,
+               count(*) FILTER (ts IS NULL) AS ts_nulls,
+               count(DISTINCT ts) AS ts_nd
+        FROM events)
+      SELECT 'event_id' AS col_name, n_rows, event_id_nulls AS n_nulls,
+             event_id_nd AS n_distinct, event_id_min AS min_num, event_id_max AS max_num FROM m
+      UNION ALL
+      SELECT 'event_type', n_rows, event_type_nulls, event_type_nd, NULL, NULL FROM m
+      UNION ALL
+      SELECT 'ts', n_rows, ts_nulls, ts_nd, NULL, NULL FROM m
+      UNION ALL
+      SELECT 'user_id', n_rows, user_id_nulls, user_id_nd, user_id_min, user_id_max FROM m
+      UNION ALL
+      SELECT 'value', n_rows, value_nulls, value_nd, value_min, value_max FROM m
+      ORDER BY col_name""")),
     "q_hll_union" -> QueryDef(hllUnion, None),
     "q_mv_refresh" -> QueryDef(mvRefresh, Some("""
       SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
