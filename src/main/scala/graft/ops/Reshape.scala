@@ -121,10 +121,14 @@ object Reshape extends QueryModule {
     */
   private def anomalyIqr(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "events")
-    val fences = e.groupBy(col("event_type"))
+    // Quartiles via the distributed exactPercentiles (bit-identical to the
+    // built-in, ReshapeSpec) — the group-buffering percentile() this used
+    // before r6 was the same straggler-OOM exposure q_percentiles retired.
+    val fences = exactPercentiles(e, "event_type", "value", Seq(0.25, 0.75))
+      .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.25)"), 4).as("q1"),
-        round(expr("percentile(value, 0.75)"), 4).as("q3"))
+        round(max(when(col("p") === 0.25, col("pct"))), 4).as("q1"),
+        round(max(when(col("p") === 0.75, col("pct"))), 4).as("q3"))
       .withColumn("hi_fence", round(col("q3") + (col("q3") - col("q1")) * 1.5, 4))
     e.join(broadcast(fences), "event_type")
       .filter(col("value") > col("hi_fence"))
