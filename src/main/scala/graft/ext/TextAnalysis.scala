@@ -204,6 +204,39 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
 
+  /** Bigram collocations by pointwise mutual information — the
+    * corpus-linguistics signal behind tokenizer-merge and phrase-mining
+    * passes: PMI(a,b) = ln(P(a,b) / (P(a)·P(b))) from corpus-global
+    * unigram/bigram counts. Every aggregate partial-combines map-side, so
+    * all shuffles are vocabulary-sized; the two single-row totals ride a
+    * broadcast. The count floor keeps the estimator away from PMI's
+    * low-count degeneracy (hapax bigrams score inflated).
+    */
+  private def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+    val uni = d.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bi = d.select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(bi.agg(sum(col("c_ab")).as("n_bi")))
+    val ua = uni.select(col("tok").as("a"), col("c").as("c_a"))
+    val ub = uni.select(col("tok").as("b"), col("c").as("c_b"))
+    bi.filter(col("c_ab") >= 3)
+      .join(ua, "a").join(ub, "b")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", floor(log(
+        (col("c_ab").cast("double") * col("n_tok") * col("n_tok")) /
+          (col("n_bi").cast("double") * col("c_a") * col("c_b"))) * 10000) / 10000)
+      .select(col("a"), col("b"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Document length histogram: width_bucket into fixed bins — the
     * standard curation dashboard cut. One partial-agg'd groupBy over a
     * row-local bucket id.
@@ -219,6 +252,26 @@ object TextAnalysis extends QueryModule {
       .orderBy("bucket")
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_collocations" -> QueryDef(collocations, Some("""
+      WITH d AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      uc AS (SELECT unnest(w) AS tok FROM d),
+      uni AS (SELECT tok, count(*) AS c FROM uc GROUP BY tok),
+      bp AS (
+        SELECT w[CAST(i + 1 AS INTEGER)] AS a, w[CAST(i + 2 AS INTEGER)] AS b
+        FROM d, unnest(range(0, len(w) - 1)) AS t(i)),
+      bi AS (SELECT a, b, count(*) AS c_ab FROM bp GROUP BY a, b),
+      tot AS (SELECT (SELECT sum(c) FROM uni) AS n_tok,
+                     (SELECT sum(c_ab) FROM bi) AS n_bi)
+      SELECT bi.a, bi.b, bi.c_ab,
+             floor(ln((CAST(bi.c_ab AS DOUBLE) * n_tok * n_tok) /
+                      (CAST(n_bi AS DOUBLE) * ua.c * ub.c)) * 10000) / 10000 AS pmi
+      FROM bi
+      JOIN uni ua ON bi.a = ua.tok
+      JOIN uni ub ON bi.b = ub.tok, tot
+      WHERE bi.c_ab >= 3
+      ORDER BY pmi DESC, a, b LIMIT 20""")),
     "q_split_train_test" -> QueryDef(splitTrainTest, Some("""
       SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
