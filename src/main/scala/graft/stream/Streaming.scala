@@ -402,6 +402,57 @@ object Streaming extends QueryModule {
     * state store partitioned by key — one shuffle on user_id per batch,
     * state size O(distinct keys).
     */
+  /** Streaming SCD Type-2 — live historization of the change stream via
+    * `flatMapGroupsWithState` (the batch twin is Cdc.scd2Intervals): state
+    * per entity is the one OPEN version; each arriving version closes its
+    * predecessor (emitting the finished [valid_from, valid_to) row) and
+    * becomes the new open row, which is also emitted with a NULL valid_to.
+    * Rows are folded in event-time (ts, event_id) order inside each batch
+    * — the same sort key as the batch window — and the memory-sink fold's
+    * max(valid_to) lets a later batch's close supersede the earlier open
+    * emission. State size is O(entities) — one open row each — never the
+    * history. Oracle: identical to q_scd2_intervals (full recompute).
+    */
+  private def scd2Stream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val events = streamEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts"))
+      .as[(Long, Long, String, Double, java.sql.Timestamp)]
+    val emitted = events.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, String, Double, java.sql.Timestamp),
+        (Long, Long, String, Double, java.sql.Timestamp, Option[java.sql.Timestamp])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            a._5.before(b._5) || (a._5.equals(b._5) && a._2 < b._2)
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Double, java.sql.Timestamp, Option[java.sql.Timestamp])]
+          var open: Option[(Long, String, Double, java.sql.Timestamp)] = state.getOption
+          sorted.foreach { r =>
+            open.foreach(o => out += ((user, o._1, o._2, o._3, o._4, Some(r._5))))
+            open = Some((r._2, r._3, r._4, r._5))
+          }
+          open.foreach { o =>
+            state.update(o)
+            out += ((user, o._1, o._2, o._3, o._4, None))
+          }
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "event_type", "value", "valid_from", "valid_to")
+    runToMemory(emitted, "update")
+      .groupBy(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("valid_from"))
+      .agg(max(col("valid_to")).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   private def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
@@ -520,6 +571,13 @@ object Streaming extends QueryModule {
       SELECT event_type, count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""")),
     "s_join_interval" -> QueryDef(intervalJoinStream, Some(graft.ops.Joins.intervalOracle)),
+    "s_scd2" -> QueryDef(scd2Stream, Some("""
+      SELECT user_id, event_id, event_type, round(value, 2) AS value,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      FROM events
+      ORDER BY user_id, valid_from, event_id""")),
     "s_stateful_count" -> QueryDef(statefulCount, Some("""
       SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
       FROM events GROUP BY user_id ORDER BY user_id""")),
