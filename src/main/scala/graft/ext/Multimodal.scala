@@ -102,7 +102,61 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-blob feature extraction — the encoder-stage shape: one
+    * fixed-length numeric feature row per media object, computed inside
+    * the partition batch (a real pipeline runs its image/audio encoder
+    * here; the stub derives byte statistics over the payload, which the
+    * oracle recomputes from the source text — the fixture is pure ASCII,
+    * so text codepoints ARE the payload bytes). Row-local over the binary
+    * column: no shuffle, and the blob itself never leaves the scan stage —
+    * only the thin feature row moves on.
+    */
+  private def mmFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    withBlobs(spark, sfDir)
+      .mapPartitions(_.map { b =>
+        var i = HeaderLen
+        var sum = 0L
+        var mn = 256L
+        var mx = -1L
+        val seen = new Array[Boolean](256)
+        var distinct = 0L
+        while (i < b.blob.length) {
+          val v = b.blob(i) & 0xFF
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (!seen(v)) { seen(v) = true; distinct += 1 }
+          i += 1
+        }
+        val n = (b.blob.length - HeaderLen).toLong
+        (b.doc_id, n, sum,
+          if (n == 0) None else Some(mn),
+          if (n == 0) None else Some(mx),
+          distinct)
+      })
+      .toDF("doc_id", "n_bytes", "sum_bytes", "min_byte", "max_byte", "n_distinct")
+      .orderBy("doc_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_mm_features" -> QueryDef(mmFeatures, Some("""
+      WITH ch AS (
+        SELECT doc_id, ord(c) AS v FROM (
+          SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+          FROM documents)
+        WHERE c <> ''),
+      f AS (
+        SELECT doc_id, count(*) AS n_bytes, CAST(sum(v) AS BIGINT) AS sum_bytes,
+               CAST(min(v) AS BIGINT) AS min_byte, CAST(max(v) AS BIGINT) AS max_byte,
+               count(DISTINCT v) AS n_distinct
+        FROM ch GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(f.n_bytes, 0) AS n_bytes,
+             coalesce(f.sum_bytes, 0) AS sum_bytes,
+             f.min_byte, f.max_byte,
+             coalesce(f.n_distinct, 0) AS n_distinct
+      FROM documents d LEFT JOIN f USING (doc_id)
+      ORDER BY d.doc_id""")),
     "q_mm_decode_meta" -> QueryDef(mmDecodeMeta, Some("""
       SELECT doc_id,
              64 + doc_id % 512 AS width,
