@@ -35,4 +35,32 @@ class ReshapeSpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("randomized equivalence: ties, negatives, singleton and skewed groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { trial =>
+      // Heavy duplication (values snap to a 0.5 grid) exercises the
+      // histogram's rank-interval logic; group "g0" is a singleton.
+      val rows = ("g0", 3.25) +: Seq.fill(50 + rnd.nextInt(200)) {
+        (s"g${1 + rnd.nextInt(3)}", math.floor(rnd.nextGaussian() * 8) / 2)
+      }
+      val df = rows.toDF("g", "v")
+      val ps = Seq(0.01, 0.25, 0.5, 0.77, 0.99)
+      val ours = graft.ops.Reshape.exactPercentiles(df, "g", "v", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val refCols2 = ps.map(p => expr(s"percentile(v, $p)").as(s"x${(p * 100).toInt}"))
+      val ref = df.groupBy(col("g"))
+        .agg(refCols2.head, refCols2.tail: _*)
+        .collect().flatMap { r =>
+          ps.zipWithIndex.map { case (p, i) => (r.getString(0), p) -> r.getDouble(i + 1) }
+        }.toMap
+      assert(ours.keySet == ref.keySet, s"trial $trial: group/p sets differ")
+      ours.foreach { case (k, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(ref(k)),
+          s"trial $trial $k: $v != ${ref(k)}")
+      }
+    }
+  }
 }
