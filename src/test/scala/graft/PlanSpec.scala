@@ -122,6 +122,21 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(saltedExchange, s"expected a hashpartitioning(k, salt) exchange:\n$p")
   }
 
+  test("q_scd2_intervals historizes with a single exchange") {
+    // The lead() window must reuse the one entity-key partitioning; a
+    // second Exchange (beyond the final presentation sort) would mean the
+    // historization pays two shuffles for one window.
+    val p = plan("q_scd2_intervals")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q_collocations partial-aggregates all three counts") {
+    val p = plan("q_collocations")
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+    assert("partial_sum".r.findAllIn(p).size >= 1, p)
+  }
+
   test("q_sample_k_per_group plans WindowGroupLimit before the exchange") {
     // The per-group cap must rank-limit map-side so the shuffle carries
     // ~k rows per group per mapper, not the corpus.

@@ -119,4 +119,63 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val batchRes = SparkEntry.queries("q_latest_state")(spark, sf).collect()
     assert(streamRes.toSeq == batchRes.toSeq)
   }
+
+  test("s_scd2 open-row state survives kill-and-resume (interval closed across lives)") {
+    // Life 1 processes version A of an entity (emitting it OPEN) and dies;
+    // life 2 restarts from the checkpoint and processes version B. The
+    // closed [A.ts, B.ts) interval can only be emitted if A — the open-row
+    // STATE — was recovered from the state store: the input file holding A
+    // is never re-read (offsets come from the checkpoint too).
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_scd2_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_scd2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeFile(rows: Seq[(Long, Long, java.sql.Timestamp)], name: String): Unit =
+      rows.toDF("user_id", "event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    def run(): Unit = {
+      val events = spark.readStream.schema(schema).parquet(s"$in/*")
+        .as[(Long, Long, java.sql.Timestamp)]
+      val emitted = events.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, java.sql.Timestamp),
+          (Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          case (user, rows, state) =>
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+            var open: Option[(Long, java.sql.Timestamp)] = state.getOption
+            sorted.foreach { r =>
+              open.foreach(o => buf += ((user, o._1, o._2, Some(r._3))))
+              open = Some((r._2, r._3))
+            }
+            open.foreach { o => state.update(o); buf += ((user, o._1, o._2, None)) }
+            buf.iterator
+        }
+        .toDF("user_id", "event_id", "valid_from", "valid_to")
+      val q = emitted.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile(Seq((1L, 100L, ts("2024-01-01 00:00:00"))), "f1")
+    run() // life 1: emits (100, open), then "dies"
+    writeFile(Seq((1L, 200L, ts("2024-01-02 00:00:00"))), "f2")
+    run() // life 2: must CLOSE version 100 using recovered state
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(1), Option(r.getTimestamp(3)))).toSet
+    assert(rows.contains((100L, Some(ts("2024-01-02 00:00:00")))),
+      s"version 100 must be closed at version 200's ts via recovered state; got $rows")
+    assert(rows.contains((200L, None)), s"version 200 must be the open row; got $rows")
+  }
 }
