@@ -39,6 +39,21 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Normalization-then-exact dedup — the curation stage between raw
+    * exact dedup and MinHash: case-fold, collapse whitespace runs, and
+    * trim BEFORE hashing, so trivially-reformatted copies collapse
+    * without paying near-dup machinery. Same scale shape as
+    * q_dedup_exact: the normalization is a row-local codegen'd regexp in
+    * the scan stage, and the one shuffle carries only the 128-bit digest
+    * plus ids — document bodies never ride the exchange.
+    */
+  private def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(md5(col("norm")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
   private def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // Exact word-set Jaccard on a bounded pair set (doc_id < 100) — the
     // ground-truth twin of the MinHash estimate below; top-20 most similar
@@ -301,6 +316,13 @@ object Dedup extends QueryModule {
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
       ORDER BY doc_id""")),
+    "q_dedup_normalized" -> QueryDef(dedupNormalized, Some("""
+      WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n_copies
+      FROM n GROUP BY md5(norm) ORDER BY keep_id""")),
     "q_ngram_jaccard" -> QueryDef(ngramJaccard, Some("""
       WITH d AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS w

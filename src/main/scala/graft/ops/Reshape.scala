@@ -143,6 +143,43 @@ object Reshape extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** MAD robust z-score anomaly detection — the robust twin of
+    * q_anomaly_iqr: per-group median and MAD (median absolute deviation)
+    * via the distributed exactPercentiles histogram above (no per-group
+    * value buffering anywhere), flagging rows where
+    * |value - median| > 3 * 1.4826 * MAD (the Gaussian-consistent MAD
+    * z-score cut). Three scans total — median, deviation median, outlier
+    * fold — stitched by tiny per-group fence tables that broadcast, so
+    * nothing group-sized ever materializes on one task and every
+    * aggregate is mergeable; the shape survives 100 TB where the textbook
+    * per-group sort does not. Median and MAD are rounded to 4 decimals
+    * BEFORE the cut so the outlier predicate is bit-identical across
+    * engines.
+    */
+  private def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "events")
+    val med = exactPercentiles(e, "event_type", "value", Seq(0.5))
+      .select(col("event_type"), round(col("pct"), 4).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val fences = exactPercentiles(dev, "event_type", "adev", Seq(0.5))
+      .select(col("event_type"), round(col("pct"), 4).as("mad"))
+      .join(med, "event_type")
+      // 4.4478 = 3 * 1.4826; one literal so both engines parse the same double
+      .withColumn("cut", round(col("mad") * 4.4478, 4))
+    e.join(broadcast(fences), "event_type")
+      .filter(abs(col("value") - col("med")) > col("cut"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_outliers"),
+        round(min(col("value")), 2).as("min_outlier"),
+        round(max(col("value")), 2).as("max_outlier"))
+      .join(fences, "event_type")
+      .select(col("event_type"), col("med"), col("mad"), col("cut"),
+        col("n_outliers"), col("min_outlier"), col("max_outlier"))
+      .orderBy("event_type")
+  }
+
   /** Time-series gap filling with forward fill — regularize each entity's
     * irregular event stream onto a daily grid: one row per calendar day
     * between the entity's first and last event, the latest observed value
@@ -242,6 +279,23 @@ object Reshape extends QueryModule {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
       FROM grid g LEFT JOIN d1 v ON g.user_id = v.user_id AND g.day = v.day
       ORDER BY g.user_id, g.day""")),
+    "q_anomaly_mad" -> QueryDef(anomalyMad, Some("""
+      WITH m AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY event_type),
+      d AS (
+        SELECT e.event_type, m.med,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type, m.med),
+      f AS (SELECT event_type, med, mad, round(mad * 4.4478, 4) AS cut FROM d)
+      SELECT e.event_type, f.med, f.mad, f.cut, count(*) AS n_outliers,
+             round(min(e.value), 2) AS min_outlier,
+             round(max(e.value), 2) AS max_outlier
+      FROM events e JOIN f USING (event_type)
+      WHERE abs(e.value - f.med) > f.cut
+      GROUP BY e.event_type, f.med, f.mad, f.cut
+      ORDER BY e.event_type""")),
     "q_anomaly_iqr" -> QueryDef(anomalyIqr, Some("""
       WITH f AS (
         SELECT event_type,
