@@ -170,6 +170,28 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     feeding.foreach(l => assert(!l.contains("text#"), s"text rides a shuffle:\n$l\n$p"))
   }
 
+  test("q_dedup_normalized never shuffles document text (digest-only exchange)") {
+    // Same 100 TB property as q_decontaminate: normalization + md5 happen
+    // scan-side, so the one exchange carries digests + ids, never bodies.
+    val p = plan("q_dedup_normalized")
+    val lines = p.linesIterator.toVector
+    val feeding = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange") && i + 1 < lines.size => lines(i + 1)
+    }
+    assert(feeding.nonEmpty, p)
+    feeding.foreach(l => assert(!l.contains("text#"), s"text rides a shuffle:\n$l\n$p"))
+  }
+
+  test("q_anomaly_mad broadcasts the per-group fence tables into the event scans") {
+    // The median and MAD fence tables are groups-sized; if either join
+    // degraded to SortMergeJoin the full 100 TB event set would re-sort
+    // and re-shuffle per fence application.
+    val df = SparkEntry.queries("q_anomaly_mad")(spark, sf)
+    df.collect() // finalize the adaptive plan before inspecting join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q_dpp_join prunes fact partitions dynamically from the dim filter") {
     // The fact scan must carry a runtime `dynamicpruning` partition filter
     // fed by the dim side — the property that turns a 30-day scan into a
