@@ -46,10 +46,18 @@ object Dedup extends QueryModule {
     * q_dedup_exact: the normalization is a row-local codegen'd regexp in
     * the scan stage, and the one shuffle carries only the 128-bit digest
     * plus ids — document bodies never ride the exchange.
+    *
+    * Whitespace is the EXPLICIT ASCII class [ \t\n\r\f\x0B], not \s:
+    * Java's \s includes U+000B where DuckDB's RE2 \s does not, so a
+    * vertical-tab document would normalize (and group) differently in
+    * engine vs oracle. The explicit class makes the two engines
+    * bit-identical by construction. Scope is ASCII-only by design —
+    * Unicode spaces (U+00A0 NBSP etc.) are NOT collapsed by either
+    * engine; NBSP-reformatted copies stay distinct.
     */
   private def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
-      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f\\x0B]+", " ")))
       .groupBy(md5(col("norm")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
@@ -73,6 +81,69 @@ object Dedup extends QueryModule {
             size(array_union(col("a.w"), col("b.w"))), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  // ---- substring-span dedup -------------------------------------------
+
+  /** Shingle width for span detection. 8 words, matching the
+    * decontamination convention (ext/Corpus.scala); production runs ~50
+    * tokens (Lee et al.), but the operator is width-independent integer
+    * arithmetic and the fixture's ~100-token docs need a width the oracle
+    * actually exercises.
+    */
+  private val SpanGram = 8
+
+  /** Substring-span dedup — the last dedup granularity below document
+    * level (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): find maximal token spans of >= SpanGram words that
+    * also appear in at least one OTHER document, emitted as
+    * (doc_id, span_id, tok_start, tok_len, n_grams) offsets for a
+    * downstream span-removal pass. Built on the decontamination shingle
+    * machinery: every SpanGram-word shingle is md5-compacted scan-side,
+    * a digest appearing in >= 2 distinct docs marks its positions as
+    * duplicated, and per-doc position runs merge into maximal spans via
+    * a gaps-and-islands window (two hits merge iff their token ranges
+    * overlap or touch: pos' - pos <= SpanGram).
+    *
+    * Scale shape: the duplicated-digest aggregate and the semi-join both
+    * shuffle (digest16, doc_id, pos) — never text; the island merge is
+    * one thin (doc_id, pos)-rows window per doc. Docs shorter than
+    * SpanGram words have no full shingle and are skipped (they are
+    * exact-dedup's job, not span removal's).
+    */
+  private def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    spansOf(Tables(spark, sfDir, "documents"))
+
+  /** Testable core of q_dedup_spans (DedupSpec feeds it synthetic
+    * shared-window corpora with known maximal-span boundaries).
+    */
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanGram)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $SpanGram), " +
+          s"i -> unhex(md5(concat_ws(' ', slice(w, i + 1, $SpanGram)))))"))
+        .as(Seq("pos", "gh")))
+    val dupDigests = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    grams.join(dupDigests, Seq("gh"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > SpanGram, 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(
+        min(col("pos")).cast(LongType).as("tok_start"),
+        (max(col("pos")) + SpanGram - min(col("pos"))).cast(LongType).as("tok_len"),
+        count(lit(1)).as("n_grams"))
+      .orderBy("doc_id", "span_id")
   }
 
   // ---- MinHash + LSH --------------------------------------------------
@@ -316,9 +387,43 @@ object Dedup extends QueryModule {
                row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         FROM documents) WHERE rn = 1
       ORDER BY doc_id""")),
+    "q_dedup_spans" -> QueryDef(dedupSpans, Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      t AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok FROM d
+        WHERE len(w) >= 8),
+      p AS (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(n_tok - 7 AS INTEGER))) AS pos
+        FROM t),
+      g AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(w[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ') AS gram
+        FROM p),
+      dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      h AS (
+        SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      i AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM h),
+      s AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM i)
+      SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+             min(pos) AS tok_start,
+             max(pos) + 8 - min(pos) AS tok_len,
+             count(*) AS n_grams
+      FROM s GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_id""")),
     "q_dedup_normalized" -> QueryDef(dedupNormalized, Some("""
       WITH n AS (
-        SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
         FROM documents)
       SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_copies

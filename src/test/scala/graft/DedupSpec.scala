@@ -52,6 +52,55 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       "a cluster representative must be its own cluster_id")
   }
 
+  test("q_dedup_spans finds exact maximal shared spans on a synthetic corpus") {
+    import spark.implicits._
+    // Tokens are single letters; the shared window is w10..w21 (12 words),
+    // embedded at token offset 3 in doc 1 and offset 0 in doc 2. With
+    // k = 8 a 12-word shared window yields 12 - 8 + 1 = 5 duplicated
+    // 8-grams at consecutive positions, which must merge into ONE maximal
+    // span of tok_len 12 — not 5 overlapping spans.
+    val shared = (10 to 21).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $shared x y z"),   // span at tok_start 3
+      (2L, s"$shared p q r s t u v"), // span at tok_start 0
+      (3L, "entirely unrelated words that repeat nowhere else at all ok")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.spansOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 12L, 5L),
+      (2L, 1L, 0L, 12L, 5L)))
+  }
+
+  test("q_dedup_spans splits hit runs separated by a gap into two islands") {
+    import spark.implicits._
+    // Doc 1 carries TWO copies of an 8-word block from doc 2, separated by
+    // 10 unique filler words: positions 0 and 18. Gap (18 - 0 = 18) > k,
+    // so two distinct maximal spans; doc 2's single copy is one span.
+    val block = (1 to 8).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 10).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $filler $block"),
+      (2L, s"$block tail1 tail2 tail3 tail4 tail5 tail6 tail7")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.spansOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 8L, 1L),
+      (1L, 2L, 18L, 8L, 1L),
+      (2L, 1L, 0L, 8L, 1L)))
+  }
+
+  test("q_dedup_spans emits no spans for docs shorter than the gram width or with no cross-doc repeat") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short doc only"),          // < 8 words: skipped by contract
+      (2L, "one two three four five six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen sixteen")
+    ).toDF("doc_id", "text")
+    assert(graft.ext.Dedup.spansOf(docs).count() == 0L)
+  }
+
   test("label propagation handles a chain (diameter > 1)") {
     import spark.implicits._
     // 5-4, 4-3, 3-2, 2-1: one chain component; min label 1 must reach 5.
