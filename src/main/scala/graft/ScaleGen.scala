@@ -5,19 +5,25 @@ import org.apache.spark.sql.functions._
 /** Local scale-up harness (not part of the driver contract): replicate the
   * sf0.1 fixtures N× with shifted keys into a temp dir, so operators can
   * be profiled at ~sf2+ without touching the read-only testdata.
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor>
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <factor> [table,...]
+  * The optional 4th arg restricts generation to a table subset (e.g.
+  * `documents` for a 100x dedup-family receipt that skips the 60M-row
+  * lineitem replica).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, fStr) = args
+    val (src, out, fStr) = (args(0), args(1), args(2))
     val factor = fStr.toInt
+    val onlyTables: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, keyCols: Seq[String]): Unit = {
+    def replicate(name: String, keyCols: Seq[String]): Unit = if (wanted(name)) {
       val df = core.Tables(spark, src, name)
       val copies = spark.range(factor).withColumnRenamed("id", "__copy")
       val shifted0 = keyCols.foldLeft(df.crossJoin(copies)) { (d, k) =>
@@ -31,7 +37,7 @@ object ScaleGen {
       shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name x$factor -> ${shifted.count()} rows")
     }
-    def copy(name: String): Unit =
+    def copy(name: String): Unit = if (wanted(name))
       core.Tables(spark, src, name).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 

@@ -222,8 +222,11 @@ object TextAnalysis extends QueryModule {
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i + 1] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val totals = uni.agg(sum(col("c")).as("n_tok"))
-      .crossJoin(bi.agg(sum(col("c_ab")).as("n_bi")))
+    // Both sides are single-row aggregates; broadcast() EACH so the 1x1
+    // crossJoin plans BroadcastNestedLoopJoin by hint, not by the planner
+    // happening to notice the size (PlanSpec pins this).
+    val totals = broadcast(uni.agg(sum(col("c")).as("n_tok")))
+      .crossJoin(broadcast(bi.agg(sum(col("c_ab")).as("n_bi"))))
     val ua = uni.select(col("tok").as("a"), col("c").as("c_a"))
     val ub = uni.select(col("tok").as("b"), col("c").as("c_b"))
     bi.filter(col("c_ab") >= 3)

@@ -137,7 +137,7 @@ object Reshape extends QueryModule {
         count(lit(1)).as("n_outliers"),
         round(min(col("value")), 2).as("min_outlier"),
         round(max(col("value")), 2).as("max_outlier"))
-      .join(fences.select(col("event_type"), col("hi_fence")), "event_type")
+      .join(broadcast(fences.select(col("event_type"), col("hi_fence"))), "event_type")
       .select(col("event_type"), col("hi_fence"), col("n_outliers"),
         col("min_outlier"), col("max_outlier"))
       .orderBy("event_type")
@@ -164,7 +164,10 @@ object Reshape extends QueryModule {
       .withColumn("adev", abs(col("value") - col("med")))
     val fences = exactPercentiles(dev, "event_type", "adev", Seq(0.5))
       .select(col("event_type"), round(col("pct"), 4).as("mad"))
-      .join(med, "event_type")
+      // med is groups-sized: hint it so even the tiny stitch joins plan
+      // broadcast — an unhinted SMJ between two 5-row fence tables still
+      // pays a full exchange pair per side at 100 TB.
+      .join(broadcast(med), "event_type")
       // 4.4478 = 3 * 1.4826; one literal so both engines parse the same double
       .withColumn("cut", round(col("mad") * 4.4478, 4))
     e.join(broadcast(fences), "event_type")
@@ -174,7 +177,7 @@ object Reshape extends QueryModule {
         count(lit(1)).as("n_outliers"),
         round(min(col("value")), 2).as("min_outlier"),
         round(max(col("value")), 2).as("max_outlier"))
-      .join(fences, "event_type")
+      .join(broadcast(fences), "event_type")
       .select(col("event_type"), col("med"), col("mad"), col("cut"),
         col("n_outliers"), col("min_outlier"), col("max_outlier"))
       .orderBy("event_type")

@@ -155,41 +155,96 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert("partial_count".r.findAllIn(p).size >= 2, p)
   }
 
-  test("q_decontaminate never shuffles document text") {
-    // The semi-join and count exchange md5 digests + doc ids; the raw text
-    // column must be consumed scan-side (shuffling bodies is the 100 TB
-    // failure mode this operator is shaped to avoid).
-    val p = plan("q_decontaminate")
+  /** The operator feeding each Exchange prints its output columns
+    * (Project [...] / HashAggregate(keys=[...])) — none may carry the
+    * given columns. Shuffling document bodies is the 100 TB failure mode
+    * the curation operators are shaped to avoid.
+    */
+  private def assertNoColsOnExchanges(p: String, cols: Seq[String]): Unit = {
     val lines = p.linesIterator.toVector
-    // The operator feeding each Exchange prints its output columns
-    // (Project [...] / HashAggregate(keys=[...])) — none may carry `text`.
     val feeding = lines.zipWithIndex.collect {
       case (l, i) if l.contains("Exchange") && i + 1 < lines.size => lines(i + 1)
     }
     assert(feeding.nonEmpty, p)
-    feeding.foreach(l => assert(!l.contains("text#"), s"text rides a shuffle:\n$l\n$p"))
+    for (l <- feeding; c <- cols)
+      assert(!l.contains(s"$c#"), s"$c rides a shuffle:\n$l\n$p")
+  }
+
+  test("q_decontaminate never shuffles document text") {
+    // The semi-join and count exchange md5 digests + doc ids; the raw text
+    // column must be consumed scan-side.
+    assertNoColsOnExchanges(plan("q_decontaminate"), Seq("text"))
   }
 
   test("q_dedup_normalized never shuffles document text (digest-only exchange)") {
     // Same 100 TB property as q_decontaminate: normalization + md5 happen
     // scan-side, so the one exchange carries digests + ids, never bodies.
-    val p = plan("q_dedup_normalized")
+    assertNoColsOnExchanges(plan("q_dedup_normalized"), Seq("text"))
+  }
+
+  test("q_dedup_spans shuffles digests and positions, never text or token arrays") {
+    // Both shuffles (dup-digest aggregate, position semi-join) and the
+    // island-merge window must carry (digest16, doc_id, pos) rows only —
+    // the shingle text and the split token array die scan-side.
+    assertNoColsOnExchanges(plan("q_dedup_spans"), Seq("text", "w"))
+  }
+
+  test("q_collocations broadcasts its single-row totals (no unhinted cross join)") {
+    // Both corpus totals are 1-row aggregates; each crossJoin must plan
+    // BroadcastNestedLoopJoin BY HINT — a CartesianProduct here would mean
+    // the planner stopped noticing the size, and at 100 TB an unhinted
+    // cross join against the vocabulary table is a full replication.
+    val p = plan("q_collocations")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_gap_fill shuffles the wide event payload once (thin rows after)") {
+    // The raw events shuffle ONCE for the (user, day) daily dedup — that
+    // exchange legitimately carries ts/event_id for the latest-event
+    // tiebreak. Every later exchange (grid bounds agg, fill window,
+    // presentation sort) must move only (user_id, day, value)-thin rows:
+    // ts, event_id, event_type, and props may never re-ride an exchange.
+    val p = plan("q_gap_fill")
+    assertNoColsOnExchanges(p, Seq("event_type", "props"))
     val lines = p.linesIterator.toVector
     val feeding = lines.zipWithIndex.collect {
       case (l, i) if l.contains("Exchange") && i + 1 < lines.size => lines(i + 1)
     }
-    assert(feeding.nonEmpty, p)
-    feeding.foreach(l => assert(!l.contains("text#"), s"text rides a shuffle:\n$l\n$p"))
+    // A partial HashAggregate prints its INPUT columns in functions=[...];
+    // the exchange only carries the output=[...] columns — match those.
+    def carried(l: String): String = {
+      val out = "output=\\[[^\\]]*\\]".r.findFirstIn(l)
+      out.getOrElse(l)
+    }
+    val wide = feeding.map(carried).count(l => l.contains("ts#") || l.contains("event_id#"))
+    assert(wide <= 1, s"expected at most one exchange carrying raw event rows, got $wide:\n$p")
+  }
+
+  test("q_profile_columns profiles in ONE scan (Expand, no second read)") {
+    // The multi-distinct aggregate plans a single events scan fanned out
+    // by Expand — re-reading the table per column is the anti-pattern this
+    // operator exists to avoid at 100 TB ingest audit time.
+    val p = plan("q_profile_columns")
+    assert(p.contains("Expand"), p)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one events scan, got $scans:\n$p")
   }
 
   test("q_anomaly_mad broadcasts the per-group fence tables into the event scans") {
     // The median and MAD fence tables are groups-sized; if either join
     // degraded to SortMergeJoin the full 100 TB event set would re-sort
-    // and re-shuffle per fence application.
+    // and re-shuffle per fence application. >= 4, not >= 2: the two
+    // exactPercentiles calls each contain an INTERNAL broadcast(targets)
+    // join, so a 2-threshold would stay green even if both fence joins
+    // (broadcast(med) into the deviation scan, broadcast(fences) into the
+    // outlier scan) silently degraded — the exact property this pin
+    // exists for. Belt-and-braces: no SortMergeJoin anywhere.
     val df = SparkEntry.queries("q_anomaly_mad")(spark, sf)
     df.collect() // finalize the adaptive plan before inspecting join strategies
     val p = df.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q_dpp_join prunes fact partitions dynamically from the dim filter") {
