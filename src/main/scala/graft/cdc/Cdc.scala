@@ -75,9 +75,21 @@ object Cdc extends QueryModule {
   /** `dt=yyyyMMdd` from epoch-millis event time, with the reference's
     * dead-letter bucket `00000000` for unparsable values
     * (EventTimeBucketAssigner.java:25-27,40-42). `es` is epoch MILLIS.
+    *
+    * The range guard is part of the dead-letter contract: under ANSI mode
+    * `timestamp_millis(es)` is `es * 1000` µs and THROWS on long overflow,
+    * so a corrupt binlog `es` (|es| > Long.MaxValue/1000, found by the
+    * CdcSpec fuzz) would kill the task instead of bucketing to 00000000 —
+    * the exact failure the reference's try/catch exists to absorb. The
+    * bound check must not use abs(): abs(Long.MinValue) itself overflows.
     */
-  def eventTimeDt(es: Column): Column =
-    coalesce(date_format(timestamp_millis(es), "yyyyMMdd"), lit("00000000"))
+  def eventTimeDt(es: Column): Column = {
+    val maxAbsMillis = Long.MaxValue / 1000L
+    coalesce(
+      when(es.between(-maxAbsMillis, maxAbsMillis),
+        date_format(timestamp_millis(es), "yyyyMMdd")),
+      lit("00000000"))
+  }
 
   /** Last-writer-wins compaction: latest row per key (README.md:238-251),
     * generalized with an explicit tiebreaker so results are deterministic.
