@@ -17,7 +17,12 @@ with open(os.path.join(outdir, "oracle_sql.json")) as f:
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = os.path.join(sfdir, f"{t}.parquet")
+    if not os.path.exists(p):
+        continue  # partial ScaleGen dirs (e.g. 100x documents-only)
+    # ScaleGen writes parquet DIRECTORIES; the driver fixtures are files.
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 fails = []
 for name in sorted(os.listdir(outdir)):

@@ -17,7 +17,10 @@ object Explain {
     names.foreach { n =>
       println(s"===== $n =====")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.collect()
+      // Execute to finalize the AQE plan, but never materialize the full
+      // result on the driver — this utility must be safe to point at any
+      // query at any scale factor.
+      df.queryExecution.toRdd.count()
       println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()

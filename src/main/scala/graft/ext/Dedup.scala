@@ -114,10 +114,12 @@ object Dedup extends QueryModule {
   private def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
     spansOf(Tables(spark, sfDir, "documents"))
 
-  /** Testable core of q_dedup_spans (DedupSpec feeds it synthetic
-    * shared-window corpora with known maximal-span boundaries).
+  /** Gram-index span detection over the given docs, emitting hit
+    * positions only for docs in `emitFor` (islands merged into maximal
+    * spans). Shared by the naive twin (all docs) and the staged path
+    * (representatives only).
     */
-  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+  private def spanIslands(docs: DataFrame, emitFor: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = docs
@@ -132,6 +134,7 @@ object Dedup extends QueryModule {
       .filter(col("nd") >= 2)
       .select("gh")
     grams.join(dupDigests, Seq("gh"), "left_semi")
+      .join(emitFor, Seq("doc_id"), "left_semi")
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("brk",
         when(col("prev").isNull || col("pos") - col("prev") > SpanGram, 1L)
@@ -143,6 +146,55 @@ object Dedup extends QueryModule {
         min(col("pos")).cast(LongType).as("tok_start"),
         (max(col("pos")) + SpanGram - min(col("pos"))).cast(LongType).as("tok_len"),
         count(lit(1)).as("n_grams"))
+  }
+
+  /** Naive twin (gram index over EVERY doc) — the reference
+    * implementation DedupSpec pins the staged path against. On a corpus
+    * with exact-copy cliques the hit set is copy-factor-sized: every
+    * position of every copy rides the shuffle and the island window
+    * (measured 41 s warm at 20x vs 2-4 s staged).
+    */
+  private[graft] def spansOfNaive(docs: DataFrame): DataFrame =
+    spanIslands(docs, docs.select("doc_id")).orderBy("doc_id", "span_id")
+
+  /** Staged spansOf — the 100 TB path, output-identical to the naive twin
+    * (DedupSpec pins this). Same staging argument as StagedDedup, applied
+    * to spans:
+    *  1. a doc with an exact copy is BY CONSTRUCTION one whole-doc span —
+    *     every gram is cross-doc duplicated by the copy — so members of
+    *     multi-member content groups are emitted arithmetically
+    *     (span_id 1, tok_start 0, tok_len n_tok, n_grams n_tok-k+1),
+    *     never shingled;
+    *  2. the gram index runs over one representative per distinct
+    *     content. A digest is duplicated for a SINGLETON doc iff it
+    *     appears in >= 2 distinct reps (a copy-group's grams are all
+    *     present via its rep, so cross-group matches survive the
+    *     collapse; within-group matches only ever affected the members
+    *     handled by step 1);
+    *  3. island spans are emitted for singleton reps only (multi-group
+    *     reps already got their whole-doc span in step 1).
+    * Dedup work therefore scales with DISTINCT content, exactly like
+    * q_minhash_near_dup — and matches production practice, where exact
+    * dedup always precedes span removal (Lee et al. §4).
+    */
+  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val groups = StagedDedup.exactGroups(base)
+    val multiMembers = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"))
+    // n_tok is computed scan-side BEFORE the membership join, so whichever
+    // join strategy the planner picks, only (doc_id, n_tok) can ride an
+    // exchange here — never the text.
+    val wholeDoc = base
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .filter(col("n_tok") >= SpanGram)
+      .join(multiMembers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit(1L).as("span_id"), lit(0L).as("tok_start"),
+        col("n_tok").as("tok_len"), (col("n_tok") - SpanGram + 1).as("n_grams"))
+    val reps = StagedDedup.representatives(base, groups)
+    val singletonReps = groups.filter(size(col("ids")) === 1)
+      .select(col("rep").as("doc_id"))
+    wholeDoc.unionByName(spanIslands(reps, singletonReps))
       .orderBy("doc_id", "span_id")
   }
 

@@ -52,6 +52,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       "a cluster representative must be its own cluster_id")
   }
 
+  test("staged q_dedup_spans equals the naive all-docs gram index") {
+    // Fixture corpus (has exact-copy groups, shared prefixes, singletons)
+    // plus a synthetic corpus mixing copies with partial overlaps: the
+    // staged whole-doc + representative-index path must be row-identical
+    // to shingling every document.
+    import spark.implicits._
+    val fixture = graft.core.Tables(spark, sf, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows(graft.ext.Dedup.spansOf(fixture)) ==
+      rows(graft.ext.Dedup.spansOfNaive(fixture)))
+
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"$shared a b c d e f g h"),  // overlaps 2 (prefix) and 3/4 (copy grams)
+      (2L, s"x1 x2 $shared y1 y2"),
+      (3L, s"$shared tail1 tail2"),      // 3 and 4: exact copies
+      (4L, s"$shared tail1 tail2"),
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"), // unique singleton
+      (6L, "short one")
+    ).toDF("doc_id", "text")
+    assert(rows(graft.ext.Dedup.spansOf(synth)) ==
+      rows(graft.ext.Dedup.spansOfNaive(synth)))
+  }
+
   test("q_dedup_spans finds exact maximal shared spans on a synthetic corpus") {
     import spark.implicits._
     // Tokens are single letters; the shared window is w10..w21 (12 words),

@@ -178,4 +178,60 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       s"version 100 must be closed at version 200's ts via recovered state; got $rows")
     assert(rows.contains((200L, None)), s"version 200 must be the open row; got $rows")
   }
+
+  test("s_mv_refresh MV merge survives kill-and-resume (durable MV, no re-scan, no double count)") {
+    // The incremental-MV state is the MV TABLE itself. Life 1 aggregates
+    // file 1 into MV v0 and dies; life 2 restarts from the checkpoint,
+    // reads ONLY file 2 (offsets are checkpointed), recovers the current
+    // MV from DISK (the latest committed vN — a restarted driver has no
+    // memory), and merges. The final MV must equal the full recompute:
+    // if life 2 re-read file 1 the counts double; if it failed to recover
+    // v0 the file-1 groups vanish — the equality catches both corruptions.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val in = java.nio.file.Files.createTempDirectory("graft_mv_in").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def writeFile(rows: Seq[(String, Double)], name: String): Unit =
+      rows.toDF("event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    def latestMv(): Option[String] = {
+      val vs = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      if (vs.isEmpty) None
+      else Some(vs.maxBy(_.getName.drop(1).toLong).getAbsolutePath)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$in/*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val delta = batch.groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          val merged = latestMv() match {
+            case None => delta
+            case Some(prev) => batch.sparkSession.read.parquet(prev)
+              .unionByName(delta)
+              .groupBy("event_type")
+              .agg(sum(col("n")).as("n"), sum(col("sum_value")).as("sum_value"))
+          }
+          // overwrite of v$batchId keeps a replayed batch idempotent
+          merged.write.mode("overwrite").parquet(s"$root/v$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeFile(Seq(("click", 1.0), ("click", 2.0), ("view", 5.0)), "f1")
+    run() // life 1: MV v0 = {click: (2, 3.0), view: (1, 5.0)}, then "dies"
+    writeFile(Seq(("click", 10.0), ("buy", 7.0)), "f2")
+    run() // life 2: must merge ONLY f2 into the recovered v0
+    val got = spark.read.parquet(latestMv().get)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("click", 3L, 13.0), ("view", 1L, 5.0), ("buy", 1L, 7.0)),
+      s"MV after restart must equal the full recompute; got $got")
+  }
 }
