@@ -198,6 +198,34 @@ object Dedup extends QueryModule {
       .orderBy("doc_id", "span_id")
   }
 
+  /** Per-document duplicated-content stats — the curation signal consumed
+    * DOWNSTREAM of span detection: the fraction of a doc's tokens covered
+    * by cross-doc duplicated spans, plus a drop flag at the 50% threshold
+    * (the "mostly boilerplate / mirrored content" gate real pipelines cut
+    * on, complementing whole-doc dedup which only catches full copies).
+    * Maximal spans never overlap within a doc (islands), so sum(tok_len)
+    * is the exact covered-token count. dup_frac floor-truncates to 4
+    * decimals (the cross-engine ratio convention); the flag compares the
+    * truncated value, so it is deterministic across engines too. Scale
+    * cost: q_dedup_spans + one thin (doc_id, stats) aggregate.
+    */
+  private def dedupSpanStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val perDoc = spansOf(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tok_len")).as("dup_tokens"), count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (floor(coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) /
+          col("n_tok") * 10000) / 10000).as("dup_frac"))
+      .withColumn("flag_dup", col("dup_frac") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   private val K = 16          // signature length
@@ -473,6 +501,50 @@ object Dedup extends QueryModule {
              count(*) AS n_grams
       FROM s GROUP BY doc_id, span_id
       ORDER BY doc_id, span_id""")),
+    "q_dedup_span_stats" -> QueryDef(dedupSpanStats, Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      t AS (
+        SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tok FROM d
+        WHERE len(w) >= 8),
+      p AS (
+        SELECT doc_id, w,
+               unnest(range(0, CAST(n_tok - 7 AS INTEGER))) AS pos
+        FROM t),
+      g AS (
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+               array_to_string(w[CAST(pos + 1 AS INTEGER):CAST(pos + 8 AS INTEGER)], ' ') AS gram
+        FROM p),
+      dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      h AS (
+        SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      i AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                    THEN 0 ELSE 1 END AS brk
+        FROM h),
+      s AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM i),
+      spans AS (
+        SELECT doc_id, span_id, max(pos) + 8 - min(pos) AS tok_len
+        FROM s GROUP BY doc_id, span_id),
+      perdoc AS (
+        SELECT doc_id, sum(tok_len) AS dup_tokens, count(*) AS n_spans
+        FROM spans GROUP BY doc_id)
+      SELECT d2.doc_id,
+             CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tok,
+             CAST(coalesce(p2.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(coalesce(p2.n_spans, 0) AS BIGINT) AS n_spans,
+             floor(CAST(coalesce(p2.dup_tokens, 0) AS DOUBLE)
+                   / len(string_split(d2.text, ' ')) * 10000) / 10000 AS dup_frac,
+             floor(CAST(coalesce(p2.dup_tokens, 0) AS DOUBLE)
+                   / len(string_split(d2.text, ' ')) * 10000) / 10000 >= 0.5 AS flag_dup
+      FROM documents d2 LEFT JOIN perdoc p2 USING (doc_id)
+      ORDER BY doc_id""")),
     "q_dedup_normalized" -> QueryDef(dedupNormalized, Some("""
       WITH n AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm

@@ -126,6 +126,17 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(graft.ext.Dedup.spansOf(docs).count() == 0L)
   }
 
+  test("q_dedup_span_stats: span coverage never exceeds the doc (islands are disjoint)") {
+    val rows = SparkEntry.queries("q_dedup_span_stats")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: dup_tokens ${r.getLong(2)} > n_tok ${r.getLong(1)}")
+    }
+    assert(rows.exists(_.getLong(3) > 0), "fixture must exercise nonzero spans")
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count().toInt,
+      "one stats row per document, including span-free docs")
+  }
+
   test("label propagation handles a chain (diameter > 1)") {
     import spark.implicits._
     // 5-4, 4-3, 3-2, 2-1: one chain component; min label 1 must reach 5.
