@@ -34,6 +34,36 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** Edit-distance (Levenshtein) similarity on a bounded pair set — the
+    * character-level verification modality the token-set metrics miss
+    * (transpositions, misspellings, OCR noise score near-identical on
+    * word-set Jaccard but apart on edit distance, and vice versa for
+    * reorderings). sim = 1 - lev/max(len) on doc_id < 60, top-20 pairs;
+    * bounded BY CONTRACT like q_ngram_jaccard: edit distance is O(m·n)
+    * per pair with no subquadratic index, so the unbounded scale path
+    * remains MinHash/SimHash candidate generation with THIS metric as
+    * the per-candidate verifier (candidate sets are linear, see
+    * q_minhash_near_dup). Both engines implement classic unit-cost
+    * Levenshtein; the ratio floor-truncates to 4 decimals.
+    */
+  private def editSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val a = d.alias("a")
+    val b = d.alias("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (floor((lit(1.0) -
+          levenshtein(col("a.text"), col("b.text")).cast(DoubleType) /
+            greatest(length(col("a.text")), length(col("b.text")))) * 10000) / 10000)
+          .as("edit_sim"))
+      .orderBy(col("edit_sim").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   // ---- LSH-bucketed ANN (banded multi-probe, n-adaptive) ---------------
 
   private val Dim = 64
@@ -419,6 +449,13 @@ object Similarity extends QueryModule {
   }
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             floor((1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                    / greatest(len(a.text), len(b.text))) * 10000) / 10000 AS edit_sim
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 20""")),
     "q_similarity_topk" -> QueryDef(similarityTopk, Some("""
       WITH anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
       terms AS (

@@ -188,6 +188,37 @@ object TextAnalysis extends QueryModule {
           .as("n_digits"))
       .orderBy("c_custkey")
 
+  /** WITHIN-document repetition stats — the Gopher repetition rules
+    * (Rae et al., Gopher appendix A1.1), complementing the CROSS-doc
+    * span gate (q_dedup_span_stats): per doc, the duplicate-bigram
+    * fraction (1 - distinct/total) and the most-frequent-bigram share —
+    * self-repetitive/templated text scores high on both and is cut
+    * before training. Two-level aggregate: the explode shuffle
+    * partial-combines to per-doc VOCABULARY size map-side, then a thin
+    * per-doc fold; ratios floor-truncate to 4 decimals and the 20% flag
+    * compares the truncated value (deterministic across engines).
+    */
+  private def repNgrams(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_2grams"), col("n_distinct"), col("max_rep"),
+        (floor((lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_2grams")) * 10000) / 10000)
+          .as("dup_frac"),
+        (floor(col("max_rep").cast(DoubleType) / col("n_2grams") * 10000) / 10000)
+          .as("top_frac"))
+      .withColumn("flag_rep", col("dup_frac") >= 0.2)
+      .orderBy("doc_id")
+
   /** Corpus-level top-k word bigrams: explode 2-grams, partial-agg'd
     * groupBy (map-side combine makes the shuffle vocabulary-sized, not
     * corpus-sized), TakeOrderedAndProject for the global top 20 with a
@@ -316,6 +347,25 @@ object TextAnalysis extends QueryModule {
              regexp_replace(c_name, '[0-9]{3,}', '***', 'g') AS masked_name,
              length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_digits
       FROM customer ORDER BY c_custkey""")),
+    "q_rep_ngrams" -> QueryDef(repNgrams, Some("""
+      WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS gram
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+      d AS (
+        SELECT doc_id, sum(c) AS n_2grams, count(*) AS n_distinct, max(c) AS max_rep
+        FROM c GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(n_2grams AS BIGINT) AS n_2grams,
+             CAST(n_distinct AS BIGINT) AS n_distinct,
+             CAST(max_rep AS BIGINT) AS max_rep,
+             floor((1.0 - CAST(n_distinct AS DOUBLE) / n_2grams) * 10000) / 10000 AS dup_frac,
+             floor(CAST(max_rep AS DOUBLE) / n_2grams * 10000) / 10000 AS top_frac,
+             floor((1.0 - CAST(n_distinct AS DOUBLE) / n_2grams) * 10000) / 10000 >= 0.2 AS flag_rep
+      FROM d ORDER BY doc_id""")),
     "q_ngram_freq" -> QueryDef(ngramFreq, Some("""
       WITH g AS (
         SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),

@@ -260,6 +260,13 @@ object Formats extends QueryModule {
     "q_fmt_csv" -> QueryDef(roundtrip("csv"), Some(roundtripOracle)),
     "q_fmt_json" -> QueryDef(roundtrip("json"), Some(roundtripOracle)),
     "q_fmt_orc" -> QueryDef(roundtrip("orc"), Some(roundtripOracle)),
+    // Avro ships inside spark-sql 4.1 but the short-name "avro" alias
+    // lives in the separate spark-avro module's DataSourceRegister
+    // service file (absent offline) — the fully-qualified FileFormat
+    // class is the documented fallback and exercises the identical
+    // read/write path.
+    "q_fmt_avro" -> QueryDef(
+      roundtrip("org.apache.spark.sql.avro.AvroFileFormat"), Some(roundtripOracle)),
     "q_partitioned_write" -> QueryDef(partitionedWrite, Some("""
       SELECT event_id, strftime(ts, '%Y%m%d') AS dt, event_type, user_id
       FROM events
