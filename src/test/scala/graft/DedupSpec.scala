@@ -126,6 +126,33 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(graft.ext.Dedup.spansOf(docs).count() == 0L)
   }
 
+  test("randomized staged==naive spans equivalence (small-alphabet corpora)") {
+    // Small alphabet forces dense shared 8-grams; explicit copy injection
+    // forces multi-member groups; short docs exercise the width filter.
+    // Generators driven directly with fixed seeds (the scalatest bridge is
+    // not in the offline cache), same convention as MergePropertySpec.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 18)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(0, 30)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+      } yield toks.mkString(" "))
+      nCopies <- Gen.choose(0, 5)
+      copyOf <- Gen.listOfN(nCopies, Gen.choose(0, n - 1))
+    } yield (docs ++ copyOf.map(docs)).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1L to 8L).foreach { seed =>
+      val corpus = genCorpus.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error(s"gen failed for seed $seed")).toDF("doc_id", "text")
+      def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(rows5(graft.ext.Dedup.spansOf(corpus)) ==
+        rows5(graft.ext.Dedup.spansOfNaive(corpus)), s"seed $seed")
+    }
+  }
+
   test("q_dedup_span_stats: span coverage never exceeds the doc (islands are disjoint)") {
     val rows = SparkEntry.queries("q_dedup_span_stats")(spark, sf).collect()
     rows.foreach { r =>

@@ -247,6 +247,24 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_rep_ngrams partial-aggregates the bigram explosion map-side") {
+    // Without map-side combine the (doc_id, gram) shuffle is corpus-sized
+    // exploded rows instead of per-doc vocabulary.
+    val p = plan("q_rep_ngrams")
+    assert("partial_count".r.findAllIn(p).size >= 1, p)
+    assert("partial_sum|partial_max".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q_edit_similarity keeps the bounded pair join off CartesianProduct") {
+    // The a<b theta join over the bounded slice must plan
+    // BroadcastNestedLoopJoin (one side hinted tiny by the filter), not a
+    // partition-cross CartesianProduct.
+    val p = plan("q_edit_similarity")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
+    assert(!p.contains("CartesianProduct"),
+      s"bounded pair join degraded to CartesianProduct:\n$p")
+  }
+
   test("q_dpp_join prunes fact partitions dynamically from the dim filter") {
     // The fact scan must carry a runtime `dynamicpruning` partition filter
     // fed by the dim side — the property that turns a 30-day scan into a
