@@ -71,4 +71,47 @@ class ConfSpec extends AnyFunSuite {
     try assert(Conf.fromFile(f.toString).getString("zookeeper.host") == "kms-1:2181")
     finally java.nio.file.Files.delete(f)
   }
+
+  test("parser totality: arbitrary text parses or fails with a clean error only") {
+    // A config file is operator-supplied input: a typo must produce the
+    // parser's own IllegalArgumentException (which carries the offending
+    // line), never an index/null/stack error from parser internals.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val hostile = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("{", "}", "=", ":", "\"", "#", "//", "a", "b", ".", " ", "\t"),
+      Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString.take(12))
+    )).map(_.mkString(" "))
+    val text = Gen.listOf(hostile).map(_.mkString("\n"))
+    (1L to 30L).foreach { seed =>
+      val s = text.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error(s"gen failed for seed $seed"))
+      try { Conf.parse(s); () }
+      catch { case _: IllegalArgumentException => () } // require() throws this too
+    }
+  }
+
+  test("generated valid configs round-trip to the exact entry map") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ident = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genEntries = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, for {
+      section <- ident
+      key <- ident
+      value <- Gen.oneOf(ident, Gen.choose(0, 999).map(_.toString))
+    } yield (section, key, value)))
+    (1L to 10L).foreach { seed =>
+      val entries = genEntries.apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(sys.error(s"gen failed for seed $seed"))
+        // last-wins on duplicate paths, like the parser's Map builder
+        .map { case (s, k, v) => (s"$s.$k", (s, k, v)) }.toMap.values.toList
+      val text = entries.map { case (s, k, v) => s"$s {\n  $k = \"$v\"\n}" }.mkString("\n")
+      val conf = Conf.parse(text)
+      assert(conf.paths == entries.map { case (s, k, _) => s"$s.$k" }.toSet, s"seed $seed")
+      entries.foreach { case (s, k, v) =>
+        assert(conf.getString(s"$s.$k") == v, s"seed $seed: $s.$k")
+      }
+    }
+  }
 }
