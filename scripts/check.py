@@ -22,6 +22,17 @@ for t in ["region","nation","customer","supplier","part","orders",
         continue  # partial ScaleGen dirs (e.g. 100x documents-only)
     # ScaleGen writes parquet DIRECTORIES; the driver fixtures are files.
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    if t == "events":
+        # ScaleGen replicas keep events.ts as raw TIMESTAMP(NANOS) int64;
+        # mirror graft.core.Tables' ns→µs truncation so every oracle runs
+        # unmodified. Driver fixtures read ts as a proper timestamp.
+        (ts_type,) = [r[1] for r in con.execute(
+            f"DESCRIBE SELECT ts FROM '{src}'").fetchall()]
+        if ts_type == "BIGINT":
+            con.execute(f"""CREATE VIEW {t} AS
+                SELECT * REPLACE (make_timestamp(ts // 1000) AS ts)
+                FROM '{src}'""")
+            continue
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 fails = []
