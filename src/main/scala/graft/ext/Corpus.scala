@@ -219,6 +219,31 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Unigram LM cross-entropy scoring — the KenLM-shaped fluency signal
+    * (high xent = tokens the corpus LM finds surprising), with the LM
+    * trained on the corpus itself in the same pass: xent(d) =
+    * ln(N) - Σ ln(c_w) / |d| over corpus-wide unigram counts c_w.
+    * Scale: both aggregates partial-agg before their shuffles, so the
+    * exchanged rows are vocabulary-sized (not token-sized); the
+    * single-row corpus total is an explicit broadcast. At 100 TB the
+    * count join keys on the term — the same vocabulary-sized exchange as
+    * q_tfidf's df side. Floor-truncated to 4 decimals (the cross-engine
+    * double-sum convention, same as q_entropy).
+    */
+  private def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val lm = w.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = lm.agg(sum(col("c")).cast("double").as("n"))
+    w.join(lm, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(log(col("c"))).as("slc"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tok"),
+        (floor((log(col("n")) - col("slc") / col("n_tok")) * 10000) / 10000).as("xent"))
+      .orderBy("doc_id")
+  }
+
   /** The composite curation gate — the decision every pipeline's filter
     * stage actually emits: a document survives if it passes the length,
     * stopword-ratio, and duplicate-word gates TOGETHER. Every predicate is
@@ -266,6 +291,14 @@ object Corpus extends QueryModule {
         FROM h)
       SELECT doc_id, source, bucket, rn FROM r WHERE rn <= 20
       ORDER BY source, rn""")),
+    "q_lm_score" -> QueryDef(lmScore, Some("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      lm AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm),
+      s AS (SELECT doc_id, count(*) AS n_tok, sum(ln(c)) AS slc
+            FROM w JOIN lm USING (w) GROUP BY doc_id)
+      SELECT doc_id, n_tok, floor((ln(tot.n) - slc / n_tok) * 10000) / 10000 AS xent
+      FROM s, tot ORDER BY doc_id""")),
     "q_entropy" -> QueryDef(entropy, Some("""
       WITH words AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

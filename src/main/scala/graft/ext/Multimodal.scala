@@ -139,7 +139,77 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  private val BlobRoot = "/tmp/graft_blobs"
+
+  /** Stable per-fixture tag (same scheme as the bucketed-layout seed):
+    * source dir + fixture mtime, so regenerated fixtures never reuse
+    * stale blobs.
+    */
+  private def blobTag(sfDir: String): String = {
+    val m = new java.io.File(sfDir, "documents.parquet").lastModified() / 1000
+    java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ m)
+  }
+
+  /** One-time blob landing zone per fixture (marker-gated, untimed
+    * economics like the Derby/bucketed seeds): every 10th document's
+    * bytes written as `<doc_id>.bin`, executor-side via foreachPartition
+    * — the driver never holds the blobs. In production this directory is
+    * the object-store prefix the upstream media pipeline already wrote;
+    * the operator under test is the READ side.
+    */
+  private[graft] def ensureBlobDir(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = new java.io.File(BlobRoot, blobTag(sfDir))
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      val path = dir.getPath
+      Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, text) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, s"$id.bin"),
+              (if (text == null) "" else text).getBytes("UTF-8"))
+            ()
+          }
+        }
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    dir.getPath
+  }
+
+  /** Raw-file ingestion through Spark's `binaryFile` source — the real
+    * scan path a multimodal lake uses for image/audio/video objects
+    * (path, mtime, length, content), no stub anywhere: the files on disk
+    * are read back by the production data source, ids recovered from
+    * paths, content digested. The fixture blobs are the documents' bytes,
+    * so DuckDB oracles the digest from the `documents` table directly
+    * (ASCII: n_chars == byte length, md5(text) == md5(bytes)). At scale
+    * binaryFile splits by FILE (one row per object, 2 GB cap per blob)
+    * and the digest projection keeps the content column out of
+    * everything after the scan.
+    */
+  private def binaryIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureBlobDir(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast(LongType).as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .orderBy("doc_id")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_binary_ingest" -> QueryDef(binaryIngest, Some("""
+      SELECT doc_id, n_chars AS n_bytes, md5(text) AS digest
+      FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
     "q_mm_features" -> QueryDef(mmFeatures, Some("""
       WITH ch AS (
         SELECT doc_id, ord(c) AS v FROM (

@@ -266,9 +266,16 @@ object Similarity extends QueryModule {
   private[graft] def seedCentroids(embeddings: DataFrame): Array[Array[Float]] = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val n = e.count()
-    val c = math.max(4, math.sqrt(n.toDouble).toInt)
-    e.orderBy("vec_id").limit(c).collect().map(_.getSeq[Float](1).toArray)
+    seedCentroidsK(e, math.max(4, math.sqrt(n.toDouble).toInt))
   }
+
+  /** Deterministic seed centroids of an explicit count (the K lowest
+    * vec_ids) — the shared seeding for the IVF quantizer (K ~ sqrt(n))
+    * and SemDeDup (K ~ n / targetCell).
+    */
+  private[graft] def seedCentroidsK(embeddings: DataFrame, k: Int): Array[Array[Float]] =
+    embeddings.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(k).collect().map(_.getSeq[Float](1).toArray)
 
   /** Assign every vector to its nearest given centroid (one scan, no
     * shuffle — the centroid matrix rides to executors in the UDF closure).
@@ -337,6 +344,64 @@ object Similarity extends QueryModule {
     }
     (cents, hist.result())
   }
+
+  // ---- SemDeDup: cluster-bounded semantic deduplication -----------------
+
+  /** SemDeDup (Abbas et al. 2023-style): k-means-cluster the embeddings,
+    * then mark as removed every vector with a LOWER-id near-duplicate
+    * (cosine >= tau) in the SAME cell. The dominance rule ("any earlier
+    * in-cell neighbor removes you") is deterministic and one self-join —
+    * unlike sequential greedy dedup it needs no ordered scan, and its
+    * survivor set is still pairwise non-duplicate within a cell: if a
+    * surviving pair were near-dups, the later one would have been removed
+    * by the earlier. Pinned against a driver-side naive twin and a
+    * planted-duplicate corpus in SemDedupSpec.
+    *
+    * Scale: cells are sized to a CONSTANT target (k = n / targetCell),
+    * not sqrt(n) — per-cell pair work is then targetCell per row, so total
+    * candidate work is linear in n (the sqrt(n)-cell choice would cost
+    * n^1.5). The self-join keys on the cell id (one co-partitioned
+    * exchange of (cell, id, vec)); the removed-id set exchanges ids only.
+    */
+  def semdedupPrune(embeddings: DataFrame, tau: Double, targetCell: Int = 64)
+      : DataFrame =
+    semdedupPruneCells(semdedupCells(embeddings, targetCell), tau)
+
+  /** The cluster stage: constant-target-size k-means cells (2 Lloyd
+    * iterations over deterministic lowest-id seeds). Split out so the
+    * spec's naive twin can prune the SAME cell assignment it verifies.
+    */
+  private[graft] def semdedupCells(embeddings: DataFrame, targetCell: Int)
+      : DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+    val (cents, _) = kmeansRefine(e, seedCentroidsK(e, k), iters = 2)
+    ivfBuildWith(e, cents).cells
+  }
+
+  /** The prune stage over an assigned-cell corpus (dominance rule). */
+  private[graft] def semdedupPruneCells(cells: DataFrame, tau: Double)
+      : DataFrame = {
+    val dup = cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .where(cosineUdf(col("a.embedding"), col("b.embedding")) >= tau)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells
+      .join(dup.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast(LongType),
+        coalesce(col("removed"), lit(false)).as("removed"))
+      .orderBy("vec_id")
+  }
+
+  private def semdedup(spark: SparkSession, sfDir: String): DataFrame =
+    // Fixture embeddings are near-orthogonal (max pair cos ~0.51), so the
+    // production-grade tau (~0.95) would remove nothing; 0.4 exercises
+    // the removal path on the fixtures. Semantics are spec-pinned on a
+    // planted corpus (SemDedupSpec), not oracle-checked: the k-means
+    // cells have no SQL equivalent.
+    semdedupPrune(Tables(spark, sfDir, "embeddings"), tau = 0.4)
 
   private def kmeansRefineQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -449,6 +514,7 @@ object Similarity extends QueryModule {
   }
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_semdedup" -> QueryDef(semdedup, None),
     "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Behavioral analytics over the event stream — the query family a user
+  * of the reference runs on its CDC-landed event tables once they're in
+  * the warehouse (README.md:222-252 lands exactly this shape): ordered
+  * funnels, cohort retention, and next-event transition matrices.
+  *
+  * Scale design: every stage keys on `user_id`, so each operator is a
+  * small number of co-partitioned hash exchanges over a monotonically
+  * shrinking survivor set (funnel), or a single user-partitioned window
+  * (transitions). Nothing ever materializes a per-user event list in one
+  * buffer, so skewed users cost sort time, not memory.
+  */
+object Behavior extends QueryModule {
+
+  /** Step-N of a funnel must land within this much of step N-1. */
+  private val StepWindow = "INTERVAL 24 HOURS"
+
+  private val FunnelSteps = Seq("signup", "view", "click", "purchase")
+
+  /** Ordered multi-step funnel: for each user, the first `signup`, then
+    * the first `view` within 24 h of it, then the first `click` within
+    * 24 h of that, then the first `purchase`. Emits one row per step with
+    * the surviving-user count.
+    *
+    * Plan shape: stage k is events⋈survivors_{k-1} on user_id + a
+    * min-aggregate — both partial-agg'd map-side and hash-partitioned on
+    * the SAME key, so AQE reuses the exchange layout and each stage's
+    * right side only shrinks. The alternative single-scan form (collect
+    * each user's events into one sorted array) buffers unbounded per-user
+    * state; this staged form never does.
+    */
+  private def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+
+    def nextStep(prev: DataFrame, step: String): DataFrame =
+      ev.as("e").filter(col("event_type") === step)
+        .join(prev.as("p"), "user_id")
+        .where(col("e.ts") > col("p.t") &&
+          col("e.ts") <= col("p.t") + expr(StepWindow))
+        .groupBy("user_id").agg(min(col("e.ts")).as("t"))
+
+    val first = ev.filter(col("event_type") === FunnelSteps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val stages = FunnelSteps.tail.scanLeft(first)(nextStep)
+
+    stages.zip(FunnelSteps).zipWithIndex
+      .map { case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: users grouped by first-seen day, counted distinct
+    * in each subsequent week-offset. Two shuffles on user_id (first-seen
+    * aggregate, then the activity join — same key, co-partitioned) plus
+    * one cardinality-bounded distinct: a user contributes at most
+    * (#active weeks) rows to the final aggregate regardless of event
+    * volume, so the last exchange is users×weeks, not events.
+    */
+  private def retentionCohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events").select(col("user_id"), col("ts"))
+    val first = ev.groupBy("user_id")
+      .agg(min("ts").cast(DateType).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        floor(datediff(col("ts").cast(DateType), col("cohort_day")) / 7)
+          .cast(LongType).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_day", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  /** First-order next-event transition matrix (Markov counts +
+    * conditional probability). One user-partitioned window for `lead`,
+    * then a partial-agg'd groupBy down to |event_type|² rows; the
+    * probability normalization windows over that tiny aggregate, not the
+    * event stream.
+    */
+  private def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pw = Window.partitionBy("event_type")
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        round(col("n") * lit(1.0) / sum(col("n")).over(pw), 4).as("p"))
+      .orderBy("event_type", "next_type")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_funnel" -> QueryDef(funnel, Some("""
+      WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'view' AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'click' AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOUR
+             GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 ON e.user_id = s3.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s3.t AND e.ts <= s3.t + INTERVAL 24 HOUR
+             GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT 1 AS step, 'signup' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'view', count(*) FROM s2
+        UNION ALL SELECT 3, 'click', count(*) FROM s3
+        UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+      ORDER BY step""")),
+    "q_retention_cohort" -> QueryDef(retentionCohort, Some("""
+      WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+              datediff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7 AS week_offset
+            FROM events e JOIN f ON e.user_id = f.user_id)
+      SELECT cohort_day, week_offset, count(*) AS n_users
+      FROM a GROUP BY cohort_day, week_offset
+      ORDER BY cohort_day, week_offset""")),
+    "q_event_transitions" -> QueryDef(eventTransitions, Some("""
+      WITH s AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events)
+      SELECT event_type, next_type, count(*) AS n,
+             round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+      ORDER BY event_type, next_type""")))
+}

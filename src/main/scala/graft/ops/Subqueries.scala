@@ -41,7 +41,32 @@ object Subqueries extends QueryModule {
       ORDER BY c_custkey""")
   }
 
+  /** `NOT IN (subquery)` over a NULLABLE list — three-valued logic, the
+    * one anti-join shape with different semantics from NOT EXISTS (any
+    * NULL in the list empties the result). Catalyst plans the
+    * single-column broadcastable case as a null-aware anti join
+    * (BroadcastHashJoin LeftAnti with isNullAwareAntiJoin=true) instead
+    * of the quadratic BroadcastNestedLoopJoin the naive interpretation
+    * needs — pinned in PlanSpec. The `nullif` keeps the list provably
+    * nullable (so the NAAJ path, not a plain anti join, is what's
+    * exercised) while never actually producing a NULL on the fixtures.
+    */
+  private def joinNullAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = viewName(spark, sfDir, "customer")
+    val o = viewName(spark, sfDir, "orders")
+    spark.sql(s"""
+      SELECT c_custkey, c_name FROM $c
+      WHERE c_custkey NOT IN
+        (SELECT nullif(o_custkey, -1) FROM $o WHERE o_totalprice > 350000)
+      ORDER BY c_custkey""")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_join_null_anti" -> QueryDef(joinNullAnti, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey NOT IN
+        (SELECT nullif(o_custkey, -1) FROM orders WHERE o_totalprice > 350000)
+      ORDER BY c_custkey""")),
     "q_scalar_subquery" -> QueryDef(scalarSubquery, Some("""
       SELECT o_orderkey, round(o_totalprice, 2) AS price
       FROM orders

@@ -231,6 +231,64 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(scans == 1, s"expected one events scan, got $scans:\n$p")
   }
 
+  test("q_join_null_anti plans a null-aware anti join, not a nested loop") {
+    // NOT IN over a nullable list is three-valued logic; the naive plan is
+    // a BroadcastNestedLoopJoin (quadratic). Catalyst's single-column
+    // null-aware anti join keeps it a hash join — the trailing `true` on
+    // the BroadcastHashJoin is the isNullAwareAntiJoin flag. Also pin the
+    // subquery's filter pushed into the orders scan.
+    val p = plan("q_join_null_anti")
+    assert("BroadcastHashJoin .*, LeftAnti, BuildRight, true".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("GreaterThan(o_totalprice"), p)
+  }
+
+  test("q_funnel stages are equi-joins on user_id with partial min-aggregates") {
+    // Each funnel stage is events ⋈ survivors on user_id + min(ts): all
+    // hash-strategy equi-joins (a nested-loop anywhere means the
+    // time-window predicate leaked into the join condition) and every
+    // stage min partial-aggregates map-side.
+    val p = plan("q_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("partial_min".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q_retention_cohort holds the last exchange to users x weeks") {
+    // The distinct must aggregate BEFORE its exchange (partial
+    // HashAggregate), so the final shuffle carries at most one row per
+    // (user, week), never the event stream.
+    val p = plan("q_retention_cohort")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_event_transitions normalizes over the aggregate, not the stream") {
+    // One user-partitioned window for lead(), then a partial-agg'd count
+    // down to |types|^2 rows; the probability window must sit above that
+    // aggregate (its partition key is event_type — if it windowed the raw
+    // stream the plan would show a second events-sized exchange).
+    val p = plan("q_event_transitions")
+    assert("partial_count".r.findAllIn(p).size >= 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_lm_score broadcasts the single-row total and partial-aggregates counts") {
+    // Same discipline as q_collocations: the corpus-total crossJoin must
+    // be the hinted 1-row broadcast, and both the vocabulary count and
+    // the per-doc sum partial-aggregate before their shuffles.
+    val p = plan("q_lm_score")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_binary_ingest scans through the binaryFile source") {
+    // The ingestion path must be the real production data source (one row
+    // per object, content never re-read downstream), not a collected list.
+    val p = plan("q_binary_ingest")
+    assert(p.contains("binaryFile"), p)
+  }
+
   test("q_anomaly_mad broadcasts the per-group fence tables into the event scans") {
     // The median and MAD fence tables are groups-sized; if either join
     // degraded to SortMergeJoin the full 100 TB event set would re-sort

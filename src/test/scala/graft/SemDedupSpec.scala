@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+
+/** SemDeDup semantics gate (q_semdedup is a no-oracle entry — the k-means
+  * cells have no SQL twin, so the contract is pinned here instead):
+  *
+  *  1. the distributed prune is IDENTICAL to a driver-side naive
+  *     evaluation of the dominance rule over the same cell assignment;
+  *  2. planted near-duplicates are removed (recall gate, same corpus
+  *     discipline as the ANN specs);
+  *  3. the survivor set is pairwise non-duplicate within every cell (the
+  *     property the dominance rule guarantees by construction).
+  */
+class SemDedupSpec extends AnyFunSuite with SparkTest {
+
+  private val Dim = 64
+  private val NBase = 300
+  private val NPlanted = 15
+  private val Tau = 0.9
+
+  /** Base vectors + near-copies (2% noise) of vectors 0..NPlanted-1 at
+    * ids 1000+i: planted pair cosine ~0.998, random pairs concentrate
+    * near 0, so at tau=0.9 the only near-duplicates are the planted ones.
+    */
+  private lazy val corpus: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until NBase).map { i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val planted = (0 until NPlanted).map { i =>
+      val src = base(i)._2
+      (1000L + i, src.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.02f))
+    }
+    base ++ planted
+  }
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < Dim) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("distributed prune matches the naive dominance rule on the same cells") {
+    import spark.implicits._
+    val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
+      targetCell = 64).persist()
+    try {
+      val staged = Similarity.semdedupPruneCells(cells, Tau)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+
+      val assigned = cells.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      val naive = assigned.map { case (id, emb, cell) =>
+        id -> assigned.exists { case (id2, emb2, cell2) =>
+          cell2 == cell && id2 < id && cos(emb2, emb) >= Tau
+        }
+      }.toMap
+
+      assert(staged == naive,
+        s"staged!=naive on ${staged.keySet.filter(k => staged(k) != naive(k))}")
+    } finally { cells.unpersist(); () }
+  }
+
+  test("planted near-duplicates are removed, originals kept") {
+    import spark.implicits._
+    val result = Similarity
+      .semdedupPrune(corpus.toDF("vec_id", "embedding"), Tau, targetCell = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(result.size == NBase + NPlanted)
+    // A planted copy can survive only if quantization split the pair
+    // across cells — near-identical vectors almost always share a nearest
+    // centroid, so demand >= 0.9 recall (the ANN specs' gate).
+    val removedPlanted = (0 until NPlanted).count(i => result(1000L + i))
+    assert(removedPlanted >= (NPlanted * 0.9).toInt,
+      s"only $removedPlanted/$NPlanted planted copies removed")
+    // Originals have the lowest ids of their pair and no earlier
+    // near-duplicate: all must survive.
+    (0 until NPlanted).foreach(i => assert(!result(i.toLong), s"original $i removed"))
+  }
+
+  test("survivors are pairwise non-duplicate within every cell") {
+    import spark.implicits._
+    val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
+      targetCell = 64).persist()
+    try {
+      val kept = Similarity.semdedupPruneCells(cells, Tau)
+        .filter(!col("removed")).collect().map(_.getLong(0)).toSet
+      val assigned = cells.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+        .filter(t => kept.contains(t._1))
+      for {
+        (ida, emba, cella) <- assigned
+        (idb, embb, cellb) <- assigned
+        if cella == cellb && ida < idb
+      } assert(cos(emba, embb) < Tau, s"surviving near-dup pair ($ida,$idb)")
+    } finally { cells.unpersist(); () }
+  }
+}
