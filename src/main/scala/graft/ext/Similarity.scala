@@ -373,11 +373,19 @@ object Similarity extends QueryModule {
     */
   private[graft] def semdedupCells(embeddings: DataFrame, targetCell: Int)
       : DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val n = e.count()
-    val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
-    val (cents, _) = kmeansRefine(e, seedCentroidsK(e, k), iters = 2)
-    ivfBuildWith(e, cents).cells
+    // Cached for the Lloyd loop (count + seed + 2 refine scans + the
+    // final assignment all read the same vectors — same treatment as
+    // kmeansRefineQuery); materialize the assigned cells before dropping
+    // the cache so the prune stage never re-reads the source.
+    val e = embeddings.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val n = e.count()
+      val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+      val (cents, _) = kmeansRefine(e, seedCentroidsK(e, k), iters = 2)
+      val cells = ivfBuildWith(e, cents).cells
+      cells.count()
+      cells
+    } finally { e.unpersist(); () }
   }
 
   /** The prune stage over an assigned-cell corpus (dominance rule). */

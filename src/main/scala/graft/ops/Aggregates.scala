@@ -138,6 +138,36 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users"))
 
+  /** Mergeable frequency sketches (Spark's count_min_sketch aggregate +
+    * the spark-sketch CountMinSketch merge): one CMS per day over the
+    * event-type stream, daily sketches merged and queried for the known
+    * heavy hitters. The 100 TB frequency-tracking pattern, same economics
+    * as q_hll_union: history is never re-scanned — a new day contributes
+    * one eps-width sketch (here w=2719×d=5 counters), and the driver-side
+    * merge is O(days × sketch size), a few KB each. CMS merge is exact
+    * (counter-wise sum with a shared seed), so merged estimates ==
+    * single-global-sketch estimates — pinned in SketchSpec along with the
+    * one-sided error bound (estimate >= true count, <= true + eps·N).
+    * At this key cardinality (5 types into 2719 buckets, fixed seed 42)
+    * no hash collisions occur, so the estimates are exact and the entry
+    * carries a full count-per-type oracle.
+    */
+  private def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val daily = Tables(spark, sfDir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .groupBy("dt")
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cms"))
+      .collect() // bounded: one ~54 KB sketch per DAY, never per row
+    val merged = daily.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("cms")))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    import spark.implicits._
+    types.map(t => (t, merged.estimateCount(t)))
+      .toDF("event_type", "est_n")
+      .orderBy("event_type")
+  }
+
   /** One-scan column-profiling report — the audit a data platform runs on
     * every ingest batch (the reference's operators ASSUME well-formed
     * input; a real deployment gates on a profile like this): per column,
@@ -207,6 +237,9 @@ object Aggregates extends QueryModule {
       SELECT 'value', n_rows, value_nulls, value_nd, value_min, value_max FROM m
       ORDER BY col_name""")),
     "q_hll_union" -> QueryDef(hllUnion, None),
+    "q_cms_heavy_hitters" -> QueryDef(cmsHeavyHitters, Some("""
+      SELECT event_type, count(*) AS est_n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
     "q_mv_refresh" -> QueryDef(mvRefresh, Some("""
       SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_returnflag,
              count(*) AS n_items, sum(l_quantity) AS sum_qty,

@@ -536,6 +536,37 @@ object Streaming extends QueryModule {
       .orderBy("user_id", "click_id", "view_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the null-emission corner of
+    * the state-store join: every view pairs with the same user's clicks
+    * in the following hour, and a view with NO such click must still
+    * emit (null-extended) — but only once the click-side watermark
+    * proves no future click can match (wm > view_ts + 60 min). Rows
+    * younger than that stay in state: emitting them would be a
+    * correctness bug if a matching click arrived late. The final
+    * no-data micro-batch (on by default) advances the watermark after
+    * the last data batch, which is what flushes the eligible unmatched
+    * tail in a bounded run. The oracle encodes exactly this split: all
+    * matched pairs, plus unmatched views older than
+    * max(click_ts) - 2 h (the final watermark) - 60 min.
+    */
+  private def leftIntervalJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = streamEvents(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val clicks = streamEvents(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val joined = views.join(clicks,
+        expr("v_user = user_id AND click_ts >= view_ts AND click_ts < view_ts + INTERVAL 60 MINUTE"),
+        "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+    runToMemory(joined, "append")
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
   /** Stream-static join — the enrichment every CDC/event pipeline runs:
     * the unbounded event stream joins a STATIC dimension (customer) that
     * is re-read per micro-batch, broadcast, and never held in the state
@@ -571,6 +602,25 @@ object Streaming extends QueryModule {
       SELECT event_type, count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""")),
     "s_join_interval" -> QueryDef(intervalJoinStream, Some(graft.ops.Joins.intervalOracle)),
+    "s_join_left_interval" -> QueryDef(leftIntervalJoinStream, Some("""
+      WITH v AS (SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'),
+      wm AS (SELECT max(click_ts) - INTERVAL 2 HOUR AS w FROM c),
+      m AS (SELECT v.v_user AS user_id, v.view_id, c.click_id, v.view_ts, c.click_ts
+            FROM v JOIN c ON v.v_user = c.user_id
+              AND c.click_ts >= v.view_ts
+              AND c.click_ts < v.view_ts + INTERVAL 60 MINUTE),
+      u AS (SELECT v.v_user AS user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id,
+                   v.view_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+            FROM v, wm
+            WHERE v.view_ts + INTERVAL 60 MINUTE <= wm.w
+              AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.v_user
+                AND c.click_ts >= v.view_ts
+                AND c.click_ts < v.view_ts + INTERVAL 60 MINUTE))
+      SELECT * FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+      ORDER BY user_id, view_id, click_id""")),
     "s_scd2" -> QueryDef(scd2Stream, Some("""
       SELECT user_id, event_id, event_type, round(value, 2) AS value,
              ts AS valid_from,

@@ -39,4 +39,40 @@ class SketchSpec extends AnyFunSuite with SparkTest {
     val err = math.abs(unioned - 50000.0) / 50000.0
     assert(err <= 0.05, s"relative error $err > 5% (est $unioned)")
   }
+
+  test("CMS merge of per-group sketches equals the single global sketch; error is one-sided") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    import spark.implicits._
+    // Zipf-ish: key k appears 1000/k times, split across 10 "days".
+    val rows = for { k <- 1 to 50; r <- 1 to 1000 / k } yield (s"key$k", (k + r) % 10)
+    val df = rows.toDF("k", "day")
+    val dailies = df.groupBy("day")
+      .agg(expr("count_min_sketch(k, 0.01d, 0.9d, 7)").as("cms"))
+      .collect().map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("cms")))
+    val merged = dailies.reduce { (a, b) => a.mergeInPlace(b); a }
+    val global = CountMinSketch.readFrom(
+      df.agg(expr("count_min_sketch(k, 0.01d, 0.9d, 7)").as("cms"))
+        .head().getAs[Array[Byte]]("cms"))
+    val n = rows.size
+    for (k <- 1 to 50) {
+      val exact = 1000 / k
+      val m = merged.estimateCount(s"key$k")
+      // Counter-wise-sum merge with a shared seed: merged == global, exactly.
+      assert(m == global.estimateCount(s"key$k"), s"merged!=global for key$k")
+      // CMS error is ONE-SIDED: never under, over by at most eps*N w.h.p.
+      assert(m >= exact, s"CMS underestimated key$k: $m < $exact")
+      assert(m <= exact + math.ceil(0.01 * n).toLong * 2,
+        s"CMS overestimate for key$k out of envelope: $m vs $exact (n=$n)")
+    }
+    // The SQL aggregate and the driver-side estimateCount must hash
+    // STRING items identically (UTF-8 bytes through the same murmur) —
+    // the property q_cms_heavy_hitters' exact oracle rides on.
+    val tiny = Seq(("alpha", 3), ("beta", 2), ("gamma", 1))
+      .flatMap { case (s, c) => Seq.fill(c)(s) }.toDF("k")
+    val sk = CountMinSketch.readFrom(
+      tiny.agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("cms"))
+        .head().getAs[Array[Byte]]("cms"))
+    assert(sk.estimateCount("alpha") == 3L && sk.estimateCount("beta") == 2L &&
+      sk.estimateCount("gamma") == 1L)
+  }
 }
