@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence gates for the behavioral-analytics family: the
+  * staged/windowed Spark plans must agree with a direct driver-side
+  * evaluation of the semantics on arbitrary small event sets — catching
+  * boundary bugs (step-window inclusivity, cohort week arithmetic,
+  * transition tie-breaks) that one fixture can miss. Same discipline as
+  * the dedup family's staged==naive properties.
+  */
+/** ts is epoch NANOS as a raw long — the driver fixtures' physical type
+  * (TIMESTAMP(NANOS)), which graft.core.Tables truncates to µs on read.
+  */
+case class BehaviorSpecEv(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class BehaviorSpec extends AnyFunSuite with SparkTest {
+
+  private type Ev = BehaviorSpecEv
+  private def Ev = BehaviorSpecEv
+  private implicit class EvMs(e: Ev) { def tsMs: Long = e.ts / 1000000L }
+
+  private val Types = Vector("signup", "view", "click", "purchase", "error")
+  private val HourMs = 3600L * 1000L
+
+  /** Random event sets: few users, ts jitter up to ~5 days so funnel
+    * windows and week boundaries are both exercised.
+    */
+  private def randomEvents(seed: Int, n: Int): Seq[Ev] = {
+    val rnd = new scala.util.Random(seed)
+    val base = 1700000000000L
+    (0 until n).map { i =>
+      Ev(i.toLong,
+        (base + rnd.nextLong(5L * 24 * HourMs)) * 1000000L,
+        rnd.nextInt(6).toLong,
+        Types(rnd.nextInt(Types.size)),
+        rnd.nextDouble() * 100,
+        "{}")
+    }
+  }
+
+  /** Run a registered events-table query against an in-memory event set
+    * by writing it as a one-file fixture dir (ts as µs-truncated
+    * timestamp, like Tables emits).
+    */
+  private def runOn(events: Seq[Ev], query: String): Array[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_behavior_spec")
+    events.toDF().write.mode("overwrite").parquet(s"$dir/events.parquet")
+    SparkEntry.queries(query)(spark, dir).collect()
+  }
+
+  private def naiveFunnel(events: Seq[Ev]): Seq[(Int, String, Long)] = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val byUser = events.groupBy(_.user_id)
+    // survivors(k): user -> completion ts of step k
+    val stages = steps.zipWithIndex.scanLeft(Option.empty[Map[Long, Long]]) {
+      case (prev, (step, 0)) =>
+        val _ = prev
+        Some(byUser.flatMap { case (u, evs) =>
+          val ts = evs.filter(_.event_type == step).map(_.tsMs)
+          if (ts.isEmpty) None else Some(u -> ts.min)
+        })
+      case (Some(prev), (step, _)) =>
+        Some(prev.flatMap { case (u, t0) =>
+          val ts = byUser.getOrElse(u, Nil)
+            .filter(e => e.event_type == step &&
+              e.tsMs > t0 && e.tsMs <= t0 + 24 * HourMs)
+            .map(_.tsMs)
+          if (ts.isEmpty) None else Some(u -> ts.min)
+        })
+      case (None, _) => None
+    }.flatten
+    stages.zip(steps).zipWithIndex.map { case ((m, s), i) =>
+      (i + 1, s, m.size.toLong)
+    }
+  }
+
+  test("q_funnel matches the naive per-user sequential evaluation on random event sets") {
+    for (seed <- 1 to 5) {
+      val events = randomEvents(seed, 400)
+      val got = runOn(events, "q_funnel")
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == naiveFunnel(events), s"seed=$seed")
+    }
+  }
+
+  test("funnel counts are monotonically non-increasing by construction") {
+    for (seed <- 10 to 12) {
+      val counts = naiveFunnel(randomEvents(seed, 300)).map(_._3)
+      assert(counts == counts.sorted.reverse, s"seed=$seed: $counts")
+    }
+  }
+
+  test("q_retention_cohort matches the naive cohort/week-offset evaluation") {
+    for (seed <- 1 to 5) {
+      val events = randomEvents(seed, 400)
+      val got = runOn(events, "q_retention_cohort")
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+
+      val dayOf = (ms: Long) => java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val firstDay = events.groupBy(_.user_id)
+        .map { case (u, evs) => u -> dayOf(evs.map(_.tsMs).min) }
+      val naive = events
+        .map { e =>
+          val c = firstDay(e.user_id)
+          ((c, java.time.temporal.ChronoUnit.DAYS.between(c, dayOf(e.tsMs)) / 7), e.user_id)
+        }
+        .distinct
+        .groupBy(_._1).map { case ((c, w), us) => (c.toString, w, us.size.toLong) }
+        .toSeq.sorted
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
+  test("q_event_transitions matches the naive lead-pair evaluation and rows sum to n - users") {
+    for (seed <- 1 to 5) {
+      val events = randomEvents(seed, 400)
+      val got = runOn(events, "q_event_transitions")
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
+      val naivePairs = events.groupBy(_.user_id).toSeq.flatMap { case (_, evs) =>
+        evs.sortBy(e => (e.tsMs, e.event_id)).sliding(2).collect {
+          case Seq(a, b) => (a.event_type, b.event_type)
+        }
+      }
+      val naive = naivePairs.groupBy(identity)
+        .map { case ((a, b), xs) => (a, b, xs.size.toLong) }.toSeq.sorted
+      assert(got == naive, s"seed=$seed")
+      // Each user's k events yield exactly k-1 transitions.
+      val users = events.map(_.user_id).distinct.size
+      assert(got.map(_._3).sum == events.size - users, s"seed=$seed")
+    }
+  }
+}
