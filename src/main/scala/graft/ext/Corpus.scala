@@ -99,6 +99,49 @@ object Corpus extends QueryModule {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 query terms (fixed, like q_tfidf's scored slice — a retrieval
+    * query is a handful of terms by nature). */
+  private val Bm25Query = Seq("spark", "join", "merge")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 ranking — the retrieval twin of q_tfidf (and the lexical half
+    * of a hybrid-search stack next to q_similarity_topk): score every
+    * document against a fixed term query with Okapi BM25 (k1=1.2,
+    * b=0.75), emit the top 10.
+    *
+    * Scale design: the query-term filter lands scan-side, so the tf
+    * aggregate's exchange carries only (doc_id, term∈query) rows —
+    * |query| terms per doc at most, never the vocabulary; df reduces to
+    * |query| rows and broadcasts; the corpus length stats are one
+    * broadcast row (same discipline as q_collocations' totals). Doc
+    * length joins tf on doc_id — co-partitioned with the tf aggregate's
+    * own exchange. Every input to the score is integer-derived (tf, df,
+    * N, dl exact; avgdl = exact-int sum / count), so the ln/divide chain
+    * is IEEE-identical cross-engine; round(4) before the rank order makes
+    * the top-10 cut deterministic with the doc_id tiebreak.
+    */
+  private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isInCollection(Bm25Query))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val weight = idf * (col("tf") * (Bm25K1 + 1.0)) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(weight), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Target-mixture resampling (domain mixing): even-numbered sources get
     * 3x the weight of odd ones; per-source keep rates are DERIVED from
     * the corpus (rate_s ∝ weight_s / n_s, normalized so the most
@@ -349,6 +392,21 @@ object Corpus extends QueryModule {
              (start_tok + n_tok - 1) // 512 AS last_seq,
              (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_seqs
       FROM c ORDER BY doc_id""")),
+    "q_bm25" -> QueryDef(bm25, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+             WHERE term IN ('spark', 'join', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * (1.2 + 1.0))
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""")),
     "q_tfidf" -> QueryDef(tfidf, Some("""
       WITH terms AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

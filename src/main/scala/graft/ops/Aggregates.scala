@@ -168,6 +168,51 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Mergeable top-k sketch (Spark 4's approx_top_k family) — the third
+    * leg of the sketch block next to q_hll_union (distinct) and
+    * q_cms_heavy_hitters (point frequency): per-day
+    * `approx_top_k_accumulate` partials, one `approx_top_k_combine`, one
+    * `approx_top_k_estimate` — the heavy-hitter RANKING over history
+    * without re-scanning it, entirely inside the SQL engine (no
+    * driver-side merge loop like the CMS entry — the combine IS the
+    * aggregate, so the only thing that moves is one sketch row per day).
+    * At this cardinality (5 event types, default maxItemsTracked 10k) the
+    * sketch tracks every item exactly, so the entry carries a full
+    * count-per-type oracle; at real cardinality the same plan returns the
+    * approximate top k with the same exchanges.
+    */
+  private def topkSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
+      .groupBy("dt")
+      .agg(expr("approx_top_k_accumulate(event_type, 5)").as("sk"))
+    daily.agg(expr("approx_top_k_combine(sk)").as("cs"))
+      .select(explode(expr("approx_top_k_estimate(cs, 5)")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
+  /** Grouped statistical profile — corr/covariance/stddev per group, the
+    * relationship-audit twin of q_profile_columns' per-column counts (is
+    * quantity still predictive of price in this batch?). All of Spark's
+    * second-moment aggregates are DeclarativeAggregates over mergeable
+    * co-moment buffers (count, means, M2, co-moment), so the plan is one
+    * scan + partial/final hash agg — the shuffle carries one small buffer
+    * per (group × stat), never rows. Rounding before ORDER BY makes the
+    * cross-engine compare exact (co-moment merge order differs between
+    * engines only in the last ulps).
+    */
+  private def statsCorr(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+      .orderBy("l_returnflag")
+
   /** One-scan column-profiling report — the audit a data platform runs on
     * every ingest batch (the reference's operators ASSUME well-formed
     * input; a real deployment gates on a profile like this): per column,
@@ -237,6 +282,16 @@ object Aggregates extends QueryModule {
       SELECT 'value', n_rows, value_nulls, value_nd, value_min, value_max FROM m
       ORDER BY col_name""")),
     "q_hll_union" -> QueryDef(hllUnion, None),
+    "q_topk_sketch" -> QueryDef(topkSketch, Some("""
+      SELECT event_type, count(*) AS n FROM events
+      GROUP BY event_type ORDER BY n DESC, event_type""")),
+    "q_stats_corr" -> QueryDef(statsCorr, Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(stddev_samp(l_extendedprice), 2) AS sd_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     "q_cms_heavy_hitters" -> QueryDef(cmsHeavyHitters, Some("""
       SELECT event_type, count(*) AS est_n
       FROM events GROUP BY event_type ORDER BY event_type""")),

@@ -102,8 +102,40 @@ object Behavior extends QueryModule {
       .orderBy("event_type", "next_type")
   }
 
-  override val defs: Map[String, QueryDef] = Map(
-    "q_funnel" -> QueryDef(funnel, Some("""
+  /** Sessionization with explicit session ids — the ETL shape downstream
+    * consumers join on (q_session_batch's `session_window` counts
+    * sessions; this emits the id-carrying per-session fact row: bounds,
+    * event count, value sum). Gaps-and-islands: a 30-min-quiet gap starts
+    * a new session; the session index is the running count of
+    * gap-starts. One hash exchange on user_id serves BOTH the window and
+    * the per-(user, session) aggregate (partitioning on a prefix of the
+    * group keys co-locates the groups), so the whole operator is a single
+    * shuffle of (user_id, ts, event_id, value) rows — skewed users cost
+    * sort time, never memory.
+    */
+  private def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("new_s",
+        when(col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES") ||
+          lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Shared with s_funnel (stream/Streaming.scala) — the streaming funnel
+    * must converge to the batch answer on bounded input.
+    */
+  private[graft] val funnelOracle: String = """
       WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
                   WHERE event_type = 'signup' GROUP BY user_id),
       s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -120,7 +152,28 @@ object Behavior extends QueryModule {
         UNION ALL SELECT 2, 'view', count(*) FROM s2
         UNION ALL SELECT 3, 'click', count(*) FROM s3
         UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
-      ORDER BY step""")),
+      ORDER BY step"""
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_sessionize" -> QueryDef(sessionize, Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, min(ts) AS session_start,
+             max(ts) AS session_end, count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""")),
+    "q_funnel" -> QueryDef(funnel, Some(funnelOracle)),
     "q_retention_cohort" -> QueryDef(retentionCohort, Some("""
       WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
                  FROM events GROUP BY user_id),

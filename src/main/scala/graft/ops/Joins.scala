@@ -18,6 +18,41 @@ import graft.core.{QueryDef, QueryModule, Tables}
   */
 object Joins extends QueryModule {
 
+  /** Multi-way star join — TPC-H Q5 shape (revenue by nation for one
+    * region and one order year), the canonical analytical join cascade
+    * the 2-table entries compose into. Scale design: the two genuinely
+    * large inputs (lineitem, orders) meet in ONE shuffle on the orderkey;
+    * every dimension arrives pre-reduced — region⋈nation collapses to a
+    * broadcast of at most |nation| rows BEFORE touching a fact table, and
+    * supplier/customer are left to AQE (broadcast at this SF; at 100 TB
+    * they exceed the threshold and AQE plans shuffled joins on their own
+    * keys instead — the code does not change). The date filter sits
+    * directly on the orders scan so pushdown prunes row groups scan-side.
+    */
+  private def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables(spark, sfDir, "nation").as("n")
+      .join(Tables(spark, sfDir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val orders = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val sup = Tables(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   private def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables(spark, sfDir, "orders")
     val c = Tables(spark, sfDir, "customer")
@@ -245,6 +280,18 @@ object Joins extends QueryModule {
       ORDER BY 1, 2, 3"""
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_star_join" -> QueryDef(starJoin, Some("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""")),
     "q_interval_join" -> QueryDef(intervalJoin, Some(intervalOracle)),
     "q_join_bloom" -> QueryDef(joinBloom, Some("""
       SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price

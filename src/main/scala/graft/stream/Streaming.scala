@@ -453,6 +453,68 @@ object Streaming extends QueryModule {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Streaming funnel — CEP-style ordered-sequence detection as keyed
+    * state (the Flink-CEP-shaped capability, re-expressed on
+    * `mapGroupsWithState`): per user, the state is the four first-qualify
+    * timestamps of signup→view→click→purchase; an arriving event advances
+    * the earliest unfilled step it qualifies for (strictly after the
+    * previous step, within 24 h of it, in exact epoch-micros arithmetic).
+    * Events fold in (ts, event_id) order within each micro-batch, and the
+    * bounded file source delivers event time non-decreasing across
+    * batches, so first-qualify == min-qualify — the batch q_funnel's
+    * semantics, which is also this entry's oracle. State per user is four
+    * stamps — O(users), never an event buffer; max_step is monotone, so
+    * the update-mode re-emission fold is a max().
+    */
+  private def funnelStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val steps = Seq("signup", "view", "click", "purchase")
+    val stepIdx = steps.zipWithIndex.toMap
+    val dayMicros = 24L * 3600L * 1000000L
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val events = streamEvents(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isInCollection(steps))
+      .as[(Long, Long, String, java.sql.Timestamp)]
+    // State is four epoch-micros stamps (0 = unfilled): exact fixture
+    // precision in a plainly-encodable product (getTime millis would
+    // truncate; an object-array state has no implicit encoder).
+    val updated = events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long, Long), (Long, Int)](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val st = state.getOption
+            .map(s => Array(s._1, s._2, s._3, s._4))
+            .getOrElse(Array.fill(4)(0L))
+          val sorted = rows.toSeq.sortWith { (a, b) =>
+            a._4.before(b._4) || (a._4.equals(b._4) && a._2 < b._2)
+          }
+          sorted.foreach { r =>
+            val i = stepIdx(r._3)
+            val t = micros(r._4)
+            if (st(i) == 0L) {
+              if (i == 0) st(0) = t
+              else if (st(i - 1) != 0L &&
+                t > st(i - 1) && t <= st(i - 1) + dayMicros) st(i) = t
+            }
+          }
+          state.update((st(0), st(1), st(2), st(3)))
+          (user, st.takeWhile(_ != 0L).length)
+      }
+      .toDF("user_id", "max_step")
+    val perUser = runToMemory(updated, "update")
+      .groupBy(col("user_id")).agg(max(col("max_step")).as("max_step"))
+    steps.zipWithIndex.map { case (step, i) =>
+      perUser.filter(col("max_step") >= i + 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(step).as("event_type"), col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy("step")
+  }
+
   private def statefulCount(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
@@ -628,6 +690,7 @@ object Streaming extends QueryModule {
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
       FROM events
       ORDER BY user_id, valid_from, event_id""")),
+    "s_funnel" -> QueryDef(funnelStream, Some(graft.ops.Behavior.funnelOracle)),
     "s_stateful_count" -> QueryDef(statefulCount, Some("""
       SELECT user_id, count(*) AS n_events, max(ts) AS last_ts
       FROM events GROUP BY user_id ORDER BY user_id""")),
