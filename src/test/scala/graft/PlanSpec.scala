@@ -333,6 +333,64 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("q_star_join pushes the date window to the orders scan and broadcasts dims") {
+    // The Q5-shape cascade: the year filter must reach the orders scan's
+    // PushedFilters (pruning row groups before any join), the pre-reduced
+    // region⋈nation dim must arrive as a broadcast (never a shuffle of the
+    // fact side against a 5-row table), the aggregate partial-aggregates,
+    // and nothing degrades to a cartesian/nested-loop.
+    val p = plan("q_star_join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_bm25 plans top-k, broadcast stats, and partial-agg'd counts") {
+    // The rank cut must be TakeOrderedAndProject (per-partition top-10,
+    // never a global sort of every scored doc); the 1-row corpus stats
+    // ride the hinted BroadcastNestedLoopJoin (an unhinted crossJoin
+    // would be a CartesianProduct); df broadcasts (|query| rows); tf and
+    // df both partial-aggregate before their exchanges.
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_stats_corr merges co-moment buffers through one exchange") {
+    // Every second-moment aggregate must partial-aggregate map-side (the
+    // shuffle carries one co-moment buffer per group, never rows) and the
+    // whole profile is a single hash exchange.
+    val p = plan("q_stats_corr")
+    assert(p.contains("partial_corr") && p.contains("partial_covar_samp") &&
+      p.contains("partial_stddev_samp"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_topk_sketch moves only sketches after the scan") {
+    // The accumulate must partial-aggregate before the per-day exchange
+    // and the combine before the single-partition exchange — the ONLY
+    // exchanges are (day, sketch) rows and one combined sketch; raw
+    // events never shuffle.
+    val p = plan("q_topk_sketch")
+    assert(p.contains("partial_approx_top_k_accumulate"), p)
+    assert(p.contains("partial_approx_top_k_combine"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_sessionize runs both windows and the session aggregate on one exchange") {
+    // Gap flag, running session index, and the per-(user, session)
+    // aggregate all consume the SAME user_id hash exchange (partitioning
+    // on a prefix of the group keys co-locates the groups) — the whole
+    // operator shuffles the events once.
+    val p = plan("q_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_min"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.

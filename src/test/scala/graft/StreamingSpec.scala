@@ -34,6 +34,14 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamRes.nonEmpty && streamRes.toSeq == batchRes.toSeq)
   }
 
+  test("s_funnel equals q_funnel on the same data (CEP state == staged joins)") {
+    // The keyed-state sequence detector and the batch min-join cascade
+    // are two plans for one semantic; bounded input must converge them.
+    val streamRes = SparkEntry.queries("s_funnel")(spark, sf).collect()
+    val batchRes = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    assert(streamRes.nonEmpty && streamRes.toSeq == batchRes.toSeq)
+  }
+
   test("stateful query output is state-store-provider-agnostic (RocksDB == default)") {
     // The state store is a deployment knob, not a semantic: the same
     // mapGroupsWithState query must produce identical output on the
