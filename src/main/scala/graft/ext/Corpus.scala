@@ -121,7 +121,15 @@ object Corpus extends QueryModule {
     * is IEEE-identical cross-engine; round(4) before the rank order makes
     * the top-10 cut deterministic with the doc_id tiebreak.
     */
-  private def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+  private def bm25(spark: SparkSession, sfDir: String): DataFrame =
+    bm25Scores(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+
+  /** (doc_id, score) for every document matching >= 1 query term —
+    * shared with q_hybrid_rank's lexical leg (ext/Similarity.scala).
+    */
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents")
     val toks = d.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
@@ -138,8 +146,6 @@ object Corpus extends QueryModule {
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
       .agg(round(sum(weight), 4).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
   }
 
   /** Target-mixture resampling (domain mixing): even-numbered sources get

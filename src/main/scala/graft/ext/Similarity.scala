@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -521,7 +522,88 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (k=60) of the lexical
+    * BM25 ranking (q_bm25's scorer) and the embedding-cosine ranking
+    * (q_similarity_topk's scorer) into one result list: the
+    * two-retriever stack every RAG/search pipeline runs, as a query.
+    *
+    * Scale design: each leg cuts to its top-100 FIRST via
+    * TakeOrderedAndProject (distributed per-partition top-k — the same
+    * primitive as q_sort_limit), so the rank windows and the fusion join
+    * run over two bounded 100-row lists — RRF's production shape (fuse
+    * retrieved lists, never corpus-wide rank tables). The global
+    * row_number windows are therefore single-partition over <= 100 rows
+    * by construction. Ranks sit on round(4) scores with doc_id
+    * tiebreaks, so both the cut and the fused order are deterministic
+    * cross-engine.
+    */
+  private def hybridRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val lex = Corpus.bm25Scores(spark, sfDir)
+      .orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("r_lex"))
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("ae"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id").as("doc_id"),
+        round(cosineUdf(col("embedding"), col("ae")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(100)
+      .withColumn("r_sem",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast(LongType))
+      .select(col("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)), 6).as("rrf"),
+        col("r_lex"), col("r_sem"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_hybrid_rank" -> QueryDef(hybridRank, Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+      st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+             WHERE term IN ('spark', 'join', 'merge') GROUP BY doc_id, term),
+      dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      lex_all AS (
+        SELECT doc_id,
+               round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * (tf * (1.2 + 1.0))
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY doc_id),
+      lex100 AS (SELECT doc_id, score FROM lex_all ORDER BY score DESC, doc_id LIMIT 100),
+      lex AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+              FROM lex100),
+      vterms AS (
+        SELECT e.vec_id,
+               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM embeddings e,
+             (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0) a,
+             range(1, 65) t(i)
+        WHERE e.vec_id <> 0),
+      sims AS (
+        SELECT vec_id AS doc_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+        FROM vterms GROUP BY vec_id),
+      sem100 AS (SELECT doc_id, cos_sim FROM sims ORDER BY cos_sim DESC, doc_id LIMIT 100),
+      sem AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_sem
+              FROM sem100)
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + r_lex), 0) + COALESCE(1.0 / (60 + r_sem), 0), 6) AS rrf,
+             r_lex, r_sem
+      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+      ORDER BY rrf DESC, doc_id LIMIT 10""")),
     "q_semdedup" -> QueryDef(semdedup, None),
     "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)

@@ -168,6 +168,24 @@ object Aggregates extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Ordered string aggregation — Spark 4's `listagg ... WITHIN GROUP`
+    * (the SQL-standard export/reporting shape: one delimited, ordered
+    * string per group). Deliberately group-buffering BY CONTRACT — the
+    * output row IS the concatenation — so the at-scale rule is the same
+    * as q_ngram_jaccard's bounded pairs: apply it to bounded groups (here
+    * a keyed slice of customers); unbounded concatenation is a file sink,
+    * not an aggregate. The WITHIN GROUP order makes the result
+    * deterministic regardless of partition layout.
+    */
+  private def listaggNames(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)").as("names"))
+      .orderBy("c_mktsegment")
+
   /** Mergeable top-k sketch (Spark 4's approx_top_k family) — the third
     * leg of the sketch block next to q_hll_union (distinct) and
     * q_cms_heavy_hitters (point frequency): per-day
@@ -282,6 +300,11 @@ object Aggregates extends QueryModule {
       SELECT 'value', n_rows, value_nulls, value_nd, value_min, value_max FROM m
       ORDER BY col_name""")),
     "q_hll_union" -> QueryDef(hllUnion, None),
+    "q_listagg" -> QueryDef(listaggNames, Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             string_agg(c_name, ',' ORDER BY c_name) AS names
+      FROM customer WHERE c_custkey <= 200
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
     "q_topk_sketch" -> QueryDef(topkSketch, Some("""
       SELECT event_type, count(*) AS n FROM events
       GROUP BY event_type ORDER BY n DESC, event_type""")),

@@ -28,6 +28,25 @@ object Windows extends QueryModule {
       .orderBy("p_brand", "p_partkey")
   }
 
+  /** Distribution window functions — percent_rank and cume_dist, the
+    * relative-position family complementing q_win_rank's ordinal ranks
+    * (where does this order sit within its priority class?). Both are
+    * exact integer ratios ((rank-1)/(n-1), rows_le/n) evaluated in one
+    * double division, so the cross-engine compare needs no rounding —
+    * bit-identical by construction. Same single-exchange window shape as
+    * every other entry in this family.
+    */
+  private def winDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   private def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables(spark, sfDir, "events")
@@ -102,6 +121,13 @@ object Windows extends QueryModule {
       FROM part
       WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
       ORDER BY p_brand, p_partkey""")),
+    "q_win_distribution" -> QueryDef(winDistribution, Some("""
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             percent_rank() OVER w AS pct_rank,
+             cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""")),
     "q_win_lag_lead" -> QueryDef(winLagLead, Some("""
       SELECT user_id, event_id, round(value, 2) AS value,
              round(lag(value, 1) OVER w, 2) AS prev_value,

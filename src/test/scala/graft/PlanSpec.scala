@@ -391,6 +391,30 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("partial_min"), p)
   }
 
+  test("q_win_distribution windows and re-sorts on one hash exchange") {
+    val p = plan("q_win_distribution")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("percent_rank") && p.contains("cume_dist"), p)
+  }
+
+  test("q_listagg partial-aggregates the ordered concat buffers map-side") {
+    // listagg buffers per-group element lists in partial mode too — the
+    // exchange carries one buffer per (mapper, group), not raw rows.
+    val p = plan("q_listagg")
+    assert(p.contains("partial_listagg"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_hybrid_rank cuts both retriever legs to top-100 before ranking") {
+    // Each leg must reduce through TakeOrderedAndProject(limit=100) BEFORE
+    // its rank window — the windows then run over bounded lists (RRF's
+    // fuse-retrieved-lists shape), never corpus-wide rank tables.
+    val p = plan("q_hybrid_rank")
+    assert("TakeOrderedAndProject\\(limit=100".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("TakeOrderedAndProject(limit=10,"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
