@@ -115,6 +115,50 @@ class BehaviorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q_sessionize matches the naive gaps-and-islands evaluation on random event sets") {
+    for (seed <- 1 to 5) {
+      val events = randomEvents(seed, 400)
+      val got = runOn(events, "q_sessionize").map { r =>
+        (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getLong(4), r.getDouble(5))
+      }.toSeq
+
+      val naive = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.tsMs, e.event_id))
+        val sessions = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Ev]]
+        var prev = Option.empty[Long]
+        sorted.foreach { e =>
+          if (prev.isEmpty || e.tsMs > prev.get + 30 * 60 * 1000L)
+            sessions += scala.collection.mutable.ArrayBuffer(e)
+          else sessions.last += e
+          prev = Some(e.tsMs)
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong, s.map(_.tsMs).min, s.map(_.tsMs).max,
+            s.size.toLong, s.map(_.value).sum)
+        }
+      }.sortBy(t => (t._1, t._2))
+
+      assert(got.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+        naive.map(t => (t._1, t._2, t._3, t._4, t._5)), s"seed=$seed")
+      // Value sums compare with a tolerance straddling the round(2):
+      // Spark's partial-sum order differs from the sequential fold.
+      got.zip(naive).foreach { case (g, n) =>
+        assert(math.abs(g._6 - n._6) < 0.006, s"seed=$seed $g vs $n")
+      }
+    }
+  }
+
+  test("sessionize gap boundary: exactly 30 min continues, 30 min + 1 ms splits") {
+    val base = 1700000000000L
+    def ev(id: Long, ms: Long) = Ev(id, ms * 1000000L, 1L, "view", 1.0, "{}")
+    val cont = runOn(Seq(ev(0, base), ev(1, base + 30 * 60 * 1000L)), "q_sessionize")
+    assert(cont.length == 1 && cont.head.getLong(4) == 2L)
+    val split = runOn(Seq(ev(0, base), ev(1, base + 30 * 60 * 1000L + 1)), "q_sessionize")
+    assert(split.length == 2 && split.forall(_.getLong(4) == 1L))
+  }
+
   test("q_event_transitions matches the naive lead-pair evaluation and rows sum to n - users") {
     for (seed <- 1 to 5) {
       val events = randomEvents(seed, 400)
