@@ -368,9 +368,23 @@ object Similarity extends QueryModule {
       : DataFrame =
     semdedupPruneCells(semdedupCells(embeddings, targetCell), tau)
 
+  /** Above this many cells the flat Lloyd loop's ASSIGNMENT step (n·k
+    * distances per scan — Θ(n²/targetCell) when k = n/targetCell) costs
+    * more than the pair work it exists to bound; switch to the two-level
+    * build. 256 keeps every driver fixture and spec corpus on the flat
+    * path (bit-compatible with the original) and routes scale runs to the
+    * hierarchy. The 100× receipt that forced this: flat assignment was
+    * 322 s warm at 200k vectors; two-level is Θ(n·√k) per scan.
+    */
+  private val FlatCellLimit = 256
+
   /** The cluster stage: constant-target-size k-means cells (2 Lloyd
     * iterations over deterministic lowest-id seeds). Split out so the
     * spec's naive twin can prune the SAME cell assignment it verifies.
+    * Small corpora run the flat loop; past FlatCellLimit cells the build
+    * is hierarchical (coarse √k quantizer, then per-coarse-cell fine
+    * cells) — same constant-64 cell semantics, Θ(n^1.5) total instead of
+    * Θ(n²).
     */
   private[graft] def semdedupCells(embeddings: DataFrame, targetCell: Int)
       : DataFrame = {
@@ -382,11 +396,92 @@ object Similarity extends QueryModule {
     try {
       val n = e.count()
       val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
-      val (cents, _) = kmeansRefine(e, seedCentroidsK(e, k), iters = 2)
-      val cells = ivfBuildWith(e, cents).cells
+      if (k <= FlatCellLimit) {
+        val (cents, _) = kmeansRefine(e, seedCentroidsK(e, k), iters = 2)
+        val cells = ivfBuildWith(e, cents).cells
+        cells.count()
+        cells
+      } else hierarchicalCells(e, k, targetCell)
+    } finally { e.unpersist(); () }
+  }
+
+  /** Two-level cell build: a coarse √k quantizer (trained like the flat
+    * path) splits the corpus once, then each coarse cell gets its own
+    * fine cells seeded from every targetCell-th member and refined with
+    * two GROUPED Lloyd iterations — the assignment closure looks up only
+    * the fine centroids of the row's coarse cell, so each scan costs
+    * n·(√k + k/√k) distances instead of n·k. The one vector exchange
+    * (the seed window's ccell shuffle) is the same co-location the prune
+    * stage needs anyway. Driver/closure state is the k×Dim fine-centroid
+    * map (~256 B per cell — MBs until corpus sizes where the map itself
+    * outgrows a broadcast, at which point the assignment becomes a
+    * co-partitioned join of vectors against centroids on ccell; the
+    * grouped recompute below already has exactly that shape).
+    */
+  private def hierarchicalCells(e: DataFrame, k: Int, targetCell: Int)
+      : DataFrame = {
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val (coarse, _) = kmeansRefine(e, seedCentroidsK(e, k1), iters = 2)
+    val cAssign = udf { (emb: Array[Float]) =>
+      var best = 0; var bestSim = Double.MinValue; var ci = 0
+      while (ci < coarse.length) {
+        val s = cosineKernel(coarse(ci), emb)
+        if (s > bestSim) { bestSim = s; best = ci }
+        ci += 1
+      }
+      best
+    }
+    val assigned = e.withColumn("ccell", cAssign(col("embedding"))).persist()
+    try {
+      val w = Window.partitionBy("ccell").orderBy("vec_id")
+      val seedRows = assigned
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") - 1) % targetCell === 0)
+        .select(col("ccell"),
+          ((col("rn") - 1) / targetCell).cast(IntegerType).as("fcell"),
+          col("embedding"))
+        .collect()
+      var fine: Map[Int, Array[Array[Float]]] =
+        seedRows.groupBy(_.getInt(0)).map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+        }
+      def assignUdfFor(cents: Map[Int, Array[Array[Float]]]) =
+        udf { (c: Int, emb: Array[Float]) =>
+          val arr = cents(c)
+          var best = 0; var bestSim = Double.MinValue; var ci = 0
+          while (ci < arr.length) {
+            val s = cosineKernel(arr(ci), emb)
+            if (s > bestSim) { bestSim = s; best = ci }
+            ci += 1
+          }
+          best
+        }
+      for (_ <- 0 until 2) {
+        val fAssign = assignUdfFor(fine)
+        val stats = assigned
+          .select(col("ccell"), fAssign(col("ccell"), col("embedding")).as("fcell"),
+            col("embedding"))
+          .groupBy("ccell", "fcell")
+          .agg(array((0 until Dim).map(i => avg(col("embedding").getItem(i))): _*)
+            .as("mean"))
+          .collect()
+        val next = fine.map { case (c, arr) => c -> arr.map(_.clone()) }
+        stats.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).map(_.toFloat).toArray
+        }
+        fine = next
+      }
+      val fAssign = assignUdfFor(fine)
+      // Combined cell id: coarse in the high bits — fine ids stay below
+      // 2^20 until a single coarse cell holds 64M vectors.
+      val cells = assigned
+        .select(col("vec_id"), col("embedding"),
+          (shiftleft(col("ccell").cast(LongType), 20) +
+            fAssign(col("ccell"), col("embedding"))).as("cell"))
+        .persist()
       cells.count()
       cells
-    } finally { e.unpersist(); () }
+    } finally { assigned.unpersist(); () }
   }
 
   /** The prune stage over an assigned-cell corpus (dominance rule). */

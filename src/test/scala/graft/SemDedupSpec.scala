@@ -87,6 +87,40 @@ class SemDedupSpec extends AnyFunSuite with SparkTest {
     (0 until NPlanted).foreach(i => assert(!result(i.toLong), s"original $i removed"))
   }
 
+  test("hierarchical cell build preserves the prune contract (forced two-level path)") {
+    // A 600-vector corpus at targetCell=2 pushes k past FlatCellLimit, so
+    // this exercises the two-level build (coarse sqrt(k) quantizer + per-
+    // coarse-cell fine Lloyd) that scale runs take. Contract: every
+    // vector lands in exactly one cell and the distributed prune still
+    // matches the naive dominance rule on those cells.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val base = (0 until 600).map { i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val big = base ++ (0 until NPlanted).map { i =>
+      (2000L + i, base(i)._2.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.02f))
+    }
+    val cells = Similarity.semdedupCells(big.toDF("vec_id", "embedding"),
+      targetCell = 2).persist()
+    try {
+      val assigned = cells.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+      assert(assigned.length == big.size)
+      assert(assigned.map(_._1).distinct.length == assigned.length)
+
+      val staged = Similarity.semdedupPruneCells(cells, Tau)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val naive = assigned.map { case (id, emb, cell) =>
+        id -> assigned.exists { case (id2, emb2, cell2) =>
+          cell2 == cell && id2 < id && cos(emb2, emb) >= Tau
+        }
+      }.toMap
+      assert(staged == naive,
+        s"staged!=naive on ${staged.keySet.filter(k => staged(k) != naive(k))}")
+    } finally { cells.unpersist(); () }
+  }
+
   test("survivors are pairwise non-duplicate within every cell") {
     import spark.implicits._
     val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
