@@ -204,7 +204,14 @@ object Aggregates extends QueryModule {
       .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
       .groupBy("dt")
       .agg(expr("approx_top_k_accumulate(event_type, 5)").as("sk"))
-    daily.agg(expr("approx_top_k_combine(sk)").as("cs"))
+    // coalesce(1), not an exchange: the day partials are a handful of
+    // sketch rows, and Spark 4.1.2's ApproxTopKCombine crashes
+    // (MatchError on an uninitialized buffer) when an EMPTY partition
+    // feeds its partial serialize — AQE usually coalesces the empties
+    // away, but a fixed-partition run (AQE off) hits it. One nonempty
+    // partition makes the combine layout-independent.
+    daily.coalesce(1)
+      .agg(expr("approx_top_k_combine(sk)").as("cs"))
       .select(explode(expr("approx_top_k_estimate(cs, 5)")).as("e"))
       .select(col("e.item").as("event_type"), col("e.count").as("n"))
       .orderBy(col("n").desc, col("event_type"))
