@@ -34,7 +34,25 @@ object ScaleGen {
       val shifted =
         if (name == "events") shifted0.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
         else shifted0
-      shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (name == "events") {
+        // The streaming sources glob `events.parquet` as a single FILE
+        // (the driver-fixture shape); a parquet DIRECTORY reads 0 rows
+        // there. Write one part and move it into place so s_* entries can
+        // be profiled at scale too.
+        val tmp = s"$out/_events_tmp"
+        shifted.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
+        fs.delete(dest, true)
+        fs.rename(part, dest)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      } else {
+        shifted.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
       println(s"[scalegen] $name x$factor -> ${shifted.count()} rows")
     }
     def copy(name: String): Unit = if (wanted(name))

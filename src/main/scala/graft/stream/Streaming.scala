@@ -81,8 +81,8 @@ object Streaming extends QueryModule {
     * batch-driven smoke mode; the same code runs continuously with a
     * processing-time trigger in production.
     */
-  private def runToMemory(df: DataFrame, mode: String): DataFrame =
-    withFewPartitions(df.sparkSession, 8) {
+  private def runToMemory(df: DataFrame, mode: String, partitions: Int = 8): DataFrame =
+    withFewPartitions(df.sparkSession, partitions) {
       val name = "ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream
         .format("memory").queryName(name)
@@ -93,6 +93,20 @@ object Streaming extends QueryModule {
       q.awaitTermination()
       df.sparkSession.table(name)
     }
+
+  /** State partitioning is a deployment knob, not a semantic (see
+    * withFewPartitions): tiny driver fixtures want few state stores (the
+    * per-partition fixed cost dominates), scale fixtures want the
+    * session's full parallelism (sequential state ops dominate). Sized
+    * from the events file so the same entry is honest at both — measured
+    * on s_session at 20x: 8 partitions 64 s, 32 partitions restore the
+    * scan-bound cost.
+    */
+  private def statePartitionsFor(spark: SparkSession, sfDir: String): Int = {
+    val f = new java.io.File(s"$sfDir/events.parquet")
+    if (f.isFile && f.length() > 5L * 1024 * 1024) spark.sparkContext.defaultParallelism
+    else 8
+  }
 
   // ---- R1→R6: the reference pipeline, end to end ------------------------
 
@@ -232,7 +246,7 @@ object Streaming extends QueryModule {
         .withWatermark("ts", "30 minutes")
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events")),
-      "append")
+      "append", statePartitionsFor(spark, sfDir))
       .select(col("user_id"), col("sw.start").as("session_start"), col("n_events"))
       .orderBy("user_id", "session_start")
 
@@ -443,7 +457,7 @@ object Streaming extends QueryModule {
           out.iterator
       }
       .toDF("user_id", "event_id", "event_type", "value", "valid_from", "valid_to")
-    runToMemory(emitted, "update")
+    runToMemory(emitted, "update", statePartitionsFor(spark, sfDir))
       .groupBy(col("user_id"), col("event_id"), col("event_type"), col("value"),
         col("valid_from"))
       .agg(max(col("valid_to")).as("valid_to"))
@@ -506,7 +520,7 @@ object Streaming extends QueryModule {
           (user, st.takeWhile(_ != 0L).length)
       }
       .toDF("user_id", "max_step")
-    val perUser = runToMemory(updated, "update")
+    val perUser = runToMemory(updated, "update", statePartitionsFor(spark, sfDir))
       .groupBy(col("user_id")).agg(max(col("max_step")).as("max_step"))
     steps.zipWithIndex.map { case (step, i) =>
       perUser.filter(col("max_step") >= i + 1)
@@ -540,7 +554,7 @@ object Streaming extends QueryModule {
       .toDF("user_id", "n_events", "last_ts")
     // Update mode re-emits a user's state every micro-batch; the final
     // state has the largest n (monotone), so max() folds re-emissions.
-    runToMemory(updated, "update")
+    runToMemory(updated, "update", statePartitionsFor(spark, sfDir))
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"), max(col("last_ts")).as("last_ts"))
       .orderBy("user_id")
@@ -564,7 +578,7 @@ object Streaming extends QueryModule {
     val doubled = side().union(side())
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    runToMemory(doubled, "append")
+    runToMemory(doubled, "append", statePartitionsFor(spark, sfDir))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")
@@ -594,7 +608,7 @@ object Streaming extends QueryModule {
     val joined = clicks.join(views,
         expr("user_id = v_user AND view_ts <= click_ts AND view_ts > click_ts - INTERVAL 60 MINUTE"))
       .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
-    runToMemory(joined, "append")
+    runToMemory(joined, "append", statePartitionsFor(spark, sfDir))
       .orderBy("user_id", "click_id", "view_id")
   }
 
@@ -625,7 +639,7 @@ object Streaming extends QueryModule {
         "leftOuter")
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
-    runToMemory(joined, "append")
+    runToMemory(joined, "append", statePartitionsFor(spark, sfDir))
       .orderBy("user_id", "view_id", "click_id")
   }
 
