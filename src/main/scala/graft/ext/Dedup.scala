@@ -26,6 +26,32 @@ object Dedup extends QueryModule {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Incremental ingestion dedup — the production shape of exact dedup:
+    * a NEW batch (here doc_id >= 400 as the arriving slice) dedups
+    * against the EXISTING corpus via its digest index (doc_id < 400),
+    * plus first-wins within the batch, without ever re-reading corpus
+    * text. At 100 TB the index side is the persisted 16-byte-digest
+    * table a pipeline maintains across ingests (q_dedup_exact's output
+    * contract); both the anti join and the within-batch window shuffle
+    * digests+ids only — text never rides an exchange (PlanSpec-pinned),
+    * and each new batch costs O(batch) + an index probe, never a corpus
+    * re-scan.
+    */
+  private def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents")
+    val index = d.filter(col("doc_id") < 400)
+      .select(md5(col("text")).as("digest")).distinct()
+    val batch = d.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest")).orderBy(col("doc_id"))
+    batch.join(index, Seq("digest"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("digest"))
+      .orderBy("doc_id")
+  }
+
   private def dedupExactRows(spark: SparkSession, sfDir: String): DataFrame = {
     // Survivor rows (first doc_id per content hash) — what a curation
     // pipeline actually forwards downstream.
@@ -461,6 +487,16 @@ object Dedup extends QueryModule {
     "q_dedup_exact" -> QueryDef(dedupExact, Some("""
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+    "q_dedup_incremental" -> QueryDef(dedupIncremental, Some("""
+      WITH idx AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 400),
+      batch AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id >= 400),
+      fresh AS (SELECT b.* FROM batch b
+                WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.digest = b.digest)),
+      survivors AS (
+        SELECT doc_id, digest,
+               row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM fresh)
+      SELECT doc_id, digest FROM survivors WHERE rn = 1 ORDER BY doc_id""")),
     "q_dedup_exact_rows" -> QueryDef(dedupExactRows, Some("""
       SELECT doc_id, lang, source, n_chars FROM (
         SELECT doc_id, lang, source, n_chars,

@@ -415,6 +415,15 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_incremental probes the index with digests only (anti join, no text)") {
+    // Each ingest batch must cost O(batch) + an index probe: the anti
+    // join and the within-batch window shuffle 16-byte digests + ids,
+    // never document text.
+    val p = plan("q_dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assertNoColsOnExchanges(p, Seq("text"))
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
