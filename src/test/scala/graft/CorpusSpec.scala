@@ -10,6 +10,35 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CorpusSpec extends AnyFunSuite with SparkTest {
 
+  test("bm25 ranking is partition-layout independent and total on hostile docs") {
+    // The determinism claim behind q_bm25's oracle: every score input is
+    // integer-derived, so the ranked output cannot depend on how rows
+    // are split across partitions — and degenerate documents (empty
+    // text, single token, no query hits) must score or drop cleanly,
+    // never crash.
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val body = i % 4 match {
+        case 0 => "spark join merge spark"
+        case 1 => "" // empty text
+        case 2 => "spark" // single token
+        case _ => "alpha beta gamma" // no query hits
+      }
+      (i, body, "en", s"src${i % 3}", body.length.toLong)
+    }
+    def runWith(parts: Int): Seq[(Long, Double)] = {
+      val dir = graft.core.TempDirs.create("graft_bm25_spec")
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      SparkEntry.queries("q_bm25")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val one = runWith(1)
+    val seven = runWith(7)
+    assert(one.nonEmpty && one == seven)
+  }
+
   test("domain mix survives hostile source names (try_cast fallback weight)") {
     import spark.implicits._
     val docs = Seq(
