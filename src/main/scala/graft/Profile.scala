@@ -15,6 +15,12 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
+      // The streaming entries verify through a MEMORY sink (a driver
+      // table) by harness design; at 100x an O(input)-output entry like
+      // s_scd2 emits ~10M rows, tripping the default 1g collect cap.
+      // Raising it here is a local-harness setting (128 GiB driver) —
+      // production sinks are files (s_pipeline), not driver memory.
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
