@@ -58,6 +58,15 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Host-noise sentinel: one fixed canary timed immediately before and
+    // after the sweep. The canary is steady-state by construction (the
+    // JIT warm-up above already compiled it), so a >1.5x divergence
+    // between its two timings can only be host state — the record is
+    // stamped noisy:true and should not be adopted as a regression
+    // baseline. Chosen canary: q_agg_group, a partial-agg'd scan with no
+    // caches or temp dirs, so both timings measure the same work.
+    val canaryBefore = time("q_agg_group")
+    System.err.println(f"[bench] canary (pre-sweep)     $canaryBefore%8.2f s")
     val first = SparkEntry.queries.keys.toSeq.map { name =>
       val dt = time(name)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
@@ -103,6 +112,10 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s (warm)")
       name -> dt
     }.toMap
+    val canaryAfter = time("q_agg_group")
+    val noisy = math.max(canaryBefore, canaryAfter) >
+      1.5 * math.max(0.05, math.min(canaryBefore, canaryAfter))
+    System.err.println(f"[bench] canary (post-sweep)    $canaryAfter%8.2f s  noisy=$noisy")
     // Full-precision per-query timings for post-hoc analysis. The driver
     // only keeps the LAST 2000 characters of the run log, so the stdout
     // line below must be size-bounded; this sidecar carries everything.
@@ -110,7 +123,8 @@ object Bench {
       results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""", ",", "},") +
       results.map { case (k, _) => s"\"" + k + "\":" + warm(k) }
-        .mkString(s""""warm":{""", ",", s"""},"sf":"$sfDir"}""")
+        .mkString(s""""warm":{""", ",",
+          s"""},"canary":{"before":$canaryBefore,"after":$canaryAfter},"noisy":$noisy,"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullJson) finally w.close()
@@ -131,7 +145,7 @@ object Bench {
     // to the total; bench_full.json has the omitted per-query numbers.
     val sfTag = new java.io.File(sfDir).getName
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    val tailStr = s"""},"sf":"$sfTag"}"""
+    val tailStr = s"""},"noisy":$noisy,"sf":"$sfTag"}"""
     val budget = 1800 - head.length - tailStr.length - 30 // 30 = room for the "_other" entry
     val desc = results.sortBy(-_._2)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]

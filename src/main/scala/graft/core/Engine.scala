@@ -56,20 +56,37 @@ object Engine {
   * the reference's row-format text files, HdfsSink.java:117-119).
   */
 object Tables {
-  import org.apache.spark.sql.functions.{expr, timestamp_micros}
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects outright. Read nanos as raw long and truncate to
-    // microseconds — the same ns→µs truncation DuckDB applies, so the
-    // oracle sees identical values.
+    // events.ts has shipped in different physical layouts across fixture
+    // generations: TIMESTAMP(NANOS) (readable only as raw long via
+    // nanosAsLong — Spark's vectorized reader rejects nanos outright) and
+    // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). The
+    // conf is set BEFORE the read so a nanos file infers as long, then
+    // normalizeEventsTs dispatches on whichever type actually arrived.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events") normalizeEventsTs(df)
     else df
+  }
+
+  /** Normalize every ts layout to session-zone TimestampType at
+    * microsecond precision, so all downstream queries — and the DuckDB
+    * oracle, which reads the same file as a naive timestamp — see
+    * identical values: raw nanos long → ns÷1000 µs (the truncation DuckDB
+    * applies to nanos); TIMESTAMP_NTZ → cast in the UTC session (same
+    * wall clock, same instant); TimestampType (ScaleGen-written fixtures)
+    * passes through.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
 }

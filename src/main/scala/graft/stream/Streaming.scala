@@ -31,26 +31,23 @@ import graft.core.{QueryDef, QueryModule}
   */
 object Streaming extends QueryModule {
 
-  /** events schema for the file stream; `ts` arrives as raw TIMESTAMP(NANOS)
-    * int64 (read via nanosAsLong, truncated ns→µs exactly like
-    * core.Tables so streaming and batch twins see identical values).
+  /** R1 stand-in: unbounded reader over the events fixture. The file
+    * stream needs an explicit schema; infer it from a batch footer read
+    * of the same file (driver-side, one footer) so the stream handles
+    * every ts layout the fixtures have shipped with — TIMESTAMP(NANOS)
+    * read as raw long via nanosAsLong, TIMESTAMP_NTZ micros, or plain
+    * TIMESTAMP — normalized identically to the batch path
+    * (core.Tables.normalizeEventsTs), so streaming and batch twins see
+    * identical values.
     */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** R1 stand-in: unbounded reader over the events fixture. */
   def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet") // source path must be a directory
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventsTs(raw)
   }
 
   private def tmpDir(prefix: String): String =

@@ -131,34 +131,10 @@ class CdcSpec extends AnyFunSuite with SparkTest {
   }
 
   test("envelope fuzz: garbage, truncated, and type-confused input never kills a task") {
-    import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
-
-    val valid = update
-    // Type confusion: every envelope field with the WRONG JSON type, plus
-    // hostile es values (the overflow fuzz found timestamp_millis throwing
-    // under ANSI before the range guard in eventTimeDt).
-    val confused = Gen.oneOf(
-      """{"id": "notanumber", "es": [], "ts": {}, "type": 7, "isDdl": "false", "data": [{"id": "1"}]}""",
-      s"""{"id": 1, "es": ${Long.MaxValue}, "ts": 1, "type": "UPDATE", "isDdl": "false", "data": [{"id": "1"}]}""",
-      s"""{"id": 1, "es": ${Long.MinValue}, "ts": 1, "type": "UPDATE", "isDdl": "false", "data": [{"id": "1"}]}""",
-      """{"id": 1, "es": -9223372036854776, "ts": 1, "type": "UPDATE", "isDdl": "false", "data": [{"id": "1"}]}""",
-      """{"id": 1, "es": 99999999999999999999999999, "ts": 1, "type": "UPDATE", "isDdl": "false", "data": [{"id": "1"}]}""",
-      """{"id": 1, "es": "soon", "ts": 1, "type": "UPDATE", "isDdl": "false", "data": [{"id": "1"}]}""",
-      """{"isDdl": "false", "data": 42}""",
-      """{"isDdl": "false", "data": {"id": "1"}}""",
-      """{"isDdl": "false", "data": [1, 2, 3]}""",
-      """{"isDdl": "false", "data": [{"id": {"nested": true}}]}""",
-      """{"isDdl": false, "data": [{"id": "1"}]}""",
-      """{"isDdl": "false", "data": [null]}""")
-    val garbage = Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString)
-    val truncated = Gen.choose(0, valid.length).map(valid.take)
-    val gen = Gen.listOfN(40, Gen.frequency(
-      3 -> garbage, 3 -> truncated, 3 -> confused, 1 -> Gen.const(valid)))
-
+    // Corpus shared with the streaming twin (StreamingSpec) — see
+    // EnvelopeFuzz for the garbage/truncated/type-confused construction.
     (1L to 10L).foreach { seed =>
-      val raw = gen.apply(Gen.Parameters.default, Seed(seed))
-        .getOrElse(sys.error(s"gen failed for seed $seed"))
+      val raw = EnvelopeFuzz.corpus(seed)
       // Must not throw — and every surviving row sits in a well-formed
       // bucket: dt is either a digit-only yyyyMMdd or the dead-letter.
       val out = fuzzPipeline(raw)
@@ -168,7 +144,7 @@ class CdcSpec extends AnyFunSuite with SparkTest {
       }
     }
     // Non-vacuity: the valid envelope itself flows through to its bucket.
-    val ok = fuzzPipeline(Seq(valid))
+    val ok = fuzzPipeline(Seq(EnvelopeFuzz.valid))
     assert(ok.length == 1 && ok.head._1 == "20200324")
   }
 

@@ -242,4 +242,52 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == Set(("click", 3L, 13.0), ("view", 1L, 5.0), ("buy", 1L, 7.0)),
       s"MV after restart must equal the full recompute; got $got")
   }
+
+  test("streaming envelope fuzz: hostile Canal topic dead-letters, never fails the query") {
+    // The streaming twin of CdcSpec's batch fuzz property, over the SAME
+    // hostile corpus (EnvelopeFuzz): the s_cdc_canal pipeline shape —
+    // text topic → parseEnvelope → ddlFilter → flatten → eventTimeDt →
+    // partitioned file sink — must route poison records to the
+    // dead-letter bucket (or drop them cleanly), never fail a micro-batch.
+    // One poison record killing a production topic consumer is the
+    // failure mode the reference guards with its try/catch → dt=00000000
+    // (EventTimeBucketAssigner.java:25-27).
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.cdc.Cdc
+    graft.core.SessionConf.scoped(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      val topicDir = graft.core.TempDirs.create("graft_fuzz_topic")
+      val outDir = graft.core.TempDirs.create("graft_fuzz_out")
+      // 5 deterministic hostile batches + one guaranteed-valid record.
+      // Garbage lines may contain \n/\r — the text source re-frames them
+      // into even more truncated records, which is added hostility, not a
+      // problem; the one-line valid envelope survives framing intact.
+      val lines = ((1L to 5L).flatMap(EnvelopeFuzz.corpus) :+ EnvelopeFuzz.valid)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(topicDir, "topic.txt"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val parsed = Cdc.parseEnvelope(spark.readStream.schema(
+        StructType(Seq(StructField("value", StringType)))).text(topicDir))
+      val shaped = Cdc.flatten(Cdc.ddlFilter(parsed), Seq("id", "city"))
+        .withColumn("dt", Cdc.eventTimeDt(col("es")))
+      val q = shaped.writeStream
+        .format("parquet").partitionBy("dt")
+        .option("path", outDir)
+        .option("checkpointLocation", graft.core.TempDirs.create("graft_fuzz_ckpt"))
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // throws StreamingQueryException on any task failure
+      val out = spark.read.parquet(outDir).select("dt", "line")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      out.foreach { case (dt, line) =>
+        assert(dt == "00000000" || dt.matches("-?\\d{4,}\\d{4}"),
+          s"streamed bucket '$dt' for line '$line'")
+      }
+      // Non-vacuity: the valid envelope reached its event-time bucket.
+      assert(out.exists(_._1 == "20200324"),
+        s"valid envelope missing from sink; buckets=${out.map(_._1).distinct.toSeq}")
+    }
+  }
 }
