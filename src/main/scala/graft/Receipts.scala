@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 receipt harness (not part of the driver contract): the
+  * one-off at-scale measurements VERDICT r7 asked for, committed as a
+  * tool so the numbers are reproducible.
+  *
+  *   runMain graft.Receipts math <sfDir>
+  *     q_math_funcs production-form receipt: oracle form (global ORDER
+  *     BY + HALF_UP rounds) vs the same projection without the sort,
+  *     and without the per-row BigDecimal rounds — the two costs the
+  *     §13 attribution named.
+  *
+  *   runMain graft.Receipts longdocs <outDir> <nDocs> <tokPerDoc>
+  *     Deterministic long-document fixture for production-width span
+  *     dedup: ~9% exact copies (doc_id % 11 == 1 copies its
+  *     predecessor), and docs with seed % 7 == 3 share a 120-token
+  *     window (keyed by seed % 5) at positions 300-419 — so width-50
+  *     spans exist across DISTINCT documents, exercising the gram-index
+  *     path, not just the whole-doc-copy branch.
+  *
+  *   runMain graft.Receipts span <docsParquet> <width>
+  *     Time staged spansOf at the given shingle width over any
+  *     documents table (doc_id, text).
+  *
+  *   runMain graft.Receipts blob <nBlobs> <mbPerBlob>
+  *     MB-scale binaryFile ingestion receipt: seed N deterministic
+  *     blobs of M MiB each (marker-gated), then time the
+  *     q_binary_ingest projection (digest + length, content dies at the
+  *     scan) — the amortized-open economics production blobs have,
+  *     complementing the r7 tiny-blob worst case.
+  */
+object Receipts {
+
+  private def session(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.driver.maxResultSize", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def time(label: String, df: => DataFrame): Unit =
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      // toRdd.count() forces every output column — same honesty as Bench.
+      val n = df.queryExecution.toRdd.count()
+      println(f"[receipt] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+  def main(args: Array[String]): Unit = args(0) match {
+
+    case "math" =>
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "lineitem").queryExecution.toRdd.count()
+      time("math oracle-form (ORDER BY + rounds)", SparkEntry.queries("q_math_funcs")(spark, sfDir))
+      time("math prod-form (no ORDER BY)", graft.ops.Scalars.mathProjection(spark, sfDir))
+      time("math prod-form (no ORDER BY, no rounds)", graft.ops.Scalars.mathProjectionNoRound(spark, sfDir))
+      spark.stop()
+
+    case "longdocs" =>
+      val (out, nDocs, tokPerDoc) = (args(1), args(2).toLong, args(3).toInt)
+      val spark = session()
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("c",
+          when(col("doc_id") % 11 === 1, col("doc_id") - 1).otherwise(col("doc_id")))
+        .withColumn("text", expr(
+          s"""concat_ws(' ', transform(sequence(0, $tokPerDoc - 1),
+             |  i -> CASE WHEN c % 7 = 3 AND i >= 300 AND i < 420
+             |            THEN concat('s', c % 5, '_', i)
+             |            ELSE concat('w', pmod(c * 48271 + i * 40503, 999999937)) END))""".stripMargin))
+        .select("doc_id", "text")
+        .repartition(32)
+        .write.mode("overwrite").parquet(out)
+      println(s"[receipt] longdocs: $nDocs docs x $tokPerDoc tokens -> $out")
+      spark.stop()
+
+    case "span" =>
+      val (docsPath, width) = (args(1), args(2).toInt)
+      val spark = session()
+      val docs = spark.read.parquet(docsPath)
+      docs.queryExecution.toRdd.count()
+      time(s"spansOf staged width=$width", graft.ext.Dedup.spansOf(docs, width))
+      spark.stop()
+
+    case "session" =>
+      // The sessionization scale story: q_session_batch (gaps-and-islands,
+      // ONE user_id exchange) is the production path; s_session's
+      // state-store merge has an inherent ~24 µs/row floor. The RocksDB
+      // leg measures whether the production state store moves that floor.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "events").queryExecution.toRdd.count()
+      time("q_session_batch", SparkEntry.queries("q_session_batch")(spark, sfDir))
+      time("s_session (default state store)", SparkEntry.queries("s_session")(spark, sfDir))
+      graft.core.SessionConf.scoped(spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        time("s_session (RocksDB state store)", SparkEntry.queries("s_session")(spark, sfDir))
+      }
+      spark.stop()
+
+    case "blob" =>
+      val (nBlobs, mbPer) = (args(1).toInt, args(2).toInt)
+      val spark = session()
+      import spark.implicits._
+      val dir = new java.io.File(s"/tmp/graft_blobs_mb/${nBlobs}x${mbPer}mb")
+      val marker = new java.io.File(dir, "_SEEDED")
+      if (!marker.exists()) {
+        graft.core.Warehouse.deleteRecursively(dir)
+        dir.mkdirs()
+        val path = dir.getPath
+        val bytesPer = mbPer * 1024 * 1024
+        spark.range(nBlobs).as[Long].foreachPartition { it: Iterator[Long] =>
+          it.foreach { id =>
+            val buf = new Array[Byte](bytesPer)
+            var j = 0
+            while (j < bytesPer) { buf(j) = ((id * 31 + j) % 251).toByte; j += 1 }
+            java.nio.file.Files.write(java.nio.file.Paths.get(path, s"$id.bin"), buf)
+            ()
+          }
+        }
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+        ()
+      }
+      time(s"binaryFile digest $nBlobs x $mbPer MiB",
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.bin")
+          .load(dir.getPath)
+          .select(
+            regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("digest")))
+      spark.stop()
+
+    case other => sys.error(s"unknown receipt: $other")
+  }
+}

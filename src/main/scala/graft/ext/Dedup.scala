@@ -111,11 +111,15 @@ object Dedup extends QueryModule {
 
   // ---- substring-span dedup -------------------------------------------
 
-  /** Shingle width for span detection. 8 words, matching the
+  /** Default shingle width for span detection. 8 words, matching the
     * decontamination convention (ext/Corpus.scala); production runs ~50
     * tokens (Lee et al.), but the operator is width-independent integer
     * arithmetic and the fixture's ~100-token docs need a width the oracle
-    * actually exercises.
+    * actually exercises. The registry entry uses this default; spansOf /
+    * spansOfNaive take the width as a parameter — DedupSpec pins
+    * staged==naive and exact boundaries at width 50, and `Receipts span`
+    * receipts the production width over a long-document fixture
+    * (`Receipts longdocs`).
     */
   private val SpanGram = 8
 
@@ -145,15 +149,15 @@ object Dedup extends QueryModule {
     * spans). Shared by the naive twin (all docs) and the staged path
     * (representatives only).
     */
-  private def spanIslands(docs: DataFrame, emitFor: DataFrame): DataFrame = {
+  private def spanIslands(docs: DataFrame, emitFor: DataFrame, width: Int = SpanGram): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= SpanGram)
+      .filter(size(col("w")) >= width)
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $SpanGram), " +
-          s"i -> unhex(md5(concat_ws(' ', slice(w, i + 1, $SpanGram)))))"))
+        s"transform(sequence(0, size(w) - $width), " +
+          s"i -> unhex(md5(concat_ws(' ', slice(w, i + 1, $width)))))"))
         .as(Seq("pos", "gh")))
     val dupDigests = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -163,14 +167,14 @@ object Dedup extends QueryModule {
       .join(emitFor, Seq("doc_id"), "left_semi")
       .withColumn("prev", lag(col("pos"), 1).over(w))
       .withColumn("brk",
-        when(col("prev").isNull || col("pos") - col("prev") > SpanGram, 1L)
+        when(col("prev").isNull || col("pos") - col("prev") > width, 1L)
           .otherwise(0L))
       .withColumn("span_id", sum(col("brk")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(
         min(col("pos")).cast(LongType).as("tok_start"),
-        (max(col("pos")) + SpanGram - min(col("pos"))).cast(LongType).as("tok_len"),
+        (max(col("pos")) + width - min(col("pos"))).cast(LongType).as("tok_len"),
         count(lit(1)).as("n_grams"))
   }
 
@@ -180,8 +184,8 @@ object Dedup extends QueryModule {
     * position of every copy rides the shuffle and the island window
     * (measured 41 s warm at 20x vs 2-4 s staged).
     */
-  private[graft] def spansOfNaive(docs: DataFrame): DataFrame =
-    spanIslands(docs, docs.select("doc_id")).orderBy("doc_id", "span_id")
+  private[graft] def spansOfNaive(docs: DataFrame, width: Int = SpanGram): DataFrame =
+    spanIslands(docs, docs.select("doc_id"), width).orderBy("doc_id", "span_id")
 
   /** Staged spansOf — the 100 TB path, output-identical to the naive twin
     * (DedupSpec pins this). Same staging argument as StagedDedup, applied
@@ -203,7 +207,7 @@ object Dedup extends QueryModule {
     * q_minhash_near_dup — and matches production practice, where exact
     * dedup always precedes span removal (Lee et al. §4).
     */
-  private[graft] def spansOf(docs: DataFrame): DataFrame = {
+  private[graft] def spansOf(docs: DataFrame, width: Int = SpanGram): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     val groups = StagedDedup.exactGroups(base)
     val multiMembers = groups.filter(size(col("ids")) > 1)
@@ -213,14 +217,14 @@ object Dedup extends QueryModule {
     // exchange here — never the text.
     val wholeDoc = base
       .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-      .filter(col("n_tok") >= SpanGram)
+      .filter(col("n_tok") >= width)
       .join(multiMembers, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit(1L).as("span_id"), lit(0L).as("tok_start"),
-        col("n_tok").as("tok_len"), (col("n_tok") - SpanGram + 1).as("n_grams"))
+        col("n_tok").as("tok_len"), (col("n_tok") - width + 1).as("n_grams"))
     val reps = StagedDedup.representatives(base, groups)
     val singletonReps = groups.filter(size(col("ids")) === 1)
       .select(col("rep").as("doc_id"))
-    wholeDoc.unionByName(spanIslands(reps, singletonReps))
+    wholeDoc.unionByName(spanIslands(reps, singletonReps, width))
       .orderBy("doc_id", "span_id")
   }
 

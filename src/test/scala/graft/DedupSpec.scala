@@ -116,6 +116,36 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       (2L, 1L, 0L, 8L, 1L)))
   }
 
+  test("production-width span dedup (width 50): staged==naive, exact boundaries, sub-width windows invisible") {
+    import spark.implicits._
+    // Lee et al. run span removal at ~50 tokens; the fixture-width tests
+    // above pin width 8. Same arithmetic, production width: a 55-token
+    // shared window must merge its 6 duplicated 50-grams into ONE span
+    // (tok_len 55), a 49-token shared window must be invisible at width
+    // 50, and an exact-copy pair must surface as whole-doc spans through
+    // the staged branch — identical to the naive all-docs index.
+    val shared55 = (1 to 55).map(i => s"s$i").mkString(" ")
+    val shared49 = (1 to 49).map(i => s"t$i").mkString(" ")
+    def uniq(d: Int, n: Int, from: Int) =
+      (from until from + n).map(i => s"u${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1, 10, 0)} $shared55 ${uniq(1, 20, 100)}"), // island at 10 via doc 2
+      (2L, s"$shared55 ${uniq(2, 30, 0)}"),                     // island at 0
+      (3L, s"${uniq(3, 5, 0)} $shared49 ${uniq(3, 60, 100)}"),  // sub-width: nothing
+      (4L, s"$shared49 ${uniq(4, 60, 0)}"),
+      (5L, uniq(5, 120, 0)),                                    // unique long singleton
+      (6L, s"${uniq(1, 10, 0)} $shared55 ${uniq(1, 20, 100)}")  // exact copy of 1
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val staged = rows(graft.ext.Dedup.spansOf(docs, 50))
+    assert(staged == rows(graft.ext.Dedup.spansOfNaive(docs, 50)))
+    assert(staged == Seq(
+      (1L, 1L, 0L, 85L, 36L), // exact copies: whole-doc span, n_grams 85-50+1
+      (2L, 1L, 0L, 55L, 6L),  // 55-token window: ONE maximal span, 6 grams
+      (6L, 1L, 0L, 85L, 36L)))
+  }
+
   test("q_dedup_spans emits no spans for docs shorter than the gram width or with no cross-doc repeat") {
     import spark.implicits._
     val docs = Seq(
