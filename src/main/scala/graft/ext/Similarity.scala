@@ -561,6 +561,85 @@ object Similarity extends QueryModule {
     ivfSearch(e.filter(col("vec_id") =!= 0), anchor, nprobe = 4, k = 10)
   }
 
+  // ---- Persisted IVF index: build once, probe many ---------------------
+
+  private val IvfRoot = "/tmp/graft_ivf"
+
+  /** Stable per-fixture tag (same scheme as the blob/bucketed seeds):
+    * source dir + fixture mtime, so regenerated fixtures never reuse a
+    * stale index.
+    */
+  private def ivfTag(sfDir: String): String = {
+    val m = new java.io.File(sfDir, "embeddings.parquet").lastModified() / 1000
+    java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ m)
+  }
+
+  /** One-time persisted IVF index (marker-gated, untimed economics like
+    * the Derby/bucketed/blob seeds): the cell-assigned corpus written
+    * `partitionBy("cell")` — so a probe is a PARTITION-PRUNED scan that
+    * never opens unprobed cells' files — plus the centroid table. This is
+    * the ANN shape a 100 TB pipeline actually runs: q_ann_ivf's
+    * build-then-probe amortizes the n·C assignment scan across a session;
+    * this entry amortizes it across JOBS — the index is storage, refreshed
+    * on ingest (cf. q_dedup_incremental's persisted digest index), and
+    * per-query cost is nprobe/C of the corpus in FILES TOUCHED, not just
+    * rows scanned.
+    */
+  private[graft] def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = new java.io.File(IvfRoot, ivfTag(sfDir))
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      val e = Tables(spark, sfDir, "embeddings")
+      val idx = ivfBuild(e)
+      idx.cells
+        .withColumnRenamed("cell", "cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(new java.io.File(dir, "postings").getPath)
+      idx.cells.unpersist()
+      idx.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell_id", "centroid")
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dir, "centroids").getPath)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    dir.getPath
+  }
+
+  /** ANN probe against the PERSISTED index: nearest-cell choice over the
+    * collected centroid table (bounded: C×Dim floats, ~8 MB at n=1e9 —
+    * same budget as ivfProbe), then a partition-pruned postings scan
+    * (PartitionFilters on cell_id, pinned in PlanSpec) + in-cell cosine
+    * top-k. Output is row-identical to the in-memory q_ann_ivf
+    * (same deterministic centroids, anchor, nprobe, k) — SimilaritySpec
+    * pins the equivalence, so the persisted layout inherits the planted
+    * ≥0.9 recall pin.
+    */
+  private def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val centroids = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
+      .orderBy("cell_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val probed: Seq[Int] = centroids.zipWithIndex
+      .map { case (cent, i) => (i, cosineKernel(cent, anchor)) }
+      .sortBy(-_._2).take(math.min(4, centroids.length)).map(_._1).toSeq
+    val simUdf = udf { (emb: Array[Float]) => cosineKernel(anchor, emb) }
+    spark.read.parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("cell_id").isin(probed: _*))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+        round(simUdf(col("embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ---- SimHash near-dup over documents --------------------------------
 
   /** Naive single-stage SimHash pipeline (reference implementation for
@@ -659,6 +738,7 @@ object Similarity extends QueryModule {
   }
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_ann_ivf_probe" -> QueryDef(annIvfProbe, None),
     "q_hybrid_rank" -> QueryDef(hybridRank, Some("""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),

@@ -424,6 +424,17 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assertNoColsOnExchanges(p, Seq("text"))
   }
 
+  test("q_ann_ivf_probe prunes index partitions at the scan (PartitionFilters on cell_id)") {
+    // The persisted-index probe's 100 TB property: the postings scan
+    // must open ONLY the probed cells' partitions — a probe that reads
+    // the whole index is a full corpus scan per query. Top-k stays
+    // TakeOrderedAndProject (never a global sort of the probed cells).
+    val p = plan("q_ann_ivf_probe")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell_id") && pf.contains("IN"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.

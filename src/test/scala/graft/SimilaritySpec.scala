@@ -179,4 +179,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("q_ann_ivf_probe (persisted partition-pruned index) equals the in-memory probe with the same quantizer") {
+    import org.apache.spark.sql.functions.col
+    // Layout equivalence: given the SAME quantizer (the persisted
+    // centroid table), probing the partitionBy(cell_id) parquet index
+    // must be row-identical to assigning + probing in memory — so the
+    // persisted layout inherits ivfSearch's planted-recall pin above.
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_ann_ivf_probe")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val e = graft.core.Tables(spark, sf, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val dir = Similarity.ensureIvfIndex(spark, sf)
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("cell_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val mem = Similarity
+      .ivfProbe(Similarity.ivfBuildWith(e.filter(col("vec_id") =!= 0), cents),
+        anchor, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == mem,
+      s"persisted probe diverged from in-memory probe:\n  persisted: $got\n  in-memory: $mem")
+  }
 }
