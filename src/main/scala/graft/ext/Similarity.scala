@@ -586,28 +586,82 @@ object Similarity extends QueryModule {
     * rows scanned.
     */
   private[graft] def ensureIvfIndex(spark: SparkSession, sfDir: String): String = {
-    import spark.implicits._
     val dir = new java.io.File(IvfRoot, ivfTag(sfDir))
     val marker = new java.io.File(dir, "_SEEDED")
     if (!marker.exists()) {
       graft.core.Warehouse.deleteRecursively(dir)
       dir.mkdirs()
-      val e = Tables(spark, sfDir, "embeddings")
-      val idx = ivfBuild(e)
-      idx.cells
-        .withColumnRenamed("cell", "cell_id")
-        .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(new java.io.File(dir, "postings").getPath)
-      idx.cells.unpersist()
-      idx.centroids.zipWithIndex
-        .map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell_id", "centroid")
-        .write.mode("overwrite")
-        .parquet(new java.io.File(dir, "centroids").getPath)
+      writeIvfIndex(spark, dir.getPath, Tables(spark, sfDir, "embeddings"))
       java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
       ()
     }
     dir.getPath
+  }
+
+  /** Build the quantizer over `e` and write the full index layout:
+    * postings partitioned by cell_id + the centroid table.
+    */
+  private[graft] def writeIvfIndex(spark: SparkSession, dir: String, e: DataFrame): Unit = {
+    import spark.implicits._
+    val idx = ivfBuild(e)
+    idx.cells
+      .withColumnRenamed("cell", "cell_id")
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(new java.io.File(dir, "postings").getPath)
+    idx.cells.unpersist()
+    idx.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "centroids").getPath)
+  }
+
+  /** Read the persisted centroid table back as the quantizer matrix
+    * (bounded: C×Dim floats — the same collect budget as ivfProbe).
+    */
+  private[graft] def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] =
+    spark.read.parquet(new java.io.File(dir, "centroids").getPath)
+      .orderBy("cell_id").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+
+  /** Incremental index refresh — the ANN twin of q_dedup_incremental's
+    * digest-index append: assign a NEW ingest batch against the EXISTING
+    * quantizer (O(batch·C) work, never a corpus re-scan) and append its
+    * rows into the partitioned postings layout. The quantizer is fixed
+    * between rebuilds by design — cells drift only as the data
+    * distribution drifts, and a periodic full rebuild (writeIvfIndex)
+    * re-trains it; probes meanwhile see old + new rows through the same
+    * partition pruning. SimilaritySpec pins append == full rebuild with
+    * the same quantizer.
+    */
+  private[graft] def ivfIndexAppend(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val assigned = ivfBuildWith(batch, readIvfCentroids(spark, dir))
+    assigned.cells
+      .withColumnRenamed("cell", "cell_id")
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(new java.io.File(dir, "postings").getPath)
+    assigned.cells.unpersist()
+    ()
+  }
+
+  /** Probe the persisted index at `dir`: nearest-cell choice driver-side,
+    * partition-pruned postings scan, in-cell cosine top-k.
+    */
+  private[graft] def probeIvfIndex(spark: SparkSession, dir: String,
+      anchor: Array[Float], nprobe: Int, k: Int,
+      exclude: Option[Long] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val probed: Seq[Int] = centroids.zipWithIndex
+      .map { case (cent, i) => (i, cosineKernel(cent, anchor)) }
+      .sortBy(-_._2).take(math.min(nprobe, centroids.length)).map(_._1).toSeq
+    val simUdf = udf { (emb: Array[Float]) => cosineKernel(anchor, emb) }
+    val cells = spark.read.parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("cell_id").isin(probed: _*))
+    exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+        round(simUdf(col("embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** ANN probe against the PERSISTED index: nearest-cell choice over the
@@ -624,20 +678,10 @@ object Similarity extends QueryModule {
     val e = Tables(spark, sfDir, "embeddings")
     val anchor = e.filter(col("vec_id") === 0)
       .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
-    val centroids = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
-      .orderBy("cell_id").collect()
-      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
-    val probed: Seq[Int] = centroids.zipWithIndex
-      .map { case (cent, i) => (i, cosineKernel(cent, anchor)) }
-      .sortBy(-_._2).take(math.min(4, centroids.length)).map(_._1).toSeq
-    val simUdf = udf { (emb: Array[Float]) => cosineKernel(anchor, emb) }
-    spark.read.parquet(new java.io.File(dir, "postings").getPath)
-      .where(col("cell_id").isin(probed: _*))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
-        round(simUdf(col("embedding")), 4).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    // The index holds the full corpus; the anchor's own row is excluded
+    // inside the pruned scan (a filter before the top-k, not a second
+    // pass).
+    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L))
   }
 
   // ---- SimHash near-dup over documents --------------------------------

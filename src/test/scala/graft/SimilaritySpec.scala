@@ -202,4 +202,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(got.nonEmpty && got == mem,
       s"persisted probe diverged from in-memory probe:\n  persisted: $got\n  in-memory: $mem")
   }
+
+  test("ivfIndexAppend: incremental batch ingest equals a full rebuild with the same quantizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The refresh-on-ingest contract: write the index over corpus A,
+    // append batch B against the EXISTING quantizer (O(batch·C), no
+    // corpus re-scan), and every probe must equal the index built over
+    // A ∪ B with that same quantizer — including probes whose best hits
+    // live in the appended batch.
+    val a = corpus.toDF("vec_id", "embedding")
+    val batch = corpus.take(NPlanted)
+      .map { case (id, v) => (100000L + id, v.map(x => (x * 0.999f))) }
+      .toSeq.toDF("vec_id", "embedding") // near-copies of planted vectors, new ids
+    val dir = graft.core.TempDirs.create("graft_ivf_append")
+    Similarity.writeIvfIndex(spark, dir, a)
+    Similarity.ivfIndexAppend(spark, dir, batch)
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    val full = a.unionByName(batch)
+    val lookup = corpus.toMap
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    (0 until 5).foreach { i =>
+      val anchor = lookup(i.toLong)
+      val appended = rows(Similarity.probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 5))
+      val rebuilt = rows(Similarity.ivfProbe(
+        Similarity.ivfBuildWith(full, cents), anchor, nprobe = 4, k = 5))
+      assert(appended == rebuilt,
+        s"probe $i diverged after append:\n  appended: $appended\n  rebuilt: $rebuilt")
+      // Non-vacuity: the appended near-copy of vector i must surface.
+      assert(appended.exists(_._1 == 100000L + i),
+        s"probe $i did not surface the appended near-copy: $appended")
+    }
+  }
 }
