@@ -108,6 +108,23 @@ object Receipts {
       }
       spark.stop()
 
+    case "ivfappend" =>
+      // Incremental-ingest cost of the persisted ANN index: append a
+      // 2000-vector batch against the existing quantizer. O(batch·C)
+      // assignment + a partitioned append — never a corpus re-scan. The
+      // scratch index is deleted afterwards so the marker-gated probe
+      // index stays canonical.
+      val sfDir = args(1)
+      val spark = session()
+      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val batch = graft.core.Tables(spark, sfDir, "embeddings").limit(2000)
+        .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      graft.ext.Similarity.ivfIndexAppend(spark, dir, batch)
+      println(f"[receipt] ivf append 2000 rows: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      graft.core.Warehouse.deleteRecursively(new java.io.File(dir))
+      spark.stop()
+
     case "blob" =>
       val (nBlobs, mbPer) = (args(1).toInt, args(2).toInt)
       val spark = session()
