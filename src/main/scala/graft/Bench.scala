@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
+      // Benched streaming entries run the PRODUCTION state store (RocksDB,
+      // same as Engine.session) — the certified configuration is the one
+      // you'd run at scale, not the degrading heap provider.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: read every table once so footer caching, reader

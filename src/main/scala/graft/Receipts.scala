@@ -42,6 +42,9 @@ object Receipts {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.driver.maxResultSize", "8g")
+      // Production state store, same as Engine.session/Bench/Verify.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -100,11 +103,14 @@ object Receipts {
       val spark = session()
       graft.core.Tables(spark, sfDir, "events").queryExecution.toRdd.count()
       time("q_session_batch", SparkEntry.queries("q_session_batch")(spark, sfDir))
-      time("s_session (default state store)", SparkEntry.queries("s_session")(spark, sfDir))
+      // Engine.session now registers RocksDB as the production provider;
+      // the heap (HDFSBacked) leg is the documented fallback A/B.
+      time("s_session (RocksDB state store, registered)",
+        SparkEntry.queries("s_session")(spark, sfDir))
       graft.core.SessionConf.scoped(spark,
         "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
-        time("s_session (RocksDB state store)", SparkEntry.queries("s_session")(spark, sfDir))
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider") {
+        time("s_session (heap state store fallback)", SparkEntry.queries("s_session")(spark, sfDir))
       }
       spark.stop()
 

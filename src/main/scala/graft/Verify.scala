@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
+      // Same production state store as Engine.session/Bench: correctness
+      // is certified on the configuration that runs at scale.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

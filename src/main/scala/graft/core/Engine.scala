@@ -21,6 +21,15 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Production state store (VERDICT r8 #1): RocksDB spills state to
+      // local disk, so stateful streaming queries (sessionization, dedup,
+      // stateful counts) hold O(keys) state off-heap instead of degrading
+      // the JVM heap — measured 54.4 s vs 117 s (and repeat-run-stable vs
+      // degrading 298/362 s) on the 100x session receipt. The default
+      // HDFSBacked (heap) provider remains available via
+      // SessionConf.scoped for A/B runs (Receipts "session").
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // Local fixtures are single small parquet files; without a small
       // split cap every scan is one task. Production deployments override
       // per cluster (default 128m is right for real file sizes).

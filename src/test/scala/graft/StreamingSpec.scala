@@ -42,19 +42,20 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(streamRes.nonEmpty && streamRes.toSeq == batchRes.toSeq)
   }
 
-  test("stateful query output is state-store-provider-agnostic (RocksDB == default)") {
+  test("stateful query output is state-store-provider-agnostic (heap fallback == RocksDB)") {
     // The state store is a deployment knob, not a semantic: the same
     // mapGroupsWithState query must produce identical output on the
-    // RocksDB provider (the production choice at 100 TB — state spills
-    // off-heap to local SSD instead of living on the JVM heap) and the
-    // default HDFS-backed in-memory provider.
-    val rocks = graft.core.SessionConf.scoped(spark,
+    // registered production provider (RocksDB, set engine-wide in
+    // Engine.session — state spills off-heap to local SSD instead of
+    // living on the JVM heap) and the HDFS-backed in-memory provider
+    // (Spark's out-of-the-box default, kept as the documented fallback).
+    val heap = graft.core.SessionConf.scoped(spark,
       "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider") {
       SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
     }
-    val default = SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
-    assert(rocks.nonEmpty && rocks == default)
+    val rocks = SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    assert(rocks.nonEmpty && rocks == heap)
   }
 
   private val mergeCols = Seq("user_id", "event_id", "v", "ts")
