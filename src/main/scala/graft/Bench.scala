@@ -64,13 +64,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Host-noise sentinel: one fixed canary timed immediately before and
-    // after the sweep. The canary is steady-state by construction (the
-    // JIT warm-up above already compiled it), so a >1.5x divergence
-    // between its two timings can only be host state — the record is
-    // stamped noisy:true and should not be adopted as a regression
-    // baseline. Chosen canary: q_agg_group, a partial-agg'd scan with no
-    // caches or temp dirs, so both timings measure the same work.
-    val canaryBefore = time("q_agg_group")
+    // after the sweep. A >1.5x divergence between its two timings can
+    // only be host state — the record is stamped noisy:true and should
+    // not be adopted as a regression baseline. The canary is a DEDICATED
+    // query that is NOT in the recorded sweep (ADVICE r8: timing a
+    // registry entry as the canary silently warmed that entry's cold
+    // number): a partial-agg'd lineitem scan shaped like the registry's
+    // agg family, made steady-state by one untimed run here.
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    def canaryDf = graft.core.Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    def timeCanary(): Double = {
+      val t0 = System.nanoTime()
+      try { canaryDf.queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeCanary() // untimed steady-state warm-up of the canary itself
+    val canaryBefore = timeCanary()
     System.err.println(f"[bench] canary (pre-sweep)     $canaryBefore%8.2f s")
     val first = SparkEntry.queries.keys.toSeq.map { name =>
       val dt = time(name)
@@ -117,7 +129,7 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s (warm)")
       name -> dt
     }.toMap
-    val canaryAfter = time("q_agg_group")
+    val canaryAfter = timeCanary()
     val noisy = math.max(canaryBefore, canaryAfter) >
       1.5 * math.max(0.05, math.min(canaryBefore, canaryAfter))
     System.err.println(f"[bench] canary (post-sweep)    $canaryAfter%8.2f s  noisy=$noisy")

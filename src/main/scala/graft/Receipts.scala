@@ -117,18 +117,50 @@ object Receipts {
     case "ivfappend" =>
       // Incremental-ingest cost of the persisted ANN index: append a
       // 2000-vector batch against the existing quantizer. O(batch·C)
-      // assignment + a partitioned append — never a corpus re-scan. The
-      // scratch index is deleted afterwards so the marker-gated probe
-      // index stays canonical.
+      // assignment + a staged partitioned publish — never a corpus
+      // re-scan. The append runs against a SCRATCH COPY of the canonical
+      // index (ADVICE r8): the marker-gated probe index is never mutated,
+      // so a crash mid-receipt can't leave phantom rows behind a
+      // surviving _SEEDED marker.
       val sfDir = args(1)
       val spark = session()
-      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val canonical = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val scratch = graft.core.TempDirs.create("graft_ivf_receipt")
+      graft.core.Warehouse.copyRecursively(
+        new java.io.File(canonical), new java.io.File(scratch))
       val batch = graft.core.Tables(spark, sfDir, "embeddings").limit(2000)
         .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("embedding"))
       val t0 = System.nanoTime()
-      graft.ext.Similarity.ivfIndexAppend(spark, dir, batch)
+      graft.ext.Similarity.ivfIndexAppend(spark, scratch, batch)
       println(f"[receipt] ivf append 2000 rows: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      graft.core.Warehouse.deleteRecursively(new java.io.File(dir))
+      println(s"[receipt] post-append manifest: " +
+        graft.ext.Similarity.readIvfManifest(scratch))
+      graft.core.Warehouse.deleteRecursively(new java.io.File(scratch))
+      spark.stop()
+
+    case "ivfbatch" =>
+      // Batched-probe economics (VERDICT r8 "missing #2"): Q anchors
+      // against the persisted index in ONE job vs Q sequential
+      // single-anchor probes. Cost must scale with Q·nprobe·(n/C)
+      // candidate rows, not Q full probe jobs.
+      val sfDir = args(1)
+      val q = if (args.length > 2) args(2).toInt else 64
+      val spark = session()
+      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      time(s"q_ann_ivf_batch (Q=$q, one job)",
+        graft.ext.Similarity.probeIvfIndexBatch(
+          spark, dir, e.filter(col("vec_id") < q), nprobe = 4, k = 5))
+      val anchors = e.filter(col("vec_id") < q)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      val t0 = System.nanoTime()
+      var rows = 0L
+      anchors.foreach { case (_, emb) =>
+        rows += graft.ext.Similarity.probeIvfIndex(spark, dir, emb, nprobe = 4, k = 5)
+          .queryExecution.toRdd.count()
+      }
+      println(f"[receipt] $q sequential single probes: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
       spark.stop()
 
     case "blob" =>

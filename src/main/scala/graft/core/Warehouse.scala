@@ -31,4 +31,21 @@ object Warehouse {
     f.delete()
     ()
   }
+
+  /** Recursive file-tree copy (used to clone seeded index layouts into
+    * scratch dirs so experiments never mutate a marker-gated canonical
+    * directory).
+    */
+  def copyRecursively(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      val children = src.listFiles()
+      if (children != null)
+        children.foreach(c => copyRecursively(c, new java.io.File(dst, c.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
 }

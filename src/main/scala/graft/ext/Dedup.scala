@@ -368,8 +368,11 @@ object Dedup extends QueryModule {
     * defined over exactly this pair set (DedupSpec pins that), so the
     * two must never drift apart.
     */
-  private def verifiedRepPairs(reps: DataFrame): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(reps))
+  /** Exact word-set Jaccard >= 0.8 verification of an explicit candidate
+    * pair set — the DETERMINISTIC leg of the pipeline, recomputable by
+    * the DuckDB oracle from the same candidates (see OracleTap).
+    */
+  private def verifyJaccard(cands: DataFrame, reps: DataFrame): DataFrame = {
     val words = reps.select(col("doc_id"),
       array_distinct(split(col("text"), " ")).as("w"))
     cands
@@ -381,9 +384,20 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= 0.8)
   }
 
+  private def verifiedRepPairs(reps: DataFrame): DataFrame =
+    verifyJaccard(lshCandidates(minhashSignatures(reps)), reps)
+
   private def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
     StagedDedup.stagedPairs(
-      Tables(spark, sfDir, "documents"), "jaccard", lit(1.0))(verifiedRepPairs)
+      Tables(spark, sfDir, "documents"), "jaccard", lit(1.0)) { reps =>
+      // The seeded LSH candidate stage is the ONLY non-oracle-able leg:
+      // tap it, and verify from the tap, so DuckDB recomputes the verify
+      // + expansion legs from the same candidate set (partial oracle).
+      verifyJaccard(
+        OracleTap(reps.sparkSession, "minhash_rep_candidates",
+          lshCandidates(minhashSignatures(reps))),
+        reps)
+    }
 
   // ---- cluster-id emission (the 100 TB output contract) ----------------
 
@@ -601,5 +615,34 @@ object Dedup extends QueryModule {
                    / len(list_distinct(a.w || b.w)), 4) AS jaccard
       FROM d a JOIN d b ON a.doc_id < b.doc_id
       ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""")),
-    "q_minhash_near_dup" -> QueryDef(minhashNearDup, None))
+    // Partial oracle (VERDICT r8 #6): the seeded LSH candidate stage is
+    // tapped to a fixed parquet path; DuckDB independently recomputes the
+    // deterministic remainder — exact-group collapse, word-set Jaccard
+    // verification + threshold, member expansion, ordering — from that
+    // tap plus the documents table. Only the MinHash kernel itself stays
+    // outside the oracle (it has its own staged==naive equivalence spec).
+    "q_minhash_near_dup" -> QueryDef(minhashNearDup, Some("""
+      WITH g AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        FROM documents),
+      within AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM g a JOIN g b ON a.rep = b.rep AND a.doc_id < b.doc_id),
+      w AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+        FROM documents),
+      v AS (
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
+                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
+        FROM read_parquet('/tmp/graft_oracle_aux/minhash_rep_candidates/*.parquet') c
+        JOIN w wa ON c.doc_a = wa.doc_id
+        JOIN w wb ON c.doc_b = wb.doc_id),
+      expanded AS (
+        SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+               greatest(ma.doc_id, mb.doc_id) AS doc_b, v.jaccard
+        FROM v JOIN g ma ON ma.rep = v.doc_a JOIN g mb ON mb.rep = v.doc_b
+        WHERE v.jaccard >= 0.8)
+      SELECT * FROM within UNION ALL SELECT * FROM expanded
+      ORDER BY doc_a, doc_b""")))
 }

@@ -201,6 +201,102 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(got.nonEmpty && got == mem,
       s"persisted probe diverged from in-memory probe:\n  persisted: $got\n  in-memory: $mem")
+    // The stronger claim (the persisted quantizer trains on the same
+    // anchor-excluded corpus as q_ann_ivf): the registry entries
+    // themselves must be row-identical.
+    val inMemoryEntry = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == inMemoryEntry,
+      s"q_ann_ivf_probe diverged from q_ann_ivf:\n  probe: $got\n  ivf: $inMemoryEntry")
+  }
+
+  test("q_ann_ivf_batch equals per-anchor single probes on the same persisted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_batch")
+    Similarity.writeIvfIndex(spark, dir, df)
+    val nAnchors = 5
+    val batchOut = Similarity
+      .probeIvfIndexBatch(spark, dir, df.filter(col("vec_id") < nAnchors), nprobe = 4, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(4)).map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      }
+    val lookup = corpus.toMap
+    (0 until nAnchors).foreach { i =>
+      val single = Similarity
+        .probeIvfIndex(spark, dir, lookup(i.toLong), nprobe = 4, k = 5,
+          exclude = Some(i.toLong))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(batchOut.get(i.toLong).contains(single),
+        s"batched probe for anchor $i diverged:\n  batch: ${batchOut.get(i.toLong)}\n  single: $single")
+    }
+  }
+
+  test("ivfIndexAppend commit protocol: uncommitted batches are invisible to probes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // A crashed append = batch directory present, manifest not yet
+    // replaced. Simulate exactly that window by restoring the pre-append
+    // manifest after a successful append: probes must serve the
+    // pre-append index (no phantom rows); restoring the post-append
+    // manifest must make the same rows visible again.
+    val a = corpus.toDF("vec_id", "embedding")
+    val batch = corpus.take(3)
+      .map { case (id, v) => (100000L + id, v.map(x => x * 0.999f)) }
+      .toSeq.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_crash")
+    Similarity.writeIvfIndex(spark, dir, a)
+    val manifestPath = new java.io.File(dir, "manifest.json").toPath
+    val preAppend = java.nio.file.Files.readAllBytes(manifestPath)
+    Similarity.ivfIndexAppend(spark, dir, batch)
+    val postAppend = java.nio.file.Files.readAllBytes(manifestPath)
+    val lookup = corpus.toMap
+    def hits() = Similarity.probeIvfIndex(spark, dir, lookup(0L), nprobe = 4, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits().contains(100000L), "committed append row should be visible")
+    java.nio.file.Files.write(manifestPath, preAppend)
+    val orphaned = hits()
+    assert(!orphaned.exists(_ >= 100000L),
+      s"uncommitted (orphaned) batch rows leaked into a probe: $orphaned")
+    java.nio.file.Files.write(manifestPath, postAppend)
+    assert(hits().contains(100000L), "re-committed batch should be visible again")
+  }
+
+  test("quantizer-drift sentinel: skewed appends trip rebuild_needed; a rebuild clears it") {
+    import spark.implicits._
+    val a = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_drift")
+    Similarity.writeIvfIndex(spark, dir, a)
+    val m0 = Similarity.readIvfManifest(dir)
+    assert(!m0.rebuildNeeded,
+      s"fresh index over the near-uniform corpus must start balanced: $m0")
+    // Drifted ingest: many near-copies of ONE vector — every row lands in
+    // the same cell, so max/median postings-per-cell climbs past the
+    // threshold and the manifest self-reports that the fixed quantizer no
+    // longer fits the data.
+    val src = corpus.head._2
+    val rnd = new scala.util.Random(11)
+    val skewed = (0 until 400).map { i =>
+      (200000L + i, src.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfIndexAppend(spark, dir, skewed)
+    val m1 = Similarity.readIvfManifest(dir)
+    assert(m1.imbalance > m0.imbalance && m1.rebuildNeeded,
+      s"skewed append should trip the drift sentinel: before=$m0 after=$m1")
+    // The operator response: retrain the quantizer over the full corpus.
+    // Balance must be restored (the 400-copy cluster now gets cells of
+    // its own) and the index stays correct (planted hit still surfaces).
+    Similarity.writeIvfIndex(spark, dir, a.unionByName(skewed))
+    val m2 = Similarity.readIvfManifest(dir)
+    assert(m2.imbalance < m1.imbalance && !m2.rebuildNeeded,
+      s"rebuild should restore balance: drifted=$m1 rebuilt=$m2")
+    val lookup = corpus.toMap
+    val hits = Similarity.probeIvfIndex(spark, dir, lookup(1000L), nprobe = 4, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(0L), s"rebuilt index lost the planted neighbor of vec 1000: $hits")
   }
 
   test("ivfIndexAppend: incremental batch ingest equals a full rebuild with the same quantizer") {
