@@ -133,8 +133,10 @@ object Receipts {
       val t0 = System.nanoTime()
       graft.ext.Similarity.ivfIndexAppend(spark, scratch, batch)
       println(f"[receipt] ivf append 2000 rows: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      println(s"[receipt] post-append manifest: " +
-        graft.ext.Similarity.readIvfManifest(scratch))
+      val m = graft.ext.Similarity.readIvfManifest(scratch)
+      println(s"[receipt] post-append manifest: batches=${m.batches.mkString(",")} " +
+        s"imbalance=${m.imbalance} rebuild_needed=${m.rebuildNeeded} " +
+        s"cells=${m.cellCounts.size}")
       graft.core.Warehouse.deleteRecursively(new java.io.File(scratch))
       spark.stop()
 

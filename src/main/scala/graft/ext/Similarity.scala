@@ -596,13 +596,18 @@ object Similarity extends QueryModule {
     * batch by atomically replacing this file AFTER the batch directory is
     * fully in place, so a crashed append leaves an orphan directory no
     * probe ever reads (the durability hole a bare `mode("append")` had).
-    * `imbalance` is the quantizer-drift sentinel — max/median postings
-    * per cell over the committed batches, restamped at every publish;
-    * once appends skew it past [[IvfDriftThreshold]], `rebuildNeeded`
-    * tells the operator the fixed quantizer no longer fits the data
-    * distribution and a full retrain ([[writeIvfIndex]]) is due.
+    * `cellCounts` (postings per non-empty cell) makes the drift sentinel
+    * INCREMENTAL: an append counts only its own batch (O(batch + C)) and
+    * merges into the stored counts — never a re-scan of the committed
+    * postings, which would be O(n) per ingest batch at 100 TB.
+    * `imbalance` is the sentinel stat — max/median postings per cell,
+    * restamped at every publish; once appends skew it past
+    * [[IvfDriftThreshold]], `rebuildNeeded` tells the operator the fixed
+    * quantizer no longer fits the data distribution and a full retrain
+    * ([[writeIvfIndex]]) is due.
     */
-  final case class IvfManifest(batches: Seq[Long], imbalance: Double, rebuildNeeded: Boolean)
+  final case class IvfManifest(batches: Seq[Long], imbalance: Double,
+      rebuildNeeded: Boolean, cellCounts: Map[Int, Long])
 
   private[graft] def readIvfManifest(dir: String): IvfManifest = {
     val s = new String(java.nio.file.Files.readAllBytes(
@@ -615,12 +620,20 @@ object Similarity extends QueryModule {
       .map(_.group(1).toDouble).getOrElse(1.0)
     val rebuild = "\"rebuild_needed\":(true|false)".r.findFirstMatchIn(s)
       .exists(_.group(1) == "true")
-    IvfManifest(batches, imb, rebuild)
+    val counts = "\"cell_counts\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').map { kv =>
+        val Array(c, n) = kv.split(':'); c.toInt -> n.toLong
+      }.toMap).getOrElse(Map.empty)
+    IvfManifest(batches, imb, rebuild, counts)
   }
 
   private[graft] def writeIvfManifest(dir: String, m: IvfManifest): Unit = {
+    val counts = m.cellCounts.toSeq.sorted
+      .map { case (c, n) => s"$c:$n" }.mkString(",")
     val json = s"""{"batches":[${m.batches.mkString(",")}],""" +
-      s""""imbalance":${m.imbalance},"rebuild_needed":${m.rebuildNeeded}}"""
+      s""""imbalance":${m.imbalance},"rebuild_needed":${m.rebuildNeeded},""" +
+      s""""cell_counts":"$counts"}"""
     val tmp = new java.io.File(dir, ".manifest.tmp").toPath
     java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // rename(2) is atomic on one filesystem: readers see the old manifest
@@ -630,12 +643,18 @@ object Similarity extends QueryModule {
     ()
   }
 
-  /** Drift sentinel stat: max/median committed postings per cell (1.0 =
-    * perfectly balanced). Bounded collect: C counts.
+  /** Per-cell postings counts of an assigned corpus (bounded collect: C
+    * rows — the sentinel's unit of account).
     */
-  private def cellImbalance(postings: DataFrame): Double = {
-    val sizes = postings.groupBy(col("cell_id")).count()
-      .collect().map(_.getLong(1)).sorted
+  private def cellCountsOf(cells: DataFrame): Map[Int, Long] =
+    cells.groupBy(col("cell")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Drift sentinel stat: max/median postings per non-empty cell (1.0 =
+    * perfectly balanced).
+    */
+  private def cellImbalance(counts: Iterable[Long]): Double = {
+    val sizes = counts.toArray.sorted
     if (sizes.isEmpty) 1.0
     else math.floor(sizes.last.toDouble /
       math.max(1L, sizes(sizes.length / 2)) * 100) / 100
@@ -688,14 +707,15 @@ object Similarity extends QueryModule {
       .withColumnRenamed("cell", "cell_id")
       .write.mode("overwrite").partitionBy("batch_id", "cell_id")
       .parquet(postings)
+    val counts = cellCountsOf(idx.cells) // while still cached
     idx.cells.unpersist()
     idx.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell_id", "centroid")
       .write.mode("overwrite")
       .parquet(new java.io.File(dir, "centroids").getPath)
-    val imb = cellImbalance(spark.read.parquet(postings))
-    writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold))
+    val imb = cellImbalance(counts.values)
+    writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold, counts))
   }
 
   /** Read the persisted centroid table back as the quantizer matrix
@@ -738,14 +758,20 @@ object Similarity extends QueryModule {
       .withColumnRenamed("cell", "cell_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(staging.getPath)
+    // Incremental sentinel: count ONLY the batch (O(batch + C)) and merge
+    // into the manifest's running counts — never a committed-postings
+    // re-scan, which would be O(n) per ingest batch.
+    val batchCounts = cellCountsOf(assigned.cells)
     assigned.cells.unpersist()
     java.nio.file.Files.move(staging.toPath,
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     val committed = manifest.batches :+ newId
-    val imb = cellImbalance(spark.read.parquet(postingsRoot.getPath)
-      .where(col("batch_id").isin(committed: _*)))
-    writeIvfManifest(dir, IvfManifest(committed, imb, imb > IvfDriftThreshold))
+    val merged = (manifest.cellCounts.keySet ++ batchCounts.keySet).map { c =>
+      c -> (manifest.cellCounts.getOrElse(c, 0L) + batchCounts.getOrElse(c, 0L))
+    }.toMap
+    val imb = cellImbalance(merged.values)
+    writeIvfManifest(dir, IvfManifest(committed, imb, imb > IvfDriftThreshold, merged))
   }
 
   /** Probe the persisted index at `dir`: nearest-cell choice driver-side,
