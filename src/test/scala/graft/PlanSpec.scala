@@ -435,6 +435,21 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_ann_ivf_batch prunes the postings scan, broadcasts anchors, group-limits top-k") {
+    // The batched-retrieval 100 TB contract: (1) the postings scan opens
+    // only the union of probed cells (PartitionFilters on cell_id — a
+    // batch that reads the whole index is a corpus scan per batch);
+    // (2) the Q*nprobe anchor-cell table BROADCASTS onto the pruned
+    // postings (the postings side never shuffles); (3) per-anchor top-k
+    // plans as WindowGroupLimit, cutting to Q*k rows group-locally
+    // before any exchange.
+    val p = plan("q_ann_ivf_batch")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell_id") && pf.contains("IN"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine") {
     // AQE finalizes the plan only on execution; codegen stages show as
     // WholeStageCodegen nodes (or "*(n)" prefixes) in the final plan.
