@@ -21,6 +21,12 @@ object Profile {
       // Raising it here is a local-harness setting (128 GiB driver) —
       // production sinks are files (s_pipeline), not driver memory.
       .config("spark.driver.maxResultSize", "8g")
+      // Production state store + changelog checkpointing, same as
+      // Engine.session/Bench/Verify — profiles must measure the certified
+      // configuration.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", sys.env.getOrElse("GRAFT_CHANGELOG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

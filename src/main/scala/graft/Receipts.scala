@@ -45,6 +45,11 @@ object Receipts {
       // Production state store, same as Engine.session/Bench/Verify.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit the per-batch CHANGELOG instead of
+      // a full RocksDB snapshot — the recommended production pairing for the
+      // RocksDB provider, and what keeps its per-micro-batch constant cost
+      // flat at small state sizes.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -21,6 +21,11 @@ object SparkTest {
       // configuration that runs at scale (RocksDB), not the heap default.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: commit the per-batch CHANGELOG instead of
+      // a full RocksDB snapshot — the recommended production pairing for the
+      // RocksDB provider, and what keeps its per-micro-batch constant cost
+      // flat at small state sizes.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
