@@ -170,6 +170,54 @@ object Receipts {
       println(f"[receipt] $q sequential single probes: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
       spark.stop()
 
+    case "pq" =>
+      // IVF-PQ economics on the persisted index (one layout, two
+      // precision modes): (a) exact parquet column-chunk bytes of the
+      // 8-byte `code` column vs the 256-byte `embedding` column across
+      // the postings — the IO a column-pruned ADC candidate scan streams
+      // vs what a full-precision probe streams over the same cells;
+      // (b) probe latency, ADC shortlist + bounded exact re-rank vs
+      // full-precision in-cell cosine.
+      val sfDir = args(1)
+      val spark = session()
+      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val fs = root.getFileSystem(conf)
+      val it = fs.listFiles(root, true)
+      var embBytes = 0L; var codeBytes = 0L; var otherBytes = 0L; var nFiles = 0
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          nFiles += 1
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+          rdr.getFooter.getBlocks.asScala.foreach { b =>
+            b.getColumns.asScala.foreach { c =>
+              val p = c.getPath.toDotString
+              if (p.startsWith("embedding")) embBytes += c.getTotalSize
+              else if (p.startsWith("code")) codeBytes += c.getTotalSize
+              else otherBytes += c.getTotalSize
+            }
+          }
+          rdr.close()
+        }
+      }
+      println(f"[receipt] postings ($nFiles files) column bytes: " +
+        f"embedding=${embBytes / 1e6}%.2f MB code=${codeBytes / 1e6}%.2f MB " +
+        f"other=${otherBytes / 1e6}%.2f MB emb/code=${embBytes.toDouble / codeBytes}%.1f x")
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val anchor = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      time("ADC probe (code col + bounded re-rank)",
+        graft.ext.Similarity.probeIvfPqIndex(spark, dir, anchor,
+          nprobe = 4, k = 10, exclude = Some(0L)))
+      time("full-precision probe (embedding col)",
+        graft.ext.Similarity.probeIvfIndex(spark, dir, anchor,
+          nprobe = 4, k = 10, exclude = Some(0L)))
+      spark.stop()
+
     case "blob" =>
       val (nBlobs, mbPer) = (args(1).toInt, args(2).toInt)
       val spark = session()

@@ -160,7 +160,14 @@ object Similarity extends QueryModule {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  private def cosineUdf = udf { (a: Array[Float], b: Array[Float]) => cosineKernel(a, b) }
+  /** Cosine as a native codegen Column (graft.functions.CosineSim) —
+    * replaces the historical `udf(cosineKernel)` wrapper at every
+    * DataFrame call site. Same accumulation order, bit-identical output
+    * (CosineSimSpec pins it against cosineKernel), but no per-row encoder
+    * copy of the two 64-float arrays and no broken whole-stage-codegen
+    * span around the kernel — the scan-side cosine stays one fused loop.
+    */
+  private def cosineUdf(a: Column, b: Column): Column = graft.functions.CosineSim.sim(a, b)
 
   /** Candidate pairs with verified cosine, via banded multi-probe LSH.
     * One count action sizes the signature; the signature scan is one pass
@@ -544,11 +551,13 @@ object Similarity extends QueryModule {
     val probed: Seq[Int] = index.centroids.zipWithIndex
       .map { case (cent, i) => (i, cosineKernel(cent, query)) }
       .sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1).toSeq
-    val simUdf = udf { (emb: Array[Float]) => cosineKernel(query, emb) }
+    // The query vector rides as a typed array literal, so the in-cell
+    // cosine is the same codegen expression as every other call site
+    // (cosineKernel is symmetric in its norm terms — identical output).
     index.cells
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"), col("cell"),
-        round(simUdf(col("embedding")), 4).as("cos_sim"))
+        round(cosineUdf(typedLit(query), col("embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -587,7 +596,10 @@ object Similarity extends QueryModule {
     */
   private def ivfTag(sfDir: String): String = {
     val f = new java.io.File(sfDir, "embeddings.parquet")
-    java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+    // "v2": postings carry the PQ `code` column and the layout includes
+    // `codebooks/` — the version prefix keeps a pre-PQ seeded dir from
+    // being adopted with the wrong schema.
+    "v2-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
       "-" + java.lang.Long.toHexString(f.length())
   }
 
@@ -700,9 +712,16 @@ object Similarity extends QueryModule {
   private[graft] def writeIvfIndex(spark: SparkSession, dir: String, e: DataFrame,
       train: Option[DataFrame] = None): Unit = {
     import spark.implicits._
-    val idx = ivfBuildWith(e, seedCentroids(train.getOrElse(e)))
+    val trainDf = train.getOrElse(e)
+    val idx = ivfBuildWith(e, seedCentroids(trainDf))
+    // PQ codebook trained on the same corpus as the coarse quantizer;
+    // postings carry both the full vector (exact re-rank / full-precision
+    // probes) and the 8-byte code — columnar parquet means an ADC probe
+    // that selects only (vec_id, code) never reads the vector bytes.
+    val cb = pqTrain(trainDf)
     val postings = new java.io.File(dir, "postings").getPath
     idx.cells
+      .withColumn("code", pqEncodeUdf(cb)(col("embedding")))
       .withColumn("batch_id", lit(0L))
       .withColumnRenamed("cell", "cell_id")
       .write.mode("overwrite").partitionBy("batch_id", "cell_id")
@@ -714,8 +733,33 @@ object Similarity extends QueryModule {
       .toDF("cell_id", "centroid")
       .write.mode("overwrite")
       .parquet(new java.io.File(dir, "centroids").getPath)
+    writeIvfCodebook(spark, dir, cb)
     val imb = cellImbalance(counts.values)
     writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold, counts))
+  }
+
+  private def writeIvfCodebook(spark: SparkSession, dir: String, cb: PqCodebook): Unit = {
+    import spark.implicits._
+    cb.cents.zipWithIndex.flatMap { case (cs, sub) =>
+      cs.zipWithIndex.map { case (cent, code) => (sub, code, cent.toSeq) }
+    }.toSeq
+      .toDF("sub", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "codebooks").getPath)
+  }
+
+  /** Read the persisted PQ codebook back (bounded: M·Ks rows of dsub
+    * floats — 4 KB).
+    */
+  private[graft] def readIvfCodebook(spark: SparkSession, dir: String): PqCodebook = {
+    val rows = spark.read.parquet(new java.io.File(dir, "codebooks").getPath)
+      .orderBy("sub", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val cents = Array.tabulate(m) { sub =>
+      rows.filter(_.getInt(0) == sub).map(_.getSeq[Float](2).toArray)
+    }
+    PqCodebook(m, cents.head.head.length, cents)
   }
 
   /** Read the persisted centroid table back as the quantizer matrix
@@ -754,7 +798,13 @@ object Similarity extends QueryModule {
     val staging = new java.io.File(dir, s".staging_batch_$newId")
     graft.core.Warehouse.deleteRecursively(staging)
     val assigned = ivfBuildWith(batch, readIvfCentroids(spark, dir))
+    // Codes use the PERSISTED codebook — fixed between rebuilds exactly
+    // like the coarse quantizer; the drift sentinel covers both (a
+    // distribution shift that skews cells also degrades the codebook, and
+    // the remedy is the same full retrain).
+    val cb = readIvfCodebook(spark, dir)
     assigned.cells
+      .withColumn("code", pqEncodeUdf(cb)(col("embedding")))
       .withColumnRenamed("cell", "cell_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(staging.getPath)
@@ -787,13 +837,12 @@ object Similarity extends QueryModule {
     val probed: Seq[Int] = centroids.zipWithIndex
       .map { case (cent, i) => (i, cosineKernel(cent, anchor)) }
       .sortBy(-_._2).take(math.min(nprobe, centroids.length)).map(_._1).toSeq
-    val simUdf = udf { (emb: Array[Float]) => cosineKernel(anchor, emb) }
     val cells = spark.read.parquet(new java.io.File(dir, "postings").getPath)
       .where(col("batch_id").isin(manifest.batches: _*) &&
         col("cell_id").isin(probed: _*))
     exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
-        round(simUdf(col("embedding")), 4).as("cos_sim"))
+        round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -878,6 +927,281 @@ object Similarity extends QueryModule {
     // Query table: the 8 lowest vec_ids stand in for a retrieval batch.
     val anchors = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
     probeIvfIndexBatch(spark, dir, anchors, nprobe = 4, k = 5)
+  }
+
+  // ---- IVF-PQ: product-quantized postings ------------------------------
+  //
+  // The memory/IO story IVF alone does not have. IVF prunes WHICH vectors
+  // a probe scans (nprobe/C of the corpus); PQ shrinks WHAT a scanned
+  // posting costs: each vector is encoded as M = 8 sub-space codebook
+  // indices — 8 bytes against the 256-byte float vector, 32× — and probes
+  // score candidates from the CODES alone via an ADC (asymmetric distance
+  // computation) lookup table, touching full vectors only to re-rank the
+  // top k·refine candidates. At 100 TB of embeddings this is the
+  // difference between a probe that streams ~3 TB of float columns and
+  // one that streams ~100 GB of codes: the standard IVFADC layout
+  // (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  // TPAMI 2011 — public literature, same shape faiss IndexIVFPQ uses).
+  //
+  // Cosine metric: vectors are L2-NORMALIZED before sub-space
+  // quantization (training, encoding, and the query side), so inner
+  // product of reconstructions approximates cosine; ranking by the ADC
+  // sum then re-ranking the short list with the exact kernel restores
+  // exact-cosine output order for the final k.
+
+  /** Trained PQ codebook: `cents(sub)(code)` is the `dsub`-dim centroid
+    * for code value `code` in sub-space `sub`. Driver-resident and tiny
+    * (M·Ks·dsub floats = 8·16·8 = 4 KB): rides to executors in encode /
+    * ADC closures like the IVF centroid matrix does.
+    */
+  final case class PqCodebook(m: Int, dsub: Int, cents: Array[Array[Array[Float]]])
+
+  private[graft] val PqM = 8
+  private[graft] val PqKs = 16
+  /** Candidate multiplier for the exact re-rank of ADC-ranked codes. */
+  private[graft] val PqRefine = 4
+
+  private def l2Normalize(v: Array[Float]): Array[Float] = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(ss)
+    if (n == 0.0) v else v.map(x => (x / n).toFloat)
+  }
+
+  private def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearestL2(cents: Array[Array[Float]], p: Array[Float]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      val d = l2sq(cents(c), p)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Plain Lloyd on a driver-side point set (the PQ training sample:
+    * ≤ `PqSample` sub-vectors of `dsub` floats — microseconds of work).
+    * Deterministic: init = the first k points in sample order, and the
+    * sample itself is the min-wise uniform hash sample
+    * ([[seedCentroidsK]]), so same corpus ⇒ same codebook.
+    */
+  private def lloydLocal(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    var cents = points.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val dim = points.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      points.foreach { p =>
+        val c = nearestL2(cents, p)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val s = sums(c); Array.tabulate(dim)(i => (s(i) / counts(c)).toFloat) }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private[graft] val PqSample = 512
+
+  /** Train the PQ codebook on a bounded deterministic sample (the same
+    * min-wise uniform hash sample the coarse quantizer seeds from —
+    * training on a sample is the standard practice; the codebook is a
+    * 4 KB object, the sample a few hundred KB, regardless of corpus
+    * size). One distributed TakeOrderedAndProject; Lloyd runs driver-side
+    * per sub-space.
+    */
+  private[graft] def pqTrain(embeddings: DataFrame, m: Int = PqM, ks: Int = PqKs,
+      sample: Int = PqSample, iters: Int = 10): PqCodebook =
+    pqTrainLocal(seedCentroidsK(embeddings, sample), m, ks, iters)
+
+  private[graft] def pqTrainLocal(sampleVecs: Array[Array[Float]], m: Int, ks: Int,
+      iters: Int): PqCodebook = {
+    val normed = sampleVecs.map(l2Normalize)
+    val dim = normed.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cents = Array.tabulate(m) { sub =>
+      val sv = normed.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      lloydLocal(sv, math.min(ks, sv.length), iters)
+    }
+    PqCodebook(m, dsub, cents)
+  }
+
+  /** Encode one vector: normalize, then per sub-space the nearest codebook
+    * centroid's index. M bytes out.
+    */
+  private[graft] def pqEncode(cb: PqCodebook, v: Array[Float]): Array[Byte] = {
+    val n = l2Normalize(v)
+    Array.tabulate(cb.m) { sub =>
+      val sv = java.util.Arrays.copyOfRange(n, sub * cb.dsub, (sub + 1) * cb.dsub)
+      nearestL2(cb.cents(sub), sv).toByte
+    }
+  }
+
+  private def pqEncodeUdf(cb: PqCodebook) = udf { (emb: Array[Float]) => pqEncode(cb, emb) }
+
+  /** ADC lookup table for one query: `table(sub)(code)` = inner product of
+    * the normalized query's sub-vector with that code's centroid, so
+    * approx cosine(q, x) = Σ_sub table(sub)(code_x(sub)). M·Ks doubles —
+    * built once per probe, rides in the scoring closure.
+    */
+  private[graft] def adcTable(cb: PqCodebook, query: Array[Float]): Array[Array[Double]] = {
+    val qn = l2Normalize(query)
+    Array.tabulate(cb.m) { sub =>
+      val qs = java.util.Arrays.copyOfRange(qn, sub * cb.dsub, (sub + 1) * cb.dsub)
+      Array.tabulate(cb.cents(sub).length) { c =>
+        val cent = cb.cents(sub)(c)
+        var s = 0.0; var i = 0
+        while (i < qs.length) { s += qs(i).toDouble * cent(i); i += 1 }
+        s
+      }
+    }
+  }
+
+  private def adcScoreUdf(table: Array[Array[Double]]) = udf { (code: Array[Byte]) =>
+    var s = 0.0; var sub = 0
+    while (sub < code.length) { s += table(sub)(code(sub) & 0xFF); sub += 1 }
+    s
+  }
+
+  /** ADC approximate cosine of one code against one query — the spec's
+    * unit handle on quantization error.
+    */
+  private[graft] def adcApprox(cb: PqCodebook, query: Array[Float], code: Array[Byte]): Double = {
+    val t = adcTable(cb, query)
+    var s = 0.0; var sub = 0
+    while (sub < code.length) { s += t(sub)(code(sub) & 0xFF); sub += 1 }
+    s
+  }
+
+  /** The in-memory IVF-PQ index: coarse cells carrying CODES, not
+    * vectors. `build` = one assignment+encode scan; each probe scores
+    * nprobe cells' codes via ADC and re-ranks a bounded short list with
+    * the exact kernel.
+    */
+  final case class IvfPqIndex(centroids: Array[Array[Float]], cb: PqCodebook,
+      codes: DataFrame)
+
+  /** Build with an explicit coarse quantizer (shared with q_ann_ivf so
+    * the two entries probe identical cells).
+    */
+  def ivfPqBuildWith(embeddings: DataFrame, centroids: Array[Array[Float]],
+      cb: PqCodebook): IvfPqIndex = {
+    val idx = ivfBuildWith(embeddings, centroids)
+    val codes = idx.cells
+      .select(col("vec_id"), col("cell"), pqEncodeUdf(cb)(col("embedding")).as("code"))
+      .persist()
+    IvfPqIndex(centroids, cb, codes)
+  }
+
+  def ivfPqBuild(embeddings: DataFrame): IvfPqIndex =
+    ivfPqBuildWith(embeddings, seedCentroids(embeddings), pqTrain(embeddings))
+
+  /** Probe: nearest-cell choice driver-side (like ivfProbe), ADC-score
+    * the probed cells' CODES (8 bytes/row scanned, no vector reads),
+    * keep the top k·refine by approximate cosine, then re-rank exactly.
+    * The re-rank reads full vectors for ≤ k·refine ids via an `isin`
+    * pushdown — bounded point lookups against the columnar corpus
+    * (row-group min/max stats prune the scan), never a second corpus
+    * pass.
+    */
+  def ivfPqProbe(index: IvfPqIndex, corpus: DataFrame, query: Array[Float],
+      nprobe: Int, k: Int, refine: Int = PqRefine): DataFrame = {
+    val probed: Seq[Int] = index.centroids.zipWithIndex
+      .map { case (cent, i) => (i, cosineKernel(cent, query)) }
+      .sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1).toSeq
+    val table = adcTable(index.cb, query)
+    // Bounded collect: k·refine (id, cell) pairs — the candidate short
+    // list, same budget class as the centroid matrix.
+    val cand = index.codes
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("cell"), adcScoreUdf(table)(col("code")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k * refine)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val cellOf = cand.toMap
+    val cellUdf = udf { (id: Long) => cellOf(id) }
+    corpus
+      .filter(col("vec_id").isin(cand.map(_._1): _*))
+      .select(col("vec_id"), cellUdf(col("vec_id")).as("cell"),
+        round(cosineUdf(typedLit(query), col("embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ADC probe against the PERSISTED index: manifest-gated,
+    * partition-pruned (committed batch_ids × probed cell_ids) — and
+    * COLUMN-pruned: the candidate stage selects only (vec_id, cell_id,
+    * code), so parquet never materializes the 256-byte embedding column
+    * for scanned postings (8 bytes of code per row instead — the 32× IO
+    * cut that makes a 100 TB probe stream codes, not vectors). Full
+    * vectors are read once more for the ≤ k·refine short-list ids (same
+    * pruned partitions + an `isin` the row-group stats prune on), then
+    * exact-cosine re-ranked.
+    */
+  private[graft] def probeIvfPqIndex(spark: SparkSession, dir: String,
+      anchor: Array[Float], nprobe: Int, k: Int, refine: Int = PqRefine,
+      exclude: Option[Long] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val cb = readIvfCodebook(spark, dir)
+    val manifest = readIvfManifest(dir)
+    val probed: Seq[Int] = centroids.zipWithIndex
+      .map { case (cent, i) => (i, cosineKernel(cent, anchor)) }
+      .sortBy(-_._2).take(math.min(nprobe, centroids.length)).map(_._1).toSeq
+    val table = adcTable(cb, anchor)
+    val pruned = spark.read.parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("batch_id").isin(manifest.batches: _*) &&
+        col("cell_id").isin(probed: _*))
+    val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    // Bounded collect: the k·refine-candidate short list (ids only).
+    val cand = base
+      .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k * refine)
+      .collect().map(_.getLong(0))
+    base
+      .filter(col("vec_id").isin(cand: _*))
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+        round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** q_ann_ivfpq_probe: the persisted twin of q_ann_ivfpq, probing the
+    * same marker-gated index q_ann_ivf_probe uses (one layout serves
+    * both precision modes — full-vector probes column-prune away `code`,
+    * ADC probes column-prune away `embedding`).
+    */
+  private def annIvfPqProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    probeIvfPqIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L))
+  }
+
+  private def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    // The PQ twin of q_ann_ivf: same anchor, same coarse quantizer (so
+    // the same cells are probed), but candidates are ADC-scored codes.
+    // With exact re-rank the top-k matches q_ann_ivf whenever the true
+    // neighbors survive ADC's k·refine cut — SimilaritySpec pins planted
+    // recall and the registry-level equivalence on the fixture.
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val index = ivfPqBuild(corpus)
+    ivfPqProbe(index, corpus, anchor, nprobe = 4, k = 10)
   }
 
   // ---- SimHash near-dup over documents --------------------------------
@@ -985,6 +1309,8 @@ object Similarity extends QueryModule {
   override val defs: Map[String, QueryDef] = Map(
     "q_ann_ivf_probe" -> QueryDef(annIvfProbe, None),
     "q_ann_ivf_batch" -> QueryDef(annIvfBatch, None),
+    "q_ann_ivfpq" -> QueryDef(annIvfPq, None),
+    "q_ann_ivfpq_probe" -> QueryDef(annIvfPqProbe, None),
     "q_hybrid_rank" -> QueryDef(hybridRank, Some("""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),

@@ -331,4 +331,92 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         s"probe $i did not surface the appended near-copy: $appended")
     }
   }
+
+  // ---- IVF-PQ ----------------------------------------------------------
+
+  test("pqTrain is deterministic and codes are M bytes") {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val cb1 = Similarity.pqTrain(df)
+    val cb2 = Similarity.pqTrain(df)
+    assert(cb1.m == Similarity.PqM && cb1.dsub == Dim / Similarity.PqM)
+    (0 until cb1.m).foreach { sub =>
+      cb1.cents(sub).zip(cb2.cents(sub)).foreach { case (a, b) =>
+        assert(a.sameElements(b), s"codebook sub-space $sub not deterministic")
+      }
+    }
+    val code = Similarity.pqEncode(cb1, corpus.head._2)
+    assert(code.length == Similarity.PqM,
+      s"code must be ${Similarity.PqM} bytes, got ${code.length}")
+    assert(Similarity.pqEncode(cb1, corpus.head._2).sameElements(code),
+      "encoding must be deterministic")
+  }
+
+  test("ADC on codes alone ranks each planted twin's original at the top") {
+    // The pure quantization-quality gate (no IVF, no re-rank): encode the
+    // whole corpus, score every CODE against each planted copy's query
+    // vector via the ADC table, and the true neighbor must rank in the
+    // ADC top-3 — i.e. the 8-byte codes preserve the ranking signal the
+    // probe's shortlist cut depends on. A broken ADC (constant scores,
+    // wrong table indexing) fails here even though exact re-rank would
+    // mask it downstream.
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df)
+    val codes = corpus.map { case (id, v) => id -> Similarity.pqEncode(cb, v) }
+    val lookup = corpus.toMap
+    val found = (0 until NPlanted).count { i =>
+      val q = lookup(1000L + i)
+      val top = codes.filter(_._1 != 1000L + i)
+        .map { case (id, c) => (id, Similarity.adcApprox(cb, q, c)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+      top.contains(i.toLong)
+    }
+    assert(found.toDouble / NPlanted >= 0.9,
+      s"ADC ranking recall ${found.toDouble / NPlanted} < 0.9")
+  }
+
+  test("ivfPqProbe finds the planted near-duplicate of each probe vector") {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val index = Similarity.ivfPqBuild(df)
+    val lookup = corpus.toMap
+    val found = (0 until NPlanted).count { i =>
+      val hits = Similarity.ivfPqProbe(index, df, lookup(1000L + i), nprobe = 4, k = 3)
+        .collect().map(_.getLong(0)).toSet
+      hits.contains(i.toLong)
+    }
+    index.codes.unpersist()
+    val recall = found.toDouble / NPlanted
+    assert(recall >= 0.9, s"IVF-PQ recall $recall < 0.9")
+  }
+
+  test("q_ann_ivfpq equals q_ann_ivfpq_probe (persisted ADC probe) row-for-row") {
+    // Same anchor-excluded training corpus on both sides ⇒ same coarse
+    // quantizer, same codebook, same ADC shortlist, same exact re-rank —
+    // the persisted column-pruned layout must be a pure storage change.
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val mem = rows("q_ann_ivfpq")
+    val persisted = rows("q_ann_ivfpq_probe")
+    assert(mem.nonEmpty && mem == persisted,
+      s"persisted ADC probe diverged:\n  in-memory: $mem\n  persisted: $persisted")
+  }
+
+  test("ivfIndexAppend encodes appended rows: ADC probes surface them") {
+    import spark.implicits._
+    val a = corpus.toDF("vec_id", "embedding")
+    val batch = corpus.take(3)
+      .map { case (id, v) => (300000L + id, v.map(x => x * 0.999f)) }
+      .toSeq.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivfpq_append")
+    Similarity.writeIvfIndex(spark, dir, a)
+    Similarity.ivfIndexAppend(spark, dir, batch)
+    val lookup = corpus.toMap
+    val hits = Similarity.probeIvfPqIndex(spark, dir, lookup(0L), nprobe = 4, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(300000L),
+      s"appended row must survive the ADC shortlist + re-rank: $hits")
+  }
 }
