@@ -444,7 +444,15 @@ object Dedup extends QueryModule {
     val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val groups = StagedDedup.exactGroups(d)
     val reps = StagedDedup.representatives(d, groups)
-    val repPairs = verifiedRepPairs(reps)
+    // Partial-oracle tap (r9): the verified rep-level EDGE LIST is the
+    // only seed-dependent leg; connected components over it are pure
+    // graph reachability, which DuckDB re-derives with a recursive CTE
+    // (min reachable label per node — the same fixpoint the distributed
+    // propagation converges to) and hash-matches, member expansion and
+    // all. The propagation below consumes the READ-BACK tap, so the
+    // emitted clusters provably derive from the rows the oracle reads.
+    val repPairs = OracleTap(spark, "cluster_graph_edges",
+      verifiedRepPairs(reps).select(col("doc_a"), col("doc_b")))
     val repClusters = clusterByLabelPropagation(
       groups.select(col("rep").as("doc_id")),
       repPairs.select(col("doc_a"), col("doc_b")))
@@ -501,7 +509,26 @@ object Dedup extends QueryModule {
                    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS ck
             FROM documents)
       ORDER BY doc_id""")),
-    "q_dedup_cluster_graph" -> QueryDef(dedupClusterGraph, None),
+    // Partial oracle: min-label connected components over the tapped
+    // verified edge list, via recursive-CTE reachability (min reachable
+    // rep per node == the propagation fixpoint), expanded to members
+    // through the exact md5 groups.
+    "q_dedup_cluster_graph" -> QueryDef(dedupClusterGraph, Some("""
+      WITH RECURSIVE
+      g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+            FROM documents),
+      nodes AS (SELECT DISTINCT rep FROM g),
+      e0 AS (SELECT doc_a, doc_b
+             FROM read_parquet('/tmp/graft_oracle_aux/cluster_graph_edges/*.parquet')),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
+                UNION ALL SELECT doc_b AS src, doc_a AS dst FROM e0),
+      reach(node, lbl) AS (
+        SELECT rep, rep FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      cluster AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+      SELECT g.doc_id, c.cluster_id FROM g JOIN cluster c ON c.node = g.rep
+      ORDER BY g.doc_id""")),
     "q_dedup_exact" -> QueryDef(dedupExact, Some("""
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""")),

@@ -27,11 +27,14 @@ object OracleTap {
 
   /** Overwrite the tap for `name` with `df` and return the read-back
     * DataFrame, so the query's own output provably derives from the same
-    * rows the oracle reads.
+    * rows the oracle reads. `single = false` keeps the writer's
+    * parallelism for larger taps (the oracle globs `*.parquet` either
+    * way); the default single file suits the tiny rep-level taps.
     */
-  def apply(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+  def apply(spark: SparkSession, name: String, df: DataFrame,
+      single: Boolean = true): DataFrame = {
     val path = s"$Root/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    (if (single) df.coalesce(1) else df).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 }

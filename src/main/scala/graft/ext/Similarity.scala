@@ -238,7 +238,12 @@ object Similarity extends QueryModule {
     // planted-near-duplicate corpus.
     val e = Tables(spark, sfDir, "embeddings")
     val n = corpusN.computeIfAbsent(sfDir, _ => e.count()).longValue()
-    annPairs(e, Some(n))
+    // Partial-oracle tap: the deduplicated candidate pairs with their
+    // verified cosine. Only the seeded band generation stays outside;
+    // DuckDB recomputes every tapped pair's cosine from the embeddings
+    // table independently and re-ranks. Multi-file tap — the candidate
+    // set is the one LSH intermediate that grows with n.
+    OracleTap(spark, "ann_lsh_pairs", annPairs(e, Some(n)), single = false)
       .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
@@ -380,9 +385,21 @@ object Similarity extends QueryModule {
     * n^1.5). The self-join keys on the cell id (one co-partitioned
     * exchange of (cell, id, vec)); the removed-id set exchanges ids only.
     */
-  def semdedupPrune(embeddings: DataFrame, tau: Double, targetCell: Int = 64)
-      : DataFrame =
-    semdedupPruneCells(semdedupCells(embeddings, targetCell), tau)
+  def semdedupPrune(embeddings: DataFrame, tau: Double, targetCell: Int = 64,
+      tap: Option[String] = None): DataFrame = {
+    val cells = semdedupCells(embeddings, targetCell)
+    // Partial-oracle tap (registry entry only): the CELL ASSIGNMENT is
+    // the one leg DuckDB cannot recompute (k-means has no SQL
+    // equivalent); given (vec_id, cell), the dominance prune is pure
+    // relational algebra the oracle re-derives — within-cell pairs,
+    // independent cosine from the embeddings table, removed flags. The
+    // tap is a side-write of the already-materialized assignment (the
+    // prune below still needs the embedding column, which the tap
+    // deliberately omits).
+    tap.foreach(n => OracleTap(cells.sparkSession, n,
+      cells.select(col("vec_id"), col("cell"))))
+    semdedupPruneCells(cells, tau)
+  }
 
   /** Above this many cells the flat Lloyd loop's ASSIGNMENT step (n·k
     * distances per scan — Θ(n²/targetCell) when k = n/targetCell) costs
@@ -503,10 +520,15 @@ object Similarity extends QueryModule {
   /** The prune stage over an assigned-cell corpus (dominance rule). */
   private[graft] def semdedupPruneCells(cells: DataFrame, tau: Double)
       : DataFrame = {
+    // Threshold on the 4-decimal-rounded cosine: the oracle recomputes
+    // the same comparison, and rounding both sides makes the boundary
+    // robust to cross-engine double-summation jitter (the same contract
+    // every verified-cosine entry uses). Semantically inert at the
+    // production tau margins (near-dup ~0.99 vs random ~0).
     val dup = cells.alias("a")
       .join(cells.alias("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .where(cosineUdf(col("a.embedding"), col("b.embedding")) >= tau)
+      .where(round(cosineUdf(col("a.embedding"), col("b.embedding")), 4) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
     cells
       .join(dup.withColumn("removed", lit(true)), Seq("vec_id"), "left")
@@ -518,10 +540,12 @@ object Similarity extends QueryModule {
   private def semdedup(spark: SparkSession, sfDir: String): DataFrame =
     // Fixture embeddings are near-orthogonal (max pair cos ~0.51), so the
     // production-grade tau (~0.95) would remove nothing; 0.4 exercises
-    // the removal path on the fixtures. Semantics are spec-pinned on a
-    // planted corpus (SemDedupSpec), not oracle-checked: the k-means
-    // cells have no SQL equivalent.
-    semdedupPrune(Tables(spark, sfDir, "embeddings"), tau = 0.4)
+    // the removal path on the fixtures. The k-means CELL ASSIGNMENT has
+    // no SQL equivalent and is spec-pinned (SemDedupSpec); given the
+    // tapped assignment, the dominance prune itself is oracle-checked
+    // (partial oracle, r9).
+    semdedupPrune(Tables(spark, sfDir, "embeddings"), tau = 0.4,
+      tap = Some("semdedup_cells"))
 
   private def kmeansRefineQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -547,17 +571,23 @@ object Similarity extends QueryModule {
     * tiny driver-side loop over the collected centroids), brute-force
     * cosine within them, top-k.
     */
-  def ivfProbe(index: IvfIndex, query: Array[Float], nprobe: Int, k: Int): DataFrame = {
+  def ivfProbe(index: IvfIndex, query: Array[Float], nprobe: Int, k: Int,
+      tap: Option[String] = None): DataFrame = {
     val probed: Seq[Int] = index.centroids.zipWithIndex
       .map { case (cent, i) => (i, cosineKernel(cent, query)) }
       .sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1).toSeq
     // The query vector rides as a typed array literal, so the in-cell
     // cosine is the same codegen expression as every other call site
     // (cosineKernel is symmetric in its norm terms — identical output).
-    index.cells
+    val scored = index.cells
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"), col("cell"),
         round(cosineUdf(typedLit(query), col("embedding")), 4).as("cos_sim"))
+    // Partial-oracle tap (registry entries only): the scored candidate
+    // set — everything AFTER the seeded/quantized candidate generation —
+    // is the leg DuckDB recomputes independently (cosine from the
+    // embeddings table + ranking + top-k) and hash-matches.
+    tap.fold(scored)(n => OracleTap(index.cells.sparkSession, n, scored))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -565,8 +595,9 @@ object Similarity extends QueryModule {
   /** One-shot convenience: build + single probe (the spec's per-query
     * loop builds once and probes many times instead).
     */
-  def ivfSearch(embeddings: DataFrame, query: Array[Float], nprobe: Int, k: Int): DataFrame =
-    ivfProbe(ivfBuild(embeddings), query, nprobe, k)
+  def ivfSearch(embeddings: DataFrame, query: Array[Float], nprobe: Int, k: Int,
+      tap: Option[String] = None): DataFrame =
+    ivfProbe(ivfBuild(embeddings), query, nprobe, k, tap)
 
   private def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     // Probe with the anchor vector (vec 0), like q_similarity_topk but
@@ -576,7 +607,8 @@ object Similarity extends QueryModule {
     val e = Tables(spark, sfDir, "embeddings")
     val anchor = e.filter(col("vec_id") === 0)
       .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
-    ivfSearch(e.filter(col("vec_id") =!= 0), anchor, nprobe = 4, k = 10)
+    ivfSearch(e.filter(col("vec_id") =!= 0), anchor, nprobe = 4, k = 10,
+      tap = Some("ann_ivf_scored"))
   }
 
   // ---- Persisted IVF index: build once, probe many ---------------------
@@ -831,7 +863,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def probeIvfIndex(spark: SparkSession, dir: String,
       anchor: Array[Float], nprobe: Int, k: Int,
-      exclude: Option[Long] = None): DataFrame = {
+      exclude: Option[Long] = None, tap: Option[String] = None): DataFrame = {
     val centroids = readIvfCentroids(spark, dir)
     val manifest = readIvfManifest(dir)
     val probed: Seq[Int] = centroids.zipWithIndex
@@ -840,9 +872,10 @@ object Similarity extends QueryModule {
     val cells = spark.read.parquet(new java.io.File(dir, "postings").getPath)
       .where(col("batch_id").isin(manifest.batches: _*) &&
         col("cell_id").isin(probed: _*))
-    exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+    val scored = exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
         round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -865,7 +898,8 @@ object Similarity extends QueryModule {
     // The index holds the full corpus; the anchor's own row is excluded
     // inside the pruned scan (a filter before the top-k, not a second
     // pass).
-    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L))
+    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
+      tap = Some("ann_ivf_probe_scored"))
   }
 
   /** Batched ANN retrieval against the persisted index — the shape a
@@ -891,7 +925,8 @@ object Similarity extends QueryModule {
     * probeIvfIndex run per anchor (SimilaritySpec pins it).
     */
   private[graft] def probeIvfIndexBatch(spark: SparkSession, dir: String,
-      anchors: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      anchors: DataFrame, nprobe: Int, k: Int,
+      tap: Option[String] = None): DataFrame = {
     val centroids = readIvfCentroids(spark, dir)
     val manifest = readIvfManifest(dir)
     val np = math.min(nprobe, centroids.length)
@@ -910,13 +945,14 @@ object Similarity extends QueryModule {
         col("cell_id").isin(probedCells: _*))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    postings.join(broadcast(anchorCells), Seq("cell_id"))
+    val scored = postings.join(broadcast(anchorCells), Seq("cell_id"))
       // Anchors drawn from the corpus skip their own posting row — the
       // batched twin of probeIvfIndex's `exclude`.
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         col("cell_id").cast("int").as("cell"),
         round(cosineUdf(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored, single = false))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .orderBy(col("query_id"), col("rnk"))
@@ -926,7 +962,8 @@ object Similarity extends QueryModule {
     val dir = ensureIvfIndex(spark, sfDir)
     // Query table: the 8 lowest vec_ids stand in for a retrieval batch.
     val anchors = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
-    probeIvfIndexBatch(spark, dir, anchors, nprobe = 4, k = 5)
+    probeIvfIndexBatch(spark, dir, anchors, nprobe = 4, k = 5,
+      tap = Some("ann_ivf_batch_scored"))
   }
 
   // ---- IVF-PQ: product-quantized postings ------------------------------
@@ -1116,7 +1153,8 @@ object Similarity extends QueryModule {
     * pass.
     */
   def ivfPqProbe(index: IvfPqIndex, corpus: DataFrame, query: Array[Float],
-      nprobe: Int, k: Int, refine: Int = PqRefine): DataFrame = {
+      nprobe: Int, k: Int, refine: Int = PqRefine,
+      tap: Option[String] = None): DataFrame = {
     val probed: Seq[Int] = index.centroids.zipWithIndex
       .map { case (cent, i) => (i, cosineKernel(cent, query)) }
       .sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1).toSeq
@@ -1131,10 +1169,11 @@ object Similarity extends QueryModule {
       .collect().map(r => r.getLong(0) -> r.getInt(1))
     val cellOf = cand.toMap
     val cellUdf = udf { (id: Long) => cellOf(id) }
-    corpus
+    val scored = corpus
       .filter(col("vec_id").isin(cand.map(_._1): _*))
       .select(col("vec_id"), cellUdf(col("vec_id")).as("cell"),
         round(cosineUdf(typedLit(query), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(corpus.sparkSession, n, scored))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -1151,7 +1190,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def probeIvfPqIndex(spark: SparkSession, dir: String,
       anchor: Array[Float], nprobe: Int, k: Int, refine: Int = PqRefine,
-      exclude: Option[Long] = None): DataFrame = {
+      exclude: Option[Long] = None, tap: Option[String] = None): DataFrame = {
     val centroids = readIvfCentroids(spark, dir)
     val cb = readIvfCodebook(spark, dir)
     val manifest = readIvfManifest(dir)
@@ -1169,10 +1208,11 @@ object Similarity extends QueryModule {
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(k * refine)
       .collect().map(_.getLong(0))
-    base
+    val scored = base
       .filter(col("vec_id").isin(cand: _*))
       .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
         round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -1187,7 +1227,96 @@ object Similarity extends QueryModule {
     val e = Tables(spark, sfDir, "embeddings")
     val anchor = e.filter(col("vec_id") === 0)
       .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
-    probeIvfPqIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L))
+    probeIvfPqIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
+      tap = Some("ann_ivfpq_probe_scored"))
+  }
+
+  /** Batched ADC retrieval — the PQ twin of [[probeIvfIndexBatch]],
+    * completing the retrieval matrix (single/batch × full-precision/ADC).
+    * Q anchors resolve in ONE job:
+    *
+    *  1. Per-anchor ADC lookup tables are built driver-side and ride in
+    *     the scoring closure — Q·M·Ks doubles (~1 KB per anchor; 1 MB at
+    *     Q=1000), the same bounded-broadcast budget class as the centroid
+    *     matrix. Computing tables once per anchor is the entire point of
+    *     ADC: scoring is then M byte-indexed adds per posting, not a
+    *     Dim-float dot product.
+    *  2. Executor-side per-anchor cell choice, union-of-cells static
+    *     partition pruning, broadcast of the (anchor × cell) table —
+    *     identical to the full-precision batch probe — but the candidate
+    *     scan selects only (vec_id, cell_id, code): 8 bytes per posting
+    *     streamed.
+    *  3. Per-anchor ADC top-(k·refine) via a row_number window
+    *     (WindowGroupLimit — bounded Q·k·refine candidate rows).
+    *  4. Exact re-rank: the shortlist (which still carries q_emb)
+    *     broadcasts back onto the pruned postings' full vectors on
+    *     (cell_id, vec_id); exact cosine, per-anchor top-k.
+    *
+    * Candidate-scan IO is Q·nprobe·(n/C) CODE rows (8 B each); vector
+    * bytes are read only for the Q·k·refine shortlist. Per-anchor output
+    * is row-identical to [[probeIvfPqIndex]] run per anchor
+    * (SimilaritySpec pins it).
+    */
+  private[graft] def probeIvfPqIndexBatch(spark: SparkSession, dir: String,
+      anchors: DataFrame, nprobe: Int, k: Int, refine: Int = PqRefine,
+      tap: Option[String] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val cb = readIvfCodebook(spark, dir)
+    val manifest = readIvfManifest(dir)
+    val np = math.min(nprobe, centroids.length)
+    val topCellsUdf = udf { (emb: Array[Float]) =>
+      centroids.indices
+        .map(i => (i, cosineKernel(centroids(i), emb)))
+        .sortBy(-_._2).take(np).map(_._1).toArray
+    }
+    // Driver-side per-anchor ADC tables (bounded: Q anchors × 1 KB).
+    val anchorRows = anchors
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val tables: Map[Long, Array[Array[Double]]] = anchorRows.collect()
+      .map(r => r.getLong(0) -> adcTable(cb, r.getSeq[Float](1).toArray)).toMap
+    val adcBatchUdf = udf { (qid: Long, code: Array[Byte]) =>
+      val t = tables(qid)
+      var s = 0.0; var sub = 0
+      while (sub < code.length) { s += t(sub)(code(sub) & 0xFF); sub += 1 }
+      s
+    }
+    val anchorCells = anchorRows
+      .withColumn("cell_id", explode(topCellsUdf(col("q_emb"))))
+    val probedCells: Seq[Int] = anchorCells.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = spark.read.parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("batch_id").isin(manifest.batches: _*) &&
+        col("cell_id").isin(probedCells: _*))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    // Candidate stage: codes only — parquet column pruning never touches
+    // the embedding column here.
+    val shortlist = postings.select(col("vec_id"), col("cell_id"), col("code"))
+      .join(broadcast(anchorCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("cell_id"),
+        adcBatchUdf(col("query_id"), col("code")).as("adc"))
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= k * refine)
+      .drop("adc", "arnk")
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val scored = postings.select(col("vec_id"), col("cell_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("cell_id", "vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        col("cell_id").cast("int").as("cell"),
+        round(cosineUdf(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored))
+      .withColumn("rnk", row_number().over(wExact).cast(LongType))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private def annIvfPqBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val anchors = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
+    probeIvfPqIndexBatch(spark, dir, anchors, nprobe = 4, k = 5,
+      tap = Some("ann_ivfpq_batch_scored"))
   }
 
   private def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1201,7 +1330,8 @@ object Similarity extends QueryModule {
       .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
     val corpus = e.filter(col("vec_id") =!= 0)
     val index = ivfPqBuild(corpus)
-    ivfPqProbe(index, corpus, anchor, nprobe = 4, k = 10)
+    ivfPqProbe(index, corpus, anchor, nprobe = 4, k = 10,
+      tap = Some("ann_ivfpq_scored"))
   }
 
   // ---- SimHash near-dup over documents --------------------------------
@@ -1306,11 +1436,58 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** Shared partial-oracle scaffolding for the single-anchor ANN entries
+    * (VERDICT r8 #6's tap pattern extended to the ANN family): the tapped
+    * candidate set's (vec_id, cell) is re-scored from scratch in DuckDB —
+    * cosine against the anchor (vec 0) from the embeddings table, rank,
+    * top-k. Only the seeded/quantized candidate GENERATION stays outside
+    * the oracle; scoring, ranking, and the k-cut are hash-matched.
+    */
+  private def annScoredOracle(tapName: String, k: Int): String = s"""
+      WITH cand AS (SELECT vec_id, cell
+                    FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
+      terms AS (
+        SELECT c.vec_id, c.cell,
+               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, anchor a,
+             range(1, 65) t(i)),
+      sims AS (SELECT vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY vec_id, cell)
+      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
+
+  /** The batched twin: per-anchor re-score + row_number ≤ k from the
+    * tapped (query_id, vec_id, cell) candidates.
+    */
+  private def annBatchScoredOracle(tapName: String, k: Int): String = s"""
+      WITH cand AS (SELECT query_id, vec_id, cell
+                    FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      terms AS (
+        SELECT c.query_id, c.vec_id, c.cell,
+               CAST(ev.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM cand c JOIN embeddings ev ON ev.vec_id = c.vec_id
+                    JOIN embeddings eq ON eq.vec_id = c.query_id,
+             range(1, 65) t(i)),
+      sims AS (SELECT query_id, vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY query_id, vec_id, cell),
+      ranked AS (SELECT query_id, vec_id, cell, round(c, 4) AS cos_sim,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(c, 4) DESC, vec_id) AS rnk
+                 FROM sims)
+      SELECT query_id, vec_id, cell, cos_sim, rnk FROM ranked
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
+
   override val defs: Map[String, QueryDef] = Map(
-    "q_ann_ivf_probe" -> QueryDef(annIvfProbe, None),
-    "q_ann_ivf_batch" -> QueryDef(annIvfBatch, None),
-    "q_ann_ivfpq" -> QueryDef(annIvfPq, None),
-    "q_ann_ivfpq_probe" -> QueryDef(annIvfPqProbe, None),
+    "q_ann_ivf_probe" -> QueryDef(annIvfProbe, Some(annScoredOracle("ann_ivf_probe_scored", 10))),
+    "q_ann_ivf_batch" -> QueryDef(annIvfBatch, Some(annBatchScoredOracle("ann_ivf_batch_scored", 5))),
+    "q_ann_ivfpq" -> QueryDef(annIvfPq, Some(annScoredOracle("ann_ivfpq_scored", 10))),
+    "q_ann_ivfpq_probe" -> QueryDef(annIvfPqProbe, Some(annScoredOracle("ann_ivfpq_probe_scored", 10))),
+    "q_ann_ivfpq_batch" -> QueryDef(annIvfPqBatch, Some(annBatchScoredOracle("ann_ivfpq_batch_scored", 5))),
     "q_hybrid_rank" -> QueryDef(hybridRank, Some("""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
@@ -1351,7 +1528,29 @@ object Similarity extends QueryModule {
              r_lex, r_sem
       FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
       ORDER BY rrf DESC, doc_id LIMIT 10""")),
-    "q_semdedup" -> QueryDef(semdedup, None),
+    // Partial oracle: the tapped k-means cell assignment is the declared
+    // boundary; the dominance prune (within-cell pairs → independent
+    // cosine from embeddings → removed-if-dominated-by-lower-id) is
+    // recomputed wholesale by DuckDB.
+    "q_semdedup" -> QueryDef(semdedup, Some("""
+      WITH cells AS (SELECT vec_id, cell
+                     FROM read_parquet('/tmp/graft_oracle_aux/semdedup_cells/*.parquet')),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM cells a JOIN cells b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      terms AS (SELECT p.va, p.vb,
+                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
+                             JOIN embeddings eb ON eb.vec_id = p.vb,
+                     range(1, 65) t(i)),
+      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY va, vb),
+      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
+      SELECT c2.vec_id, CAST(c2.cell AS BIGINT) AS cell,
+             (d.vec_id IS NOT NULL) AS removed
+      FROM cells c2 LEFT JOIN dup d ON d.vec_id = c2.vec_id
+      ORDER BY c2.vec_id""")),
     "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1385,8 +1584,26 @@ object Similarity extends QueryModule {
         FROM terms GROUP BY va, vb)
       SELECT va AS vec_a, vb AS vec_b, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_a, vec_b LIMIT 20""")),
-    "q_ann_lsh" -> QueryDef(annLsh, None),
-    "q_ann_ivf" -> QueryDef(annIvf, None),
+    // Partial oracle: the deduplicated LSH candidate pairs are tapped;
+    // DuckDB recomputes each pair's cosine from the embeddings table
+    // independently (verifying the Spark kernel's values as well as the
+    // ranking) and re-derives the top-20.
+    "q_ann_lsh" -> QueryDef(annLsh, Some("""
+      WITH cand AS (SELECT vec_a, vec_b
+                    FROM read_parquet('/tmp/graft_oracle_aux/ann_lsh_pairs/*.parquet')),
+      terms AS (
+        SELECT c.vec_a, c.vec_b,
+               CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM cand c JOIN embeddings ea ON ea.vec_id = c.vec_a
+                    JOIN embeddings eb ON eb.vec_id = c.vec_b,
+             range(1, 65) t(i)),
+      sims AS (SELECT vec_a, vec_b,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY vec_a, vec_b)
+      SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM sims
+      ORDER BY round(c, 4) DESC, vec_a, vec_b LIMIT 20""")),
+    "q_ann_ivf" -> QueryDef(annIvf, Some(annScoredOracle("ann_ivf_scored", 10))),
     "q_kmeans_refine" -> QueryDef(kmeansRefineQuery, None),
     // Partial oracle (VERDICT r8 #6): the signature table (the custom
     // simhash64 kernel's output) is tapped; DuckDB recomputes banding,

@@ -424,18 +424,32 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assertNoColsOnExchanges(p, Seq("text"))
   }
 
-  test("q_ann_ivf_probe prunes index partitions at the scan (PartitionFilters on cell_id)") {
+  // The r9 partial-oracle taps split the ANN entries' pipelines: the
+  // registry entry's RETURNED plan starts at the tap read-back, so the
+  // candidate-stage plan properties are pinned on the UNtapped probe
+  // calls below — the identical code path (the tap parameter only
+  // chooses where the pipeline is cut), probing the same canonical
+  // persisted index the entries use.
+
+  test("persisted-index probe prunes index partitions at the scan (PartitionFilters on cell_id)") {
     // The persisted-index probe's 100 TB property: the postings scan
     // must open ONLY the probed cells' partitions — a probe that reads
     // the whole index is a full corpus scan per query. Top-k stays
     // TakeOrderedAndProject (never a global sort of the probed cells).
-    val p = plan("q_ann_ivf_probe")
+    import org.apache.spark.sql.functions.col
+    val dir = graft.ext.Similarity.ensureIvfIndex(spark, sf)
+    val e = graft.core.Tables(spark, sf, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val p = graft.ext.Similarity
+      .probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L))
+      .queryExecution.executedPlan.toString
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("cell_id") && pf.contains("IN"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q_ann_ivf_batch prunes the postings scan, broadcasts anchors, group-limits top-k") {
+  test("batched probe prunes the postings scan, broadcasts anchors, group-limits top-k") {
     // The batched-retrieval 100 TB contract: (1) the postings scan opens
     // only the union of probed cells (PartitionFilters on cell_id — a
     // batch that reads the whole index is a corpus scan per batch);
@@ -443,11 +457,35 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     // postings (the postings side never shuffles); (3) per-anchor top-k
     // plans as WindowGroupLimit, cutting to Q*k rows group-locally
     // before any exchange.
-    val p = plan("q_ann_ivf_batch")
+    import org.apache.spark.sql.functions.col
+    val dir = graft.ext.Similarity.ensureIvfIndex(spark, sf)
+    val anchors = graft.core.Tables(spark, sf, "embeddings").filter(col("vec_id") < 8)
+    val p = graft.ext.Similarity
+      .probeIvfIndexBatch(spark, dir, anchors, nprobe = 4, k = 5)
+      .queryExecution.executedPlan.toString
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("cell_id") && pf.contains("IN"), p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("batched ADC probe scans codes, not vectors (ReadSchema excludes embedding)") {
+    // The IVF-PQ IO story must be visible in the PLAN: the candidate
+    // stage's postings scan reads (vec_id, code) — parquet column
+    // pruning keeps the 256-byte embedding column out of the 8-byte
+    // code stream. The embedding column appears only in the bounded
+    // shortlist re-rank scan.
+    import org.apache.spark.sql.functions.col
+    val dir = graft.ext.Similarity.ensureIvfIndex(spark, sf)
+    val anchors = graft.core.Tables(spark, sf, "embeddings").filter(col("vec_id") < 8)
+    val p = graft.ext.Similarity
+      .probeIvfPqIndexBatch(spark, dir, anchors, nprobe = 4, k = 5)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    val codeScans = scans.filter(_.contains("code"))
+    assert(codeScans.nonEmpty, p)
+    assert(codeScans.forall(!_.contains("embedding")),
+      s"ADC candidate scan must not read the embedding column:\n$p")
   }
 
   test("whole-stage codegen covers the scan->filter->project spine") {

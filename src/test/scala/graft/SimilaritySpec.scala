@@ -404,6 +404,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       s"persisted ADC probe diverged:\n  in-memory: $mem\n  persisted: $persisted")
   }
 
+  test("q_ann_ivfpq_batch equals per-anchor single ADC probes on the same persisted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivfpq_batch")
+    Similarity.writeIvfIndex(spark, dir, df)
+    val nAnchors = 5
+    val batchOut = Similarity
+      .probeIvfPqIndexBatch(spark, dir, df.filter(col("vec_id") < nAnchors), nprobe = 4, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(4)).map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      }
+    val lookup = corpus.toMap
+    (0 until nAnchors).foreach { i =>
+      val single = Similarity
+        .probeIvfPqIndex(spark, dir, lookup(i.toLong), nprobe = 4, k = 5,
+          exclude = Some(i.toLong))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(batchOut.get(i.toLong).contains(single),
+        s"batched ADC probe for anchor $i diverged:\n  batch: ${batchOut.get(i.toLong)}\n  single: $single")
+    }
+  }
+
   test("ivfIndexAppend encodes appended rows: ADC probes surface them") {
     import spark.implicits._
     val a = corpus.toDF("vec_id", "embedding")
