@@ -331,11 +331,22 @@ object Similarity extends QueryModule {
     * centroids plus the per-iteration mean assignment cosine (measured
     * BEFORE each update, so index 0 is the seed quality).
     */
-  def kmeansRefine(embeddings: DataFrame, init: Array[Array[Float]], iters: Int)
-      : (Array[Array[Float]], Seq[Double]) = {
+  def kmeansRefine(embeddings: DataFrame, init: Array[Array[Float]], iters: Int,
+      tap: Option[String] = None): (Array[Array[Float]], Seq[Double]) = {
     var cents = init
     val hist = Seq.newBuilder[Double]
-    for (_ <- 0 until iters) {
+    // Partial-oracle tap (registry entry only): the centroid matrix in
+    // force at each MEASURED iteration — given these, the convergence
+    // trace (per-vector best-assignment cosine, averaged, floored) is
+    // pure relational algebra DuckDB re-derives from the embeddings
+    // table. The Lloyd update itself stays the declared boundary.
+    val tapRows = Seq.newBuilder[(Long, Int, Seq[Float])]
+    for (iter <- 0 until iters) {
+      tap.foreach { _ =>
+        cents.zipWithIndex.foreach { case (c, ci) =>
+          tapRows += ((iter.toLong, ci, c.toSeq))
+        }
+      }
       val local = cents
       val assignUdf = udf { (emb: Array[Float]) =>
         var best = 0
@@ -363,6 +374,12 @@ object Similarity extends QueryModule {
         next(r.getInt(0)) = r.getSeq[Double](3).map(_.toFloat).toArray
       }
       cents = next // empty cells keep their previous centroid
+    }
+    tap.foreach { n =>
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      OracleTap(spark, n, tapRows.result().toDF("iter", "cell", "centroid"))
+      ()
     }
     (cents, hist.result())
   }
@@ -555,7 +572,8 @@ object Similarity extends QueryModule {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding")).persist()
     try {
-      val (_, hist) = kmeansRefine(e, seedCentroids(e), iters = 4)
+      val (_, hist) = kmeansRefine(e, seedCentroids(e), iters = 4,
+        tap = Some("kmeans_cents"))
       // Convergence trace — mean assignment cosine per iteration. The
       // Lloyd property (non-decreasing quality, spec-pinned on the
       // planted corpus) is the output; truncation keeps partition-order
@@ -1604,7 +1622,24 @@ object Similarity extends QueryModule {
       SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_a, vec_b LIMIT 20""")),
     "q_ann_ivf" -> QueryDef(annIvf, Some(annScoredOracle("ann_ivf_scored", 10))),
-    "q_kmeans_refine" -> QueryDef(kmeansRefineQuery, None),
+    // Partial oracle: the tapped per-iteration centroid matrices are the
+    // declared boundary (the Lloyd update has no SQL twin); the
+    // convergence trace itself — per-vector best-assignment cosine,
+    // averaged per iteration, floor-truncated — is recomputed wholesale
+    // by DuckDB from the embeddings table.
+    "q_kmeans_refine" -> QueryDef(kmeansRefineQuery, Some("""
+      WITH cents AS (SELECT iter, cell, centroid
+                     FROM read_parquet('/tmp/graft_oracle_aux/kmeans_cents/*.parquet')),
+      terms AS (SELECT c.iter, c.cell, e.vec_id,
+                       CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(c.centroid[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM cents c CROSS JOIN embeddings e, range(1, 65) t(i)),
+      sims AS (SELECT iter, vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY iter, vec_id, cell),
+      best AS (SELECT iter, vec_id, max(c) AS bc FROM sims GROUP BY iter, vec_id)
+      SELECT iter, floor(avg(bc) * 1000) / 1000 AS avg_cos
+      FROM best GROUP BY iter ORDER BY iter""")),
     // Partial oracle (VERDICT r8 #6): the signature table (the custom
     // simhash64 kernel's output) is tapped; DuckDB recomputes banding,
     // the candidate self-join, Hamming verification via bit_count(xor),

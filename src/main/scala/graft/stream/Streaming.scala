@@ -739,7 +739,34 @@ object Streaming extends QueryModule {
              count(*) AS n_events
       FROM s GROUP BY user_id, sid
       ORDER BY user_id, session_start""")),
-    "s_session" -> QueryDef(sessionStream, None),
+    // Full oracle (r9): append-mode session_window semantics are exactly
+    // reproducible in SQL — gaps-and-islands sessionization (30-minute
+    // gap) PLUS the watermark cutoff: only sessions whose end
+    // (last event + gap) has fallen at or below the final watermark
+    // (global max ts − 30 min) are ever emitted; tail sessions stay in
+    // state, exactly what StreamingSpec pins. Boundary ties
+    // (a session ending exactly ON the watermark) are measure-zero in
+    // the µs-precision fixtures, so the <= comparison is unambiguous.
+    "s_session" -> QueryDef(sessionStream, Some("""
+      WITH e AS (SELECT user_id, ts FROM events),
+      marks AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marks),
+      agg AS (SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+                     count(*) AS n_events
+              FROM sess GROUP BY user_id, sid),
+      wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM e)
+      SELECT user_id, session_start, n_events
+      FROM agg, wm WHERE last_ts + INTERVAL 30 MINUTE <= w
+      ORDER BY user_id, session_start""")),
     "s_watermark_late" -> QueryDef(watermarkLate, None),
     "s_dedup_stateful" -> QueryDef(dedupStateful, Some("""
       SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
