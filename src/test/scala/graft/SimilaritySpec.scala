@@ -180,6 +180,75 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("widenedNprobe widens by inverse selectivity and clamps to the cell count") {
+    // s = 0.1 → 10× the base width: same expected in-predicate candidate
+    // budget as the unfiltered probe.
+    assert(Similarity.widenedNprobe(4, 1000L, 100L, 1000) == 40)
+    // s = 1 (no-op predicate) → base width.
+    assert(Similarity.widenedNprobe(4, 1000L, 1000L, 1000) == 4)
+    // ultra-selective predicate clamps to the cell count (full sweep —
+    // though the cutover sends this case to the exact branch anyway).
+    assert(Similarity.widenedNprobe(4, 1000000L, 10L, 300) == 300)
+    // empty predicate: degenerate, stays at base (result is empty).
+    assert(Similarity.widenedNprobe(4, 1000L, 0L, 300) == 4)
+  }
+
+  test("annFilteredSearch selective branch equals driver-side filtered brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // label = vec_id % 10 → m ≈ 52 for label 3 on the 520-vector corpus:
+    // under FilteredBruteFactor·k = 80, so the EXACT branch runs. Its
+    // top-k must equal the driver-side filtered ground truth, bit-for-bit
+    // on the 4-decimal rounded scores.
+    val labeled = corpus.map { case (id, emb) => (id, emb, (id % 10).toInt) }
+    val df = labeled.toDF("vec_id", "embedding", "label")
+    val anchor = corpus.head._2 // vec 0
+    val got = Similarity
+      .annFilteredSearch(df.filter(col("vec_id") =!= 0), anchor,
+        labelValue = 3, nprobe = 4, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val truth = labeled
+      .filter { case (id, _, l) => l == 3 && id != 0L }
+      .map { case (id, emb, _) => (id, math.round(cos(anchor, emb) * 10000).toDouble / 10000) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10)
+    assert(got == truth, s"filtered exact branch diverged:\n  got:   $got\n  truth: $truth")
+    // Every returned row satisfies the predicate by construction of the
+    // ground truth — and the exact branch marks cell = -1 (no quantizer).
+    assert(Similarity
+      .annFilteredSearch(df.filter(col("vec_id") =!= 0), anchor, 3, 4, 10)
+      .collect().forall(_.getInt(1) == -1))
+  }
+
+  test("annFilteredSearch broad branch probes wider and keeps planted recall under the predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Half the corpus carries the target label (m = 260 > 80) → the
+    // widened-probe branch runs: nprobe scales 4 → 8 at s = 0.5. Planted
+    // twins on even ids share the label, so probing with the copy's
+    // vector must surface the original — recall under a predicate is the
+    // property a post-filtering vector store can silently lose.
+    val labeled = corpus.map { case (id, emb) => (id, emb, if (id % 2 == 0) 3 else 1) }
+    val df = labeled.toDF("vec_id", "embedding", "label")
+    val lookup = corpus.toMap
+    val evens = (0 until NPlanted).filter(_ % 2 == 0)
+    var found = 0
+    evens.foreach { i =>
+      val rows = Similarity
+        .annFilteredSearch(df, lookup(1000L + i), labelValue = 3, nprobe = 4, k = 3)
+        .collect()
+      // Predicate totality: nothing outside label 3 may appear (labels
+      // here are even ids — 1000+i keeps the parity of i).
+      assert(rows.forall(_.getLong(0) % 2 == 0),
+        s"probe $i returned an out-of-predicate row: ${rows.mkString(",")}")
+      // The probe branch ran (cells are real, not the exact marker).
+      assert(rows.forall(_.getInt(1) >= 0), s"probe $i fell back to the exact branch")
+      if (rows.map(_.getLong(0)).contains(i.toLong)) found += 1
+    }
+    val recall = found.toDouble / evens.size
+    assert(recall >= 0.9, s"filtered probe recall $recall < 0.9")
+  }
+
   test("q_ann_ivf_probe (persisted partition-pruned index) equals the in-memory probe with the same quantizer") {
     import org.apache.spark.sql.functions.col
     // Layout equivalence: given the SAME quantizer (the persisted
