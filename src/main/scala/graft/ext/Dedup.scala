@@ -307,17 +307,26 @@ object Dedup extends QueryModule {
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), minhashSigUdf(col("text")).as("sig"))
 
-  /** Candidate pairs via LSH banding: docs sharing any band of the
-    * signature. Shuffle key is (band, bandHash) — tiny rows.
+  /** (doc_id, band, bh) — one row per band of each doc's signature. The
+    * LSH bucket table in both its uses: self-joined for in-corpus
+    * candidate pairs ([[lshCandidates]]) and PERSISTED as the postings of
+    * the incremental near-dup index ([[writeMinhashIndex]]).
     */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
+  private[graft] def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"sig[${b * RowsPerBand + r}]")
       expr(s"xxhash64(concat_ws(',', ${parts.mkString(", ")}))").as(s"band$b")
     }
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
-    val buckets = banded.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bh")))
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band", "bh")))
+  }
+
+  /** Candidate pairs via LSH banding: docs sharing any band of the
+    * signature. Shuffle key is (band, bandHash) — tiny rows.
+    */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val buckets = bandBuckets(sigs)
     buckets.alias("x")
       .join(buckets.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -500,7 +509,166 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---- Persisted near-dup index: incremental MinHash ingest -------------
+  //
+  // q_dedup_incremental answers "is this new batch EXACTLY in the corpus"
+  // against a persisted digest index; this is its near-dup twin — the
+  // ingest-time question a 100 TB curation pipeline actually asks is "is
+  // this new document a NEAR-duplicate of anything already ingested",
+  // and re-running all-corpus LSH per batch (O(n) signatures re-hashed,
+  // re-banded, re-shuffled) is not an option. The index persists the
+  // rep-level LSH band postings ONCE; a batch probe hashes only the batch
+  // (O(batch) signatures), equi-joins its band buckets against the
+  // postings, and exact-Jaccard-verifies the surviving candidates — so
+  // per-batch cost scales with the batch and its collisions, never the
+  // corpus. Same commit protocol as the IVF index (cf. Similarity):
+  // batch_id partitions + an atomically-replaced manifest probes filter
+  // on, so a crashed append is invisible.
+
+  private val MinhashRoot = "/tmp/graft_minhash"
+
+  /** Fixture tag: path + ms mtime + byte length (the IVF index's
+    * regeneration-proof scheme).
+    */
+  private def minhashTag(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    "v1-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+      "-" + java.lang.Long.toHexString(f.length())
+  }
+
+  private[graft] def readBatchManifest(dir: String): Seq[Long] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "manifest.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\"batches\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
+  }
+
+  private[graft] def writeBatchManifest(dir: String, batches: Seq[Long]): Unit = {
+    val tmp = new java.io.File(dir, ".manifest.tmp").toPath
+    java.nio.file.Files.write(tmp,
+      s"""{"batches":[${batches.mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, new java.io.File(dir, "manifest.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Write the band-postings index over `docs`: one (band, bh, doc_id)
+    * row per band per REPRESENTATIVE (exact-duplicate groups collapse to
+    * their min-id member first — identical text hashes to identical
+    * signatures, so extra members add postings without adding recall).
+    */
+  private[graft] def writeMinhashIndex(spark: SparkSession, dir: String,
+      docs: DataFrame): Unit = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val reps = StagedDedup.representatives(d, StagedDedup.exactGroups(d))
+    bandBuckets(minhashSignatures(reps))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(new java.io.File(dir, "postings").getPath)
+    writeBatchManifest(dir, Seq(0L))
+  }
+
+  /** One-time seed of the persisted index over the sub-400 corpus slice
+    * (marker-gated, untimed economics like the Derby/IVF seeds).
+    */
+  private[graft] def ensureMinhashIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = new java.io.File(MinhashRoot, minhashTag(sfDir))
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      writeMinhashIndex(spark, dir.getPath,
+        Tables(spark, sfDir, "documents").filter(col("doc_id") < 400))
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    dir.getPath
+  }
+
+  /** Append an ingest batch's band postings as a new batch_id partition:
+    * staged into a dot-directory (invisible to partition discovery),
+    * atomically renamed, then committed by atomically replacing the
+    * manifest — the IVF index's crash-safe protocol. Ids allocate past
+    * the max directory ON DISK so an orphan is never adopted.
+    */
+  private[graft] def minhashIndexAppend(spark: SparkSession, dir: String,
+      newDocs: DataFrame): Unit = {
+    val committed = readBatchManifest(dir)
+    val postingsRoot = new java.io.File(dir, "postings")
+    val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".staging_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    bandBuckets(minhashSignatures(newDocs.select(col("doc_id"), col("text"))))
+      .write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeBatchManifest(dir, committed :+ newId)
+  }
+
+  /** Probe the persisted index with an ingest batch: batch-side
+    * signatures + banding (O(batch) hashing — the corpus is never
+    * re-hashed), equi-join against the manifest-gated postings on
+    * (band, bh), then exact word-set Jaccard verification of the distinct
+    * (batch doc, index rep) candidates. `corpus` resolves candidate
+    * texts by id — the bounded point-lookup a doc store serves in
+    * production. Candidates are tapped for the partial oracle: given the
+    * candidate set, DuckDB recomputes verification wholesale.
+    */
+  private[graft] def probeMinhashIndex(spark: SparkSession, dir: String,
+      batch: DataFrame, corpus: DataFrame, tap: Option[String] = None): DataFrame = {
+    val committed = readBatchManifest(dir)
+    val postings = spark.read
+      .parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("batch_id").isin(committed: _*))
+      .select(col("band"), col("bh"), col("doc_id").as("dup_of"))
+    val cands = bandBuckets(minhashSignatures(batch.select(col("doc_id"), col("text"))))
+      .join(postings, Seq("band", "bh"))
+      .select(col("doc_id"), col("dup_of")).distinct()
+    val tapped = tap.fold(cands)(n => OracleTap(spark, n, cands))
+    val wa = batch.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("wa"))
+    val wb = corpus.select(col("doc_id").as("dup_of"),
+      array_distinct(split(col("text"), " ")).as("wb"))
+    tapped.join(wa, "doc_id").join(wb, "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        round(size(array_intersect(col("wa"), col("wb"))).cast(DoubleType) /
+          size(array_union(col("wa"), col("wb"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_id"), col("dup_of"))
+  }
+
+  private def minhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureMinhashIndex(spark, sfDir)
+    val docs = Tables(spark, sfDir, "documents")
+    probeMinhashIndex(spark, dir, docs.filter(col("doc_id") >= 400), docs,
+      tap = Some("minhash_inc_candidates"))
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    // Partial oracle: the banded candidate stage (batch × index-rep) is
+    // tapped; DuckDB recomputes the word-set Jaccard verification,
+    // threshold, and ordering from the tap + documents.
+    "q_minhash_incremental" -> QueryDef(minhashIncremental, Some("""
+      WITH cand AS (SELECT doc_id, dup_of
+                    FROM read_parquet('/tmp/graft_oracle_aux/minhash_inc_candidates/*.parquet')),
+      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+      v AS (
+        SELECT c.doc_id, c.dup_of,
+               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
+                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_id
+        JOIN w wb ON wb.doc_id = c.dup_of)
+      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
+      ORDER BY doc_id, dup_of""")),
     "q_dedup_clusters" -> QueryDef(dedupClusters, Some("""
       SELECT doc_id,
              min(doc_id) OVER (PARTITION BY ck) AS cluster_id,

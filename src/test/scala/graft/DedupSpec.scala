@@ -203,4 +203,76 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 6L))
   }
+
+  // ---- Persisted incremental MinHash index ------------------------------
+
+  /** 50 distinct words per doc, disjoint across seeds: word-set Jaccard
+    * between different seeds is 0; a one-word edit gives 49/51 ≈ 0.96.
+    */
+  private def docText(seed: Int): String =
+    (0 until 50).map(i => s"w${seed}_$i").mkString(" ")
+
+  test("probeMinhashIndex finds planted near-dups of an ingest batch without re-hashing the corpus") {
+    import spark.implicits._
+    val base = (0L until 10L).map(i => (i, docText(i.toInt)))
+    val nearCopy = {
+      val toks = docText(3).split(' '); toks(25) = "CHANGED"
+      (100L, toks.mkString(" "))
+    }
+    val exactCopy = (101L, base(5)._2)
+    val unrelated = (102L, docText(999))
+    val dir = graft.core.TempDirs.create("graft_minhash_spec")
+    graft.ext.Dedup.writeMinhashIndex(spark, dir, base.toDF("doc_id", "text"))
+    val batch = Seq(nearCopy, exactCopy, unrelated).toDF("doc_id", "text")
+    val corpus = (base ++ Seq(nearCopy, exactCopy, unrelated)).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.probeMinhashIndex(spark, dir, batch, corpus)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // One-word edit: 47/50 shingles survive → banding collides; Jaccard
+    // 49/51 passes the 0.8 gate. Exact copy: identical signature, 1.0.
+    assert(got.contains((100L, 3L)), s"near-copy not matched: $got")
+    assert(got((100L, 3L)) >= 0.9 && got((100L, 3L)) < 1.0)
+    assert(got.get((101L, 5L)).contains(1.0), s"exact copy not matched: $got")
+    // Disjoint-vocabulary doc: no verified match (and no false positive
+    // for the near/exact copies against other index docs).
+    assert(!got.keySet.exists(_._1 == 102L), s"unrelated doc matched: $got")
+    assert(got.keySet == Set((100L, 3L), (101L, 5L)), s"unexpected matches: $got")
+  }
+
+  test("minhashIndexAppend: append equals rebuild, and an uncommitted batch is invisible") {
+    import spark.implicits._
+    val base = (0L until 10L).map(i => (i, docText(i.toInt)))
+    val ingest1 = (200L until 205L).map(i => (i, docText(i.toInt)))
+    val probeDoc = Seq((300L, ingest1(2)._2)) // exact copy of doc 202's content
+    val corpus = (base ++ ingest1 ++ probeDoc).toDF("doc_id", "text")
+    val batchDf = probeDoc.toDF("doc_id", "text")
+
+    val dir = graft.core.TempDirs.create("graft_minhash_append")
+    graft.ext.Dedup.writeMinhashIndex(spark, dir, base.toDF("doc_id", "text"))
+    def probe() = graft.ext.Dedup.probeMinhashIndex(spark, dir, batchDf, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // Before the append the probed content is unknown to the index.
+    assert(probe().isEmpty)
+
+    // Append the ingest batch: the probe must now surface the match...
+    graft.ext.Dedup.minhashIndexAppend(spark, dir, ingest1.toDF("doc_id", "text"))
+    assert(probe() == Seq((300L, 202L)))
+
+    // ...identically to a full rebuild over the union (same postings
+    // semantics, index-once vs re-hash-everything economics).
+    val rebuilt = graft.core.TempDirs.create("graft_minhash_rebuild")
+    graft.ext.Dedup.writeMinhashIndex(spark, rebuilt, (base ++ ingest1).toDF("doc_id", "text"))
+    val rebuiltRows = graft.ext.Dedup.probeMinhashIndex(spark, rebuilt, batchDf, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe() == rebuiltRows)
+
+    // Crash window: roll the manifest back to the pre-append commit —
+    // the appended batch directory is still on disk but must be
+    // invisible to probes (manifest-gated read).
+    graft.ext.Dedup.writeBatchManifest(dir, Seq(0L))
+    assert(probe().isEmpty, "uncommitted batch leaked into a probe")
+    // Restore the commit: visible again.
+    graft.ext.Dedup.writeBatchManifest(dir, Seq(0L, 1L))
+    assert(probe() == Seq((300L, 202L)))
+  }
 }
