@@ -733,10 +733,11 @@ object Similarity extends QueryModule {
     */
   private def ivfTag(sfDir: String): String = {
     val f = new java.io.File(sfDir, "embeddings.parquet")
-    // "v2": postings carry the PQ `code` column and the layout includes
-    // `codebooks/` — the version prefix keeps a pre-PQ seeded dir from
-    // being adopted with the wrong schema.
-    "v2-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+    // "v3": postings carry metadata columns (label) for filtered probes,
+    // in addition to the v2 PQ `code` column + `codebooks/` — the version
+    // prefix keeps an earlier seeded dir from being adopted with the
+    // wrong schema.
+    "v3-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
       "-" + java.lang.Long.toHexString(f.length())
   }
 
@@ -846,11 +847,19 @@ object Similarity extends QueryModule {
     * the centroid table, and the commit manifest — written LAST, so the
     * manifest only ever references a complete layout.
     */
+  /** Metadata columns carried into the postings when the corpus has them
+    * (filtered probes predicate on these inside pruned cells — parquet
+    * row-group stats + dictionary pushdown make the in-cell filter
+    * scan-side).
+    */
+  private val IndexMetaCols = Seq("label")
+
   private[graft] def writeIvfIndex(spark: SparkSession, dir: String, e: DataFrame,
       train: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val trainDf = train.getOrElse(e)
-    val idx = ivfBuildWith(e, seedCentroids(trainDf))
+    val idx = ivfBuildWith(e, seedCentroids(trainDf),
+      keep = IndexMetaCols.filter(e.columns.contains))
     // PQ codebook trained on the same corpus as the coarse quantizer;
     // postings carry both the full vector (exact re-rank / full-precision
     // probes) and the 8-byte code — columnar parquet means an ADC probe
@@ -934,7 +943,8 @@ object Similarity extends QueryModule {
     val newId = (onDisk :+ 0L).max + 1
     val staging = new java.io.File(dir, s".staging_batch_$newId")
     graft.core.Warehouse.deleteRecursively(staging)
-    val assigned = ivfBuildWith(batch, readIvfCentroids(spark, dir))
+    val assigned = ivfBuildWith(batch, readIvfCentroids(spark, dir),
+      keep = IndexMetaCols.filter(batch.columns.contains))
     // Codes use the PERSISTED codebook — fixed between rebuilds exactly
     // like the coarse quantizer; the drift sentinel covers both (a
     // distribution shift that skews cells also degrades the codebook, and
@@ -1005,6 +1015,61 @@ object Similarity extends QueryModule {
     // pass).
     probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
       tap = Some("ann_ivf_probe_scored"))
+  }
+
+  /** Filtered probe against the PERSISTED index — [[annFilteredSearch]]'s
+    * cost-based strategy at the index layer, where the amortized-build
+    * economics actually hold:
+    *
+    *  - SELECTIVE predicate: a label-pushdown scan of the WHOLE postings
+    *    layout (no cell restriction — the pre-filter plan). Parquet
+    *    dictionary/row-group stats drop non-matching row groups at the
+    *    scan, the m survivors flow through one TakeOrderedAndProject,
+    *    and recall is exact.
+    *  - BROAD predicate: partition-pruned scan of [[widenedNprobe]] cells
+    *    with the label predicate INSIDE the pruned scan (PartitionFilters
+    *    × PushedFilters compose), in-cell cosine top-k.
+    *
+    * `m`/`n` (the predicate's selectivity) come from the caller — the
+    * registry entry measures them with one count against the source
+    * table, a production deployment reads them from table statistics.
+    */
+  private[graft] def probeIvfIndexFiltered(spark: SparkSession, dir: String,
+      anchor: Array[Float], labelValue: Int, n: Long, m: Long,
+      nprobe: Int, k: Int, exclude: Option[Long] = None,
+      tap: Option[String] = None): DataFrame = {
+    val manifest = readIvfManifest(dir)
+    val postings = spark.read.parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("batch_id").isin(manifest.batches: _*))
+    val cells =
+      if (m <= FilteredBruteFactor * k) postings
+      else {
+        val centroids = readIvfCentroids(spark, dir)
+        val np = widenedNprobe(nprobe, n, m, centroids.length)
+        val probed: Seq[Int] = centroids.zipWithIndex
+          .map { case (cent, i) => (i, cosineKernel(cent, anchor)) }
+          .sortBy(-_._2).take(np).map(_._1).toSeq
+        postings.where(col("cell_id").isin(probed: _*))
+      }
+    val base = cells.filter(col("label") === labelValue)
+    val scored = exclude.fold(base)(id => base.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+        round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(nm => OracleTap(spark, nm, scored))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def annFilteredProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val n = corpus.count()
+    val m = corpus.filter(col("label") === 3).count()
+    probeIvfIndexFiltered(spark, dir, anchor, labelValue = 3, n = n, m = m,
+      nprobe = 4, k = 10, exclude = Some(0L), tap = Some("ann_filtered_probe_scored"))
   }
 
   /** Batched ANN retrieval against the persisted index — the shape a
@@ -1548,6 +1613,29 @@ object Similarity extends QueryModule {
     * top-k. Only the seeded/quantized candidate GENERATION stays outside
     * the oracle; scoring, ranking, and the k-cut are hash-matched.
     */
+  /** The filtered twin of [[annScoredOracle]]: candidates are re-scored
+    * independently AND re-verified against the label predicate — an
+    * out-of-predicate candidate is dropped (row/hash mismatch), not just
+    * re-ranked.
+    */
+  private def annFilteredOracle(tapName: String, k: Int): String = s"""
+      WITH cand AS (SELECT vec_id, cell
+                    FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
+      ok AS (SELECT c.vec_id, c.cell FROM cand c
+             JOIN embeddings e ON e.vec_id = c.vec_id AND e.label = 3),
+      terms AS (
+        SELECT c.vec_id, c.cell,
+               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM ok c JOIN embeddings e ON e.vec_id = c.vec_id, anchor a,
+             range(1, 65) t(i)),
+      sims AS (SELECT vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY vec_id, cell)
+      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
+
   private def annScoredOracle(tapName: String, k: Int): String = s"""
       WITH cand AS (SELECT vec_id, cell
                     FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
@@ -1713,23 +1801,10 @@ object Similarity extends QueryModule {
     // and additionally VERIFIED against the predicate (the join keeps
     // only label-3 candidates, so an out-of-predicate row the engine let
     // into its top-k would hash-mismatch, not just re-rank).
-    "q_ann_filtered" -> QueryDef(annFiltered, Some("""
-      WITH cand AS (SELECT vec_id, cell
-                    FROM read_parquet('/tmp/graft_oracle_aux/ann_filtered_scored/*.parquet')),
-      anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
-      ok AS (SELECT c.vec_id, c.cell FROM cand c
-             JOIN embeddings e ON e.vec_id = c.vec_id AND e.label = 3),
-      terms AS (
-        SELECT c.vec_id, c.cell,
-               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
-               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
-        FROM ok c JOIN embeddings e ON e.vec_id = c.vec_id, anchor a,
-             range(1, 65) t(i)),
-      sims AS (SELECT vec_id, cell,
-                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
-               FROM terms GROUP BY vec_id, cell)
-      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
-      ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
+    "q_ann_filtered" -> QueryDef(annFiltered,
+      Some(annFilteredOracle("ann_filtered_scored", 10))),
+    "q_ann_filtered_probe" -> QueryDef(annFilteredProbe,
+      Some(annFilteredOracle("ann_filtered_probe_scored", 10))),
     // Partial oracle: the tapped per-iteration centroid matrices are the
     // declared boundary (the Lloyd update has no SQL twin); the
     // convergence trace itself — per-vector best-assignment cosine,

@@ -249,6 +249,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"filtered probe recall $recall < 0.9")
   }
 
+  test("q_ann_filtered_probe equals q_ann_filtered on both strategy branches") {
+    // Same quantizer (both train on the anchor-excluded corpus), same
+    // selectivity measurement, same cost-based cutover — so the persisted
+    // probe must agree with the in-memory search on (vec_id, cos_sim).
+    // (`cell` legitimately differs on the exact branch: the in-memory
+    // scan marks -1, the postings scan reports the stored cell.)
+    def rows(name: String, sfDir: String) =
+      SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // sf0.001: m ≈ 50 ≤ 8k → EXACT branch on both sides.
+    assert(rows("q_ann_filtered", "/root/testdata/sf0.001") ==
+      rows("q_ann_filtered_probe", "/root/testdata/sf0.001"))
+    // sf0.1: m ≈ 200 > 8k → widened-PROBE branch on both sides; the
+    // persisted output must come from real probed cells.
+    val probeSf = "/root/testdata/sf0.1"
+    val persisted = SparkEntry.queries("q_ann_filtered_probe")(spark, probeSf).collect()
+    assert(persisted.forall(_.getInt(1) >= 0), "probe branch did not run")
+    assert(rows("q_ann_filtered", probeSf) ==
+      persisted.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+  }
+
   test("q_ann_ivf_probe (persisted partition-pruned index) equals the in-memory probe with the same quantizer") {
     import org.apache.spark.sql.functions.col
     // Layout equivalence: given the SAME quantizer (the persisted
