@@ -170,6 +170,62 @@ object Receipts {
       println(f"[receipt] $q sequential single probes: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
       spark.stop()
 
+    case "filtered" =>
+      // Filtered-ANN economics on the persisted index: the widened probe
+      // (label predicate inside nprobe/s pruned cells) vs the pre-filter
+      // plan (label-pushdown scan of ALL postings, exact) vs the
+      // unfiltered probe floor. The widened probe reads ~(nprobe/s)·(n/C)
+      // rows of nprobe/s/C of the FILES; the pre-filter plan reads every
+      // row group the label survives in — the crossover the cost-based
+      // cutover encodes.
+      val sfDir = args(1)
+      val spark = session()
+      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val anchor = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val n = corpus.count()
+      val m = corpus.filter(col("label") === 3).count()
+      println(s"[receipt] n=$n m=$m selectivity=${m.toDouble / n}")
+      time("filtered probe (widened, in-cell predicate)",
+        graft.ext.Similarity.probeIvfIndexFiltered(spark, dir, anchor,
+          labelValue = 3, n = n, m = m, nprobe = 4, k = 10, exclude = Some(0L)))
+      // m forced under the cutover => the pre-filter plan (full postings
+      // scan with label pushdown, exact recall) on the same predicate.
+      time("pre-filter exact (label-pushdown full scan)",
+        graft.ext.Similarity.probeIvfIndexFiltered(spark, dir, anchor,
+          labelValue = 3, n = n, m = 1L, nprobe = 4, k = 10, exclude = Some(0L)))
+      time("unfiltered probe (floor)",
+        graft.ext.Similarity.probeIvfIndex(spark, dir, anchor,
+          nprobe = 4, k = 10, exclude = Some(0L)))
+      spark.stop()
+
+    case "minhashinc" =>
+      // Incremental near-dup economics: probing an ingest batch against
+      // the persisted band-postings index (O(batch) hashing + bucket
+      // join) vs re-running the full staged near-dup pipeline over the
+      // whole corpus — the per-ingest cost a 100 TB pipeline actually
+      // pays. The index here is the sub-400 slice, so the "batch" is the
+      // remaining corpus — a worst-case-large batch; production batches
+      // are far smaller, and probe cost scales with the batch.
+      val sfDir = args(1)
+      val spark = session()
+      val dir = graft.ext.Dedup.ensureMinhashIndex(spark, sfDir)
+      val docs = graft.core.Tables(spark, sfDir, "documents")
+      docs.queryExecution.toRdd.count()
+      time("incremental probe (worst-case batch = rest of corpus)",
+        graft.ext.Dedup.probeMinhashIndex(spark, dir,
+          docs.filter(col("doc_id") >= 400), docs))
+      // Representative ingest: a ~1% batch — probe cost must scale with
+      // the batch (its hashing + collisions), not the corpus.
+      time("incremental probe (5000-doc ingest batch)",
+        graft.ext.Dedup.probeMinhashIndex(spark, dir,
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 5400), docs))
+      time("full staged near-dup re-run (whole corpus)",
+        SparkEntry.queries("q_minhash_near_dup")(spark, sfDir))
+      spark.stop()
+
     case "pq" =>
       // IVF-PQ economics on the persisted index (one layout, two
       // precision modes): (a) exact parquet column-chunk bytes of the
