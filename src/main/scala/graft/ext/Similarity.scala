@@ -1096,10 +1096,22 @@ object Similarity extends QueryModule {
     */
   private[graft] def probeIvfIndexBatch(spark: SparkSession, dir: String,
       anchors: DataFrame, nprobe: Int, k: Int,
-      tap: Option[String] = None): DataFrame = {
+      tap: Option[String] = None,
+      labelValue: Option[Int] = None, counts: Option[(Long, Long)] = None): DataFrame = {
     val centroids = readIvfCentroids(spark, dir)
     val manifest = readIvfManifest(dir)
-    val np = math.min(nprobe, centroids.length)
+    // Filtered batch retrieval widens every anchor's probe by the
+    // predicate's inverse selectivity, exactly like the single-anchor
+    // path — which also subsumes the selective-predicate case: a tiny m
+    // clamps the width to ALL cells, i.e. a label-pushdown sweep with
+    // exact recall (the pre-filter plan, batched).
+    val np = labelValue match {
+      case Some(_) =>
+        val (n, m) = counts.getOrElse(
+          sys.error("filtered batch probe requires (n, m) selectivity counts"))
+        widenedNprobe(nprobe, n, m, centroids.length)
+      case None => math.min(nprobe, centroids.length)
+    }
     val topCellsUdf = udf { (emb: Array[Float]) =>
       centroids.indices
         .map(i => (i, cosineKernel(centroids(i), emb)))
@@ -1110,9 +1122,12 @@ object Similarity extends QueryModule {
       .withColumn("cell_id", explode(topCellsUdf(col("q_emb"))))
     val probedCells: Seq[Int] = anchorCells.select(col("cell_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(new java.io.File(dir, "postings").getPath)
+    val postings0 = spark.read.parquet(new java.io.File(dir, "postings").getPath)
       .where(col("batch_id").isin(manifest.batches: _*) &&
         col("cell_id").isin(probedCells: _*))
+    // The predicate lands INSIDE the pruned scan (PushedFilters), before
+    // the anchor join — candidates outside it are never scored.
+    val postings = labelValue.fold(postings0)(v => postings0.filter(col("label") === v))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     val scored = postings.join(broadcast(anchorCells), Seq("cell_id"))
@@ -1134,6 +1149,21 @@ object Similarity extends QueryModule {
     val anchors = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
     probeIvfIndexBatch(spark, dir, anchors, nprobe = 4, k = 5,
       tap = Some("ann_ivf_batch_scored"))
+  }
+
+  /** Batched + filtered retrieval — the full production shape (a batch
+    * of queries, each under a metadata predicate) in one job.
+    */
+  private def annFilteredBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val n = corpus.count()
+    val m = corpus.filter(col("label") === 3).count()
+    val anchors = e.filter(col("vec_id") < 8)
+    probeIvfIndexBatch(spark, dir, anchors, nprobe = 4, k = 5,
+      tap = Some("ann_filtered_batch_scored"),
+      labelValue = Some(3), counts = Some((n, m)))
   }
 
   // ---- IVF-PQ: product-quantized postings ------------------------------
@@ -1652,6 +1682,31 @@ object Similarity extends QueryModule {
       SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
 
+  /** Batched + filtered: per-anchor re-score + re-rank, with candidates
+    * re-VERIFIED against the predicate like [[annFilteredOracle]].
+    */
+  private def annFilteredBatchOracle(tapName: String, k: Int): String = s"""
+      WITH cand0 AS (SELECT query_id, vec_id, cell
+                     FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      cand AS (SELECT c.query_id, c.vec_id, c.cell FROM cand0 c
+               JOIN embeddings e ON e.vec_id = c.vec_id AND e.label = 3),
+      terms AS (
+        SELECT c.query_id, c.vec_id, c.cell,
+               CAST(ev.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM cand c JOIN embeddings ev ON ev.vec_id = c.vec_id
+                    JOIN embeddings eq ON eq.vec_id = c.query_id,
+             range(1, 65) t(i)),
+      sims AS (SELECT query_id, vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY query_id, vec_id, cell),
+      ranked AS (SELECT query_id, vec_id, cell, round(c, 4) AS cos_sim,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(c, 4) DESC, vec_id) AS rnk
+                 FROM sims)
+      SELECT query_id, vec_id, cell, cos_sim, rnk FROM ranked
+      WHERE rnk <= $k ORDER BY query_id, rnk"""
+
   /** The batched twin: per-anchor re-score + row_number ≤ k from the
     * tapped (query_id, vec_id, cell) candidates.
     */
@@ -1805,6 +1860,8 @@ object Similarity extends QueryModule {
       Some(annFilteredOracle("ann_filtered_scored", 10))),
     "q_ann_filtered_probe" -> QueryDef(annFilteredProbe,
       Some(annFilteredOracle("ann_filtered_probe_scored", 10))),
+    "q_ann_filtered_batch" -> QueryDef(annFilteredBatch,
+      Some(annFilteredBatchOracle("ann_filtered_batch_scored", 5))),
     // Partial oracle: the tapped per-iteration centroid matrices are the
     // declared boundary (the Lloyd update has no SQL twin); the
     // convergence trace itself — per-vector best-assignment cosine,

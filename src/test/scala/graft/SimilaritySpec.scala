@@ -325,6 +325,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("filtered batch probe equals per-anchor filtered single probes on the same persisted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Even ids carry the target label: m = 260 of n = 520 (s = 0.5) —
+    // the widened-probe regime on both the batched and single paths.
+    val labeled = corpus.map { case (id, emb) => (id, emb, if (id % 2 == 0) 3 else 1) }
+    val df = labeled.toDF("vec_id", "embedding", "label")
+    val dir = graft.core.TempDirs.create("graft_ivf_fbatch")
+    Similarity.writeIvfIndex(spark, dir, df)
+    val (n, m) = (520L, 260L)
+    val nAnchors = 5
+    val batchOut = Similarity
+      .probeIvfIndexBatch(spark, dir, df.filter(col("vec_id") < nAnchors),
+        nprobe = 4, k = 5, labelValue = Some(3), counts = Some((n, m)))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(4)).map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      }
+    val lookup = corpus.toMap
+    (0 until nAnchors).foreach { i =>
+      val single = Similarity
+        .probeIvfIndexFiltered(spark, dir, lookup(i.toLong), labelValue = 3,
+          n = n, m = m, nprobe = 4, k = 5, exclude = Some(i.toLong))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(single.forall(_._1 % 2 == 0), s"anchor $i: out-of-predicate row in $single")
+      assert(batchOut.get(i.toLong).contains(single),
+        s"filtered batch diverged for anchor $i:\n  batch: ${batchOut.get(i.toLong)}\n  single: $single")
+    }
+  }
+
   test("ivfIndexAppend commit protocol: uncommitted batches are invisible to probes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
