@@ -971,6 +971,56 @@ object Similarity extends QueryModule {
     writeIvfManifest(dir, IvfManifest(committed, imb, imb > IvfDriftThreshold, merged))
   }
 
+  // ---- Streaming ingest into the persisted index -----------------------
+
+  /** Continuous-ingest pipeline: seed the index from the corpus slice
+    * below `cut`, stream the rest in (`readStream` over the same parquet
+    * — the Kafka-topic stand-in every s_* entry uses), publish each
+    * micro-batch through [[ivfIndexAppend]]'s atomic commit protocol in
+    * `foreachBatch`, then answer a probe that must see the streamed rows.
+    * This is the embedding-corpus shape at 100 TB: vectors arrive
+    * continuously, the index is storage, and exactly-once publication
+    * falls out of the append's staged-rename + manifest commit — a
+    * micro-batch that crashes mid-append leaves an orphan no probe
+    * reads, and the restarted batch re-stages under a fresh batch_id.
+    *
+    * The index is rebuilt in a scratch dir per run (seed + stream at
+    * fixture scale is seconds) so repeated runs are deterministic — a
+    * long-lived deployment would keep the checkpoint + index dir
+    * together and only ever pay per-batch appends.
+    */
+  private[graft] def annIngestPipeline(spark: SparkSession, srcDir: String,
+      glob: String, cut: Long, anchor: Array[Float],
+      exclude: Option[Long] = None, tap: Option[String] = None): DataFrame = {
+    val dir = graft.core.TempDirs.create("graft_ann_ingest")
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(srcDir).schema
+    val stat = spark.read.option("pathGlobFilter", glob).parquet(srcDir)
+    writeIvfIndex(spark, dir, stat.filter(col("vec_id") < cut),
+      train = Some(stat.filter(col("vec_id") < cut && col("vec_id") =!= 0)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(srcDir)
+      .filter(col("vec_id") >= cut)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) ivfIndexAppend(spark, dir, b)
+      }
+      .option("checkpointLocation", graft.core.TempDirs.create("graft_ann_ingest_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = exclude, tap = tap)
+  }
+
+  private def annIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    // Stream the top decile of vec_ids as the "arriving" vectors.
+    annIngestPipeline(spark, sfDir, "embeddings.parquet", cut = maxId * 9 / 10,
+      anchor, exclude = Some(0L), tap = Some("s_ann_ingest_scored"))
+  }
+
   /** Probe the persisted index at `dir`: nearest-cell choice driver-side,
     * manifest-gated + partition-pruned postings scan (only COMMITTED
     * batch_ids, only probed cell_ids — both prune at the partition
@@ -1862,6 +1912,10 @@ object Similarity extends QueryModule {
       Some(annFilteredOracle("ann_filtered_probe_scored", 10))),
     "q_ann_filtered_batch" -> QueryDef(annFilteredBatch,
       Some(annFilteredBatchOracle("ann_filtered_batch_scored", 5))),
+    // Streaming ingest into the persisted ANN index; the probe's scored
+    // candidates are tapped, so the oracle independently re-scores them —
+    // including the rows that arrived THROUGH the stream.
+    "s_ann_ingest" -> QueryDef(annIngest, Some(annScoredOracle("s_ann_ingest_scored", 10))),
     // Partial oracle: the tapped per-iteration centroid matrices are the
     // declared boundary (the Lloyd update has no SQL twin); the
     // convergence trace itself — per-vector best-assignment cosine,

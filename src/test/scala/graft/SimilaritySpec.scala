@@ -356,6 +356,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("annIngestPipeline: rows that arrive through the stream are probe-visible") {
+    import spark.implicits._
+    // Seed = the 500 base vectors; the 20 planted near-copies (ids
+    // 1000+) arrive THROUGH the streaming ingest. Probing with a planted
+    // copy's own vector must return the copy at rank 1 (cos 1.0) — which
+    // can only happen if the streamed micro-batch was committed into the
+    // index — and its original in the top 3.
+    val srcDir = graft.core.TempDirs.create("graft_ann_ingest_src")
+    corpus.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val lookup = corpus.toMap
+    val got = graft.ext.Similarity
+      .annIngestPipeline(spark, srcDir, "*.parquet", cut = 1000L, lookup(1000L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.head == 1000L, s"streamed row not at rank 1: $got")
+    assert(got.take(3).contains(0L), s"original of the planted copy missing: $got")
+  }
+
   test("ivfIndexAppend commit protocol: uncommitted batches are invisible to probes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
