@@ -971,6 +971,72 @@ object Similarity extends QueryModule {
     writeIvfManifest(dir, IvfManifest(committed, imb, imb > IvfDriftThreshold, merged))
   }
 
+  /** Compact the committed batches into ONE batch partition — the index
+    * lifecycle operation append-heavy ingest eventually needs: every
+    * append adds a `batch_id` directory, and probes open
+    * O(batches · nprobe) files, so a long-running ingest degrades probe
+    * IO until someone rewrites. The rewrite reuses the append's commit
+    * protocol in reverse: read all committed postings, stage the merged
+    * copy under a dot-directory (partitioned by cell_id, one file per
+    * cell instead of one per batch per cell), atomically rename, then
+    * atomically swap the manifest to reference ONLY the merged batch.
+    * A crash before the swap leaves an orphan and the old manifest —
+    * probes never see a half-compacted index; a crash after the swap
+    * leaves the old batch dirs unreferenced. Cleanup of unreferenced
+    * dirs runs after the swap (production would delay it by a
+    * reader-grace window, since an in-flight probe may hold the old
+    * manifest's batch list).
+    *
+    * Quantizer, codes, counts, and the drift stat are untouched — the
+    * merged postings are byte-wise the same rows, so probes are
+    * row-identical before/after (spec-pinned).
+    */
+  private[graft] def ivfIndexCompact(spark: SparkSession, dir: String): Unit = {
+    val manifest = readIvfManifest(dir)
+    if (manifest.batches.size <= 1) return
+    val postingsRoot = new java.io.File(dir, "postings")
+    val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".compact_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    spark.read.parquet(postingsRoot.getPath)
+      .where(col("batch_id").isin(manifest.batches: _*))
+      .drop("batch_id")
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeIvfManifest(dir, manifest.copy(batches = Seq(newId)))
+    // GC of now-unreferenced batch dirs — safe AFTER the manifest swap.
+    onDisk.foreach { id =>
+      graft.core.Warehouse.deleteRecursively(
+        new java.io.File(postingsRoot, s"batch_id=$id"))
+    }
+  }
+
+  /** Build → append → compact → probe, end to end: the probe answers
+    * from the COMPACTED single-batch layout, and its scored candidates
+    * carry the oracle.
+    */
+  private def annIvfCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = maxId * 9 / 10
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val dir = graft.core.TempDirs.create("graft_ann_compact")
+    writeIvfIndex(spark, dir, e.filter(col("vec_id") < cut),
+      train = Some(e.filter(col("vec_id") < cut && col("vec_id") =!= 0)))
+    ivfIndexAppend(spark, dir, e.filter(col("vec_id") >= cut))
+    ivfIndexCompact(spark, dir)
+    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
+      tap = Some("ann_ivf_compact_scored"))
+  }
+
   // ---- Streaming ingest into the persisted index -----------------------
 
   /** Continuous-ingest pipeline: seed the index from the corpus slice
@@ -1916,6 +1982,8 @@ object Similarity extends QueryModule {
     // candidates are tapped, so the oracle independently re-scores them —
     // including the rows that arrived THROUGH the stream.
     "s_ann_ingest" -> QueryDef(annIngest, Some(annScoredOracle("s_ann_ingest_scored", 10))),
+    "q_ann_ivf_compact" -> QueryDef(annIvfCompact,
+      Some(annScoredOracle("ann_ivf_compact_scored", 10))),
     // Partial oracle: the tapped per-iteration centroid matrices are the
     // declared boundary (the Lloyd update has no SQL twin); the
     // convergence trace itself — per-vector best-assignment cosine,

@@ -374,6 +374,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(got.take(3).contains(0L), s"original of the planted copy missing: $got")
   }
 
+  test("ivfIndexCompact merges batches probe-identically, crash-safely, and GCs old dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_compact")
+    // Seed + two appends → three committed batches.
+    Similarity.writeIvfIndex(spark, dir, df.filter(col("vec_id") < 400))
+    Similarity.ivfIndexAppend(spark, dir,
+      df.filter(col("vec_id") >= 400 && col("vec_id") < 1000))
+    Similarity.ivfIndexAppend(spark, dir, df.filter(col("vec_id") >= 1000))
+    val lookup = corpus.toMap
+    def probe(i: Int) = Similarity
+      .probeIvfIndex(spark, dir, lookup(1000L + i), nprobe = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    def batchDirs() = Option(new java.io.File(dir, "postings").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id=")).map(_.getName).sorted
+    val before = (0 until 5).map(probe)
+    assert(Similarity.readIvfManifest(dir).batches.size == 3)
+    assert(batchDirs().length == 3)
+
+    // Crash window: a staged compact dir present but no manifest swap —
+    // probes are unaffected (read only committed batches).
+    val orphan = new java.io.File(dir, ".compact_batch_99")
+    orphan.mkdirs()
+    assert((0 until 5).map(probe) == before)
+    graft.core.Warehouse.deleteRecursively(orphan)
+
+    Similarity.ivfIndexCompact(spark, dir)
+    // One referenced batch, old dirs GC'd, probes row-identical.
+    val m = Similarity.readIvfManifest(dir)
+    assert(m.batches.size == 1, s"manifest still lists ${m.batches}")
+    assert(batchDirs().length == 1, s"old batch dirs not GC'd: ${batchDirs().mkString(",")}")
+    assert((0 until 5).map(probe) == before, "compaction changed probe output")
+    // Idempotent on a single-batch index.
+    Similarity.ivfIndexCompact(spark, dir)
+    assert((0 until 5).map(probe) == before)
+  }
+
   test("ivfIndexAppend commit protocol: uncommitted batches are invisible to probes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
