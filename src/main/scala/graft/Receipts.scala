@@ -226,6 +226,48 @@ object Receipts {
         SparkEntry.queries("q_minhash_near_dup")(spark, sfDir))
       spark.stop()
 
+    case "compact" =>
+      // Fragmentation economics: N appends leave N batch_id dirs; a probe
+      // opens nprobe cell partitions in EVERY batch. Measure probe cost +
+      // file count on the fragmented index, compact, re-measure.
+      val sfDir = args(1)
+      val nAppends = if (args.length > 2) args(2).toInt else 20
+      val spark = session()
+      val canonical = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val scratch = graft.core.TempDirs.create("graft_ivf_compact_receipt")
+      graft.core.Warehouse.copyRecursively(
+        new java.io.File(canonical), new java.io.File(scratch))
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val anchor = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      val batchSize = 500
+      (0 until nAppends).foreach { i =>
+        graft.ext.Similarity.ivfIndexAppend(spark, scratch,
+          e.limit(batchSize).select(
+            (col("vec_id") + lit(20000000L + i.toLong * 100000L)).as("vec_id"),
+            col("embedding"), col("label")))
+      }
+      def fileCount() = {
+        var n = 0
+        java.nio.file.Files.walk(new java.io.File(scratch, "postings").toPath)
+          .forEach(p => if (p.toString.endsWith(".parquet")) n += 1)
+        n
+      }
+      println(s"[receipt] fragmented: ${fileCount()} part files, " +
+        s"${graft.ext.Similarity.readIvfManifest(scratch).batches.size} batches")
+      time(s"probe on fragmented index ($nAppends appends)",
+        graft.ext.Similarity.probeIvfIndex(spark, scratch, anchor,
+          nprobe = 4, k = 10, exclude = Some(0L)))
+      val t0 = System.nanoTime()
+      graft.ext.Similarity.ivfIndexCompact(spark, scratch)
+      println(f"[receipt] compact: ${(System.nanoTime() - t0) / 1e9}%.2f s -> " +
+        s"${fileCount()} part files, 1 batch")
+      time("probe on compacted index",
+        graft.ext.Similarity.probeIvfIndex(spark, scratch, anchor,
+          nprobe = 4, k = 10, exclude = Some(0L)))
+      graft.core.Warehouse.deleteRecursively(new java.io.File(scratch))
+      spark.stop()
+
     case "pq" =>
       // IVF-PQ economics on the persisted index (one layout, two
       // precision modes): (a) exact parquet column-chunk bytes of the
