@@ -134,6 +134,16 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $dt%8.2f s (warm)")
       name -> dt
     }.toMap
+    // Symmetric warm-up before the post-sweep measurement: the sweep's
+    // ~160 distinct plans overflow Spark's bounded codegen cache (100
+    // compiled classes), evicting the canary's generated code — without
+    // this, the "after" timing bills a deterministic Janino recompile
+    // (~+0.1 s, observed on every run once the registry passed ~155
+    // entries) and the sentinel flags noisy on a perfectly quiet host.
+    // The canary's job is HOST noise; both measurements must be taken
+    // from the same steady state (untimed warm-up immediately before),
+    // exactly as the pre-sweep one is.
+    timeCanary()
     val canaryAfter = timeCanary()
     val noisy = math.max(canaryBefore, canaryAfter) >
       1.5 * math.max(0.05, math.min(canaryBefore, canaryAfter))
