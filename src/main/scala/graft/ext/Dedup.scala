@@ -612,6 +612,40 @@ object Dedup extends QueryModule {
     writeBatchManifest(dir, committed :+ newId)
   }
 
+  /** Compact the committed band-postings batches into one — the same
+    * lifecycle operation (and the same commit protocol in reverse) as
+    * the IVF index's `ivfIndexCompact`: every ingest append adds a
+    * `batch_id` directory of small files, and the probe's bucket join
+    * opens all of them; the rewrite stages the merged postings, renames
+    * atomically, swaps the manifest to the single merged batch, then GCs
+    * the unreferenced dirs. Probes are row-identical before/after
+    * (postings are the same rows; DedupSpec pins it).
+    */
+  private[graft] def minhashIndexCompact(spark: SparkSession, dir: String): Unit = {
+    val committed = readBatchManifest(dir)
+    if (committed.size <= 1) return
+    val postingsRoot = new java.io.File(dir, "postings")
+    val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".compact_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    spark.read.parquet(postingsRoot.getPath)
+      .where(col("batch_id").isin(committed: _*))
+      .drop("batch_id")
+      .coalesce(8)
+      .write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeBatchManifest(dir, Seq(newId))
+    onDisk.foreach { id =>
+      graft.core.Warehouse.deleteRecursively(
+        new java.io.File(postingsRoot, s"batch_id=$id"))
+    }
+  }
+
   /** Probe the persisted index with an ingest batch: batch-side
     * signatures + banding (O(batch) hashing — the corpus is never
     * re-hashed), equi-join against the manifest-gated postings on

@@ -274,5 +274,17 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     // Restore the commit: visible again.
     graft.ext.Dedup.writeBatchManifest(dir, Seq(0L, 1L))
     assert(probe() == Seq((300L, 202L)))
+
+    // Compaction: merge the two batches into one — probe-identical,
+    // single referenced + on-disk batch, idempotent re-run.
+    graft.ext.Dedup.minhashIndexCompact(spark, dir)
+    assert(graft.ext.Dedup.readBatchManifest(dir).size == 1)
+    val dirs = Option(new java.io.File(dir, "postings").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(dirs.length == 1, s"old batch dirs not GC'd: ${dirs.map(_.getName).mkString(",")}")
+    assert(probe() == Seq((300L, 202L)), "compaction changed probe output")
+    graft.ext.Dedup.minhashIndexCompact(spark, dir)
+    assert(probe() == Seq((300L, 202L)))
   }
 }
