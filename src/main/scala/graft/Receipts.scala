@@ -226,6 +226,45 @@ object Receipts {
         SparkEntry.queries("q_minhash_near_dup")(spark, sfDir))
       spark.stop()
 
+    case "recall" =>
+      // Operational recall audit — the metric a production ANN deployment
+      // tracks continuously: sample Q anchors, compare the persisted-index
+      // probe's top-k against the exact brute-force top-k over the same
+      // corpus, report mean recall@k. (The specs pin recall on PLANTED
+      // twins; this measures it on the real data distribution at scale,
+      // for both the full-precision and the ADC probe.)
+      val sfDir = args(1)
+      val q = if (args.length > 2) args(2).toInt else 32
+      val nprobe = if (args.length > 3) args(3).toInt else 4
+      val k = 10
+      val spark = session()
+      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val anchors = e.orderBy(xxhash64(col("vec_id"))).limit(q)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def exactTopK(id: Long, emb: Array[Float]): Set[Long] =
+        e.filter(col("vec_id") =!= id)
+          .select(col("vec_id"),
+            graft.functions.CosineSim.sim(typedLit(emb), col("embedding")).as("c"))
+          .orderBy(col("c").desc, col("vec_id")).limit(k)
+          .collect().map(_.getLong(0)).toSet
+      var rIvf = 0.0; var rPq = 0.0
+      anchors.foreach { case (id, emb) =>
+        val truth = exactTopK(id, emb)
+        val ivf = graft.ext.Similarity
+          .probeIvfIndex(spark, dir, emb, nprobe = nprobe, k = k, exclude = Some(id))
+          .collect().map(_.getLong(0)).toSet
+        val pq = graft.ext.Similarity
+          .probeIvfPqIndex(spark, dir, emb, nprobe = nprobe, k = k, exclude = Some(id))
+          .collect().map(_.getLong(0)).toSet
+        rIvf += (ivf & truth).size.toDouble / k
+        rPq += (pq & truth).size.toDouble / k
+      }
+      println(f"[receipt] recall@$k over $q sampled anchors (nprobe=$nprobe): " +
+        f"ivf=${rIvf / q}%.3f ivfpq=${rPq / q}%.3f")
+      spark.stop()
+
     case "compact" =>
       // Fragmentation economics: N appends leave N batch_id dirs; a probe
       // opens nprobe cell partitions in EVERY batch. Measure probe cost +

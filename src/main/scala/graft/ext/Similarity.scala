@@ -1313,6 +1313,21 @@ object Similarity extends QueryModule {
   private[graft] val PqKs = 16
   /** Candidate multiplier for the exact re-rank of ADC-ranked codes. */
   private[graft] val PqRefine = 4
+  /** The probe width PqRefine is tuned for. */
+  private[graft] val PqBaseNprobe = 4
+
+  /** ADC shortlist size, scaled LINEARLY with the probed-cell count. A
+    * fixed shortlist dilutes as nprobe grows: more candidates compete
+    * for the same L slots under noisy 8-byte scores, so widening the
+    * probe DROPPED recall — measured recall@10 on sf0.1 went
+    * .63 → .55 → .47 at nprobe 4/8/16 with fixed L = k·refine = 40.
+    * Keeping L proportional to the candidate pool (the standard
+    * IVFADC practice — raise the shortlist with nprobe) restores the
+    * monotone recall-for-cost trade; at the default nprobe the size is
+    * unchanged, so registry outputs and oracles are untouched.
+    */
+  private[graft] def pqShortlist(k: Int, refine: Int, nprobe: Int): Int =
+    k * refine * math.max(1, nprobe / PqBaseNprobe)
 
   private def l2Normalize(v: Array[Float]): Array[Float] = {
     var ss = 0.0; var i = 0
@@ -1481,7 +1496,7 @@ object Similarity extends QueryModule {
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"), col("cell"), adcScoreUdf(table)(col("code")).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(k * refine)
+      .limit(pqShortlist(k, refine, probed.length))
       .collect().map(r => r.getLong(0) -> r.getInt(1))
     val cellOf = cand.toMap
     val cellUdf = udf { (id: Long) => cellOf(id) }
@@ -1522,7 +1537,7 @@ object Similarity extends QueryModule {
     val cand = base
       .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
-      .limit(k * refine)
+      .limit(pqShortlist(k, refine, probed.length))
       .collect().map(_.getLong(0))
     val scored = base
       .filter(col("vec_id").isin(cand: _*))
@@ -1613,7 +1628,7 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("cell_id"),
         adcBatchUdf(col("query_id"), col("code")).as("adc"))
       .withColumn("arnk", row_number().over(wAdc))
-      .filter(col("arnk") <= k * refine)
+      .filter(col("arnk") <= pqShortlist(k, refine, np))
       .drop("adc", "arnk")
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

@@ -512,6 +512,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
 
   // ---- IVF-PQ ----------------------------------------------------------
 
+  test("pqShortlist scales with probe width and is unchanged at the tuned default") {
+    import Similarity.{pqShortlist, PqRefine}
+    // Default width: exactly the historical k·refine — registry outputs,
+    // goldens, and oracles are untouched by the scaling.
+    assert(pqShortlist(10, PqRefine, 4) == 40)
+    assert(pqShortlist(5, PqRefine, 4) == 20)
+    // Wider probes grow the shortlist linearly (fixed-L dilution dropped
+    // measured recall as nprobe grew — see the Scaladoc receipt).
+    assert(pqShortlist(10, PqRefine, 8) == 80)
+    assert(pqShortlist(10, PqRefine, 16) == 160)
+    // Narrower-than-default probes keep the full default shortlist.
+    assert(pqShortlist(10, PqRefine, 2) == 40)
+  }
+
   test("pqTrain is deterministic and codes are M bytes") {
     import spark.implicits._
     val df = corpus.toDF("vec_id", "embedding")
