@@ -593,6 +593,13 @@ object Dedup extends QueryModule {
     * atomically renamed, then committed by atomically replacing the
     * manifest — the IVF index's crash-safe protocol. Ids allocate past
     * the max directory ON DISK so an orphan is never adopted.
+    *
+    * The batch collapses to exact-duplicate representatives BEFORE
+    * banding — the same collapse [[writeMinhashIndex]] applies — so
+    * `append == rebuild` (DedupSpec) holds even when the ingest batch
+    * carries internal exact duplicates: identical text hashes to
+    * identical signatures, so non-representative members would add
+    * postings rows without adding recall.
     */
   private[graft] def minhashIndexAppend(spark: SparkSession, dir: String,
       newDocs: DataFrame): Unit = {
@@ -604,7 +611,9 @@ object Dedup extends QueryModule {
     val newId = (onDisk :+ 0L).max + 1
     val staging = new java.io.File(dir, s".staging_batch_$newId")
     graft.core.Warehouse.deleteRecursively(staging)
-    bandBuckets(minhashSignatures(newDocs.select(col("doc_id"), col("text"))))
+    val d = newDocs.select(col("doc_id"), col("text"))
+    val reps = StagedDedup.representatives(d, StagedDedup.exactGroups(d))
+    bandBuckets(minhashSignatures(reps))
       .write.mode("overwrite").parquet(staging.getPath)
     java.nio.file.Files.move(staging.toPath,
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
@@ -620,6 +629,14 @@ object Dedup extends QueryModule {
     * atomically, swaps the manifest to the single merged batch, then GCs
     * the unreferenced dirs. Probes are row-identical before/after
     * (postings are the same rows; DedupSpec pins it).
+    *
+    * SINGLE WRITER: compaction assumes no concurrent appender (the same
+    * assumption the id allocation makes — a production deployment takes
+    * a writer lock or runs compaction from the one ingest job). GC is
+    * restricted to the batch ids that were COMMITTED at compact start:
+    * an in-flight append's renamed-but-uncommitted directory is never
+    * deleted, it just survives as the orphan the manifest gate already
+    * ignores.
     */
   private[graft] def minhashIndexCompact(spark: SparkSession, dir: String): Unit = {
     val committed = readBatchManifest(dir)
@@ -640,7 +657,7 @@ object Dedup extends QueryModule {
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeBatchManifest(dir, Seq(newId))
-    onDisk.foreach { id =>
+    committed.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(postingsRoot, s"batch_id=$id"))
     }

@@ -287,4 +287,67 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     graft.ext.Dedup.minhashIndexCompact(spark, dir)
     assert(probe() == Seq((300L, 202L)))
   }
+
+  test("minhashIndexAppend: a batch with internal exact duplicates still equals a rebuild") {
+    import spark.implicits._
+    // ADVICE r9: append used to band EVERY batch doc while the rebuild
+    // collapses exact-duplicate groups to min-id representatives first;
+    // a dup-containing batch then yielded extra postings rows vs a
+    // rebuild. The append now applies the same collapse.
+    val base = (0L until 10L).map(i => (i, docText(i.toInt)))
+    // Ingest batch with an internal exact-duplicate group: 210 (= rep),
+    // 211 and 212 carry identical text.
+    val ingest = Seq((210L, docText(210)), (211L, docText(210)),
+      (212L, docText(210)), (213L, docText(213)))
+    val probeDoc = Seq((300L, docText(210)))
+    val corpus = (base ++ ingest ++ probeDoc).toDF("doc_id", "text")
+    val batchDf = probeDoc.toDF("doc_id", "text")
+
+    val dir = graft.core.TempDirs.create("graft_minhash_dupbatch")
+    graft.ext.Dedup.writeMinhashIndex(spark, dir, base.toDF("doc_id", "text"))
+    graft.ext.Dedup.minhashIndexAppend(spark, dir, ingest.toDF("doc_id", "text"))
+    val rebuilt = graft.core.TempDirs.create("graft_minhash_dupbatch_rb")
+    graft.ext.Dedup.writeMinhashIndex(spark, rebuilt,
+      (base ++ ingest).toDF("doc_id", "text"))
+    def rows(d: String) = graft.ext.Dedup.probeMinhashIndex(spark, d, batchDf, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // The probe surfaces only the representative (min id) of the group,
+    // identically on the appended and the rebuilt index.
+    assert(rows(dir) == Seq((300L, 210L)), s"append surfaced non-reps: ${rows(dir)}")
+    assert(rows(dir) == rows(rebuilt))
+    // And the postings THEMSELVES are set-identical (not just the probe):
+    // the old defect was extra (doc_id) postings rows for 211/212.
+    def postingDocs(d: String) = spark.read
+      .parquet(new java.io.File(d, "postings").getPath)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(postingDocs(dir) == postingDocs(rebuilt),
+      s"append postings carry non-representative docs: ${postingDocs(dir) -- postingDocs(rebuilt)}")
+  }
+
+  test("minhashIndexCompact GC spares a renamed-but-uncommitted batch directory") {
+    import spark.implicits._
+    // ADVICE r9: GC used to delete every on-disk batch dir; an in-flight
+    // append that renamed its staging dir but hadn't committed the
+    // manifest would be destroyed. GC now touches only the ids that were
+    // committed at compact start.
+    val base = (0L until 10L).map(i => (i, docText(i.toInt)))
+    val ingest = (200L until 205L).map(i => (i, docText(i.toInt)))
+    val dir = graft.core.TempDirs.create("graft_minhash_gcspare")
+    graft.ext.Dedup.writeMinhashIndex(spark, dir, base.toDF("doc_id", "text"))
+    graft.ext.Dedup.minhashIndexAppend(spark, dir, ingest.toDF("doc_id", "text"))
+    // Simulate the in-flight appender: batch dir renamed into place,
+    // manifest not yet swapped (ids 0,1 committed; 2 in flight).
+    val inFlight = graft.ext.Dedup.readBatchManifest(dir)
+    graft.ext.Dedup.minhashIndexAppend(spark, dir,
+      Seq((400L, docText(400))).toDF("doc_id", "text"))
+    graft.ext.Dedup.writeBatchManifest(dir, inFlight) // roll back the commit
+    graft.ext.Dedup.minhashIndexCompact(spark, dir)
+    val dirs = Option(new java.io.File(dir, "postings").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    // The compacted batch plus the spared in-flight dir — nothing else.
+    assert(dirs.length == 2 && dirs.contains("batch_id=2"),
+      s"in-flight batch dir was GC'd (or old dirs leaked): ${dirs.mkString(",")}")
+  }
 }

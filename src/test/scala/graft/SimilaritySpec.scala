@@ -443,6 +443,71 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(hits().contains(100000L), "re-committed batch should be visible again")
   }
 
+  test("ivfIndexAppend is idempotent on an ingestKey: a replayed micro-batch is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // foreachBatch is at-least-once: a crash after the manifest commit
+    // but before the streaming checkpoint replays the micro-batch. The
+    // ingest-key ledger must make the replay a no-op — no duplicate
+    // batch_id, no duplicate vec_ids in probe top-k (ADVICE r9, medium).
+    val a = corpus.toDF("vec_id", "embedding")
+    val batch = corpus.take(3)
+      .map { case (id, v) => (100000L + id, v.map(x => x * 0.999f)) }
+      .toSeq.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_idem")
+    Similarity.writeIvfIndex(spark, dir, a)
+    Similarity.ivfIndexAppend(spark, dir, batch, ingestKey = Some("stream-7"))
+    val m1 = Similarity.readIvfManifest(dir)
+    assert(m1.ingestKeys == Seq("stream-7"))
+    val lookup = corpus.toMap
+    def topIds() = Similarity.probeIvfIndex(spark, dir, lookup(0L), nprobe = 4, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    val before = topIds()
+    // Replay the SAME micro-batch (same key): everything must be unchanged.
+    Similarity.ivfIndexAppend(spark, dir, batch, ingestKey = Some("stream-7"))
+    val m2 = Similarity.readIvfManifest(dir)
+    assert(m2 == m1, s"replayed append mutated the manifest: $m1 -> $m2")
+    assert(topIds() == before)
+    assert(topIds().distinct == topIds(), "duplicate vec_ids in top-k after replay")
+    // A NEW key still appends; keys survive compaction so later replays
+    // of either batch stay no-ops.
+    Similarity.ivfIndexAppend(spark, dir,
+      batch.withColumn("vec_id", col("vec_id") + 10), ingestKey = Some("stream-8"))
+    assert(Similarity.readIvfManifest(dir).batches.size == 3)
+    Similarity.ivfIndexCompact(spark, dir)
+    val mc = Similarity.readIvfManifest(dir)
+    assert(mc.batches.size == 1 && mc.ingestKeys == Seq("stream-7", "stream-8"),
+      s"ingest-key ledger lost across compaction: $mc")
+    val afterCompact = topIds()
+    Similarity.ivfIndexAppend(spark, dir, batch, ingestKey = Some("stream-7"))
+    assert(topIds() == afterCompact, "post-compaction replay was not a no-op")
+  }
+
+  test("ivfIndexCompact GC spares a renamed-but-uncommitted batch directory") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ADVICE r9: GC used to delete every on-disk batch dir, including an
+    // in-flight append's renamed-but-uncommitted one. GC now touches only
+    // the ids committed at compact start.
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_gcspare")
+    Similarity.writeIvfIndex(spark, dir, df.filter(col("vec_id") < 1000))
+    Similarity.ivfIndexAppend(spark, dir,
+      df.filter(col("vec_id") >= 1000 && col("vec_id") < 1500))
+    // Simulate the in-flight appender: dir renamed, commit rolled back.
+    val manifestPath = new java.io.File(dir, "manifest.json").toPath
+    val preAppend = java.nio.file.Files.readAllBytes(manifestPath)
+    Similarity.ivfIndexAppend(spark, dir, df.filter(col("vec_id") >= 1500))
+    java.nio.file.Files.write(manifestPath, preAppend)
+    Similarity.ivfIndexCompact(spark, dir)
+    val dirs = Option(new java.io.File(dir, "postings").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    assert(dirs.length == 2 && dirs.contains("batch_id=2"),
+      s"in-flight batch dir was GC'd (or old dirs leaked): ${dirs.mkString(",")}")
+  }
+
   test("quantizer-drift sentinel: skewed appends trip rebuild_needed; a rebuild clears it") {
     import spark.implicits._
     val a = corpus.toDF("vec_id", "embedding")
@@ -524,6 +589,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(pqShortlist(10, PqRefine, 16) == 160)
     // Narrower-than-default probes keep the full default shortlist.
     assert(pqShortlist(10, PqRefine, 2) == 40)
+    // Off-multiple widths widen too (ceiling division — ADVICE r9): a
+    // floor division left nprobe 5-7 at the base shortlist despite up to
+    // ~1.75x the candidate pool.
+    assert(pqShortlist(10, PqRefine, 5) == 80)
+    assert(pqShortlist(10, PqRefine, 7) == 80)
+    assert(pqShortlist(10, PqRefine, 9) == 120)
   }
 
   test("pqTrain is deterministic and codes are M bytes") {
