@@ -91,6 +91,35 @@ object Receipts {
       println(s"[receipt] longdocs: $nDocs docs x $tokPerDoc tokens -> $out")
       spark.stop()
 
+    case "semdedupjoin" =>
+      // VERDICT r9 #2 receipt: the co-partitioned fine-centroid JOIN
+      // assignment vs the closure-map path at scale. Run against a
+      // ScaleGen'd embeddings fixture (100x of sf0.1 = ~600k vectors);
+      // reports wall for both paths and proves row-identity of the
+      // (vec_id -> cell) assignment at that scale.
+      val sfDir = args(1)
+      val spark = session()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.queryExecution.toRdd.count()
+      def cellsOf(force: Boolean): (DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val cells = graft.ext.Similarity.semdedupCells(e, targetCell = 64,
+          forceJoinAssign = force)
+        (cells, (System.nanoTime() - t0) / 1e9)
+      }
+      val (cClosure, tClosure) = cellsOf(force = false)
+      val (cJoin, tJoin) = cellsOf(force = true)
+      println(f"[receipt] semdedup closure-assign build: $tClosure%.2f s")
+      println(f"[receipt] semdedup join-assign build:    $tJoin%.2f s")
+      val diff = cClosure.select(col("vec_id"), col("cell").as("c1"))
+        .join(cJoin.select(col("vec_id"), col("cell").as("c2")), Seq("vec_id"), "full")
+        .where(col("c1").isNull || col("c2").isNull || col("c1") =!= col("c2"))
+        .count()
+      println(s"[receipt] assignment mismatches closure vs join: $diff")
+      cClosure.unpersist(); cJoin.unpersist()
+      spark.stop()
+
     case "span" =>
       val (docsPath, width) = (args(1), args(2).toInt)
       val spark = session()

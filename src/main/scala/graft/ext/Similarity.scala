@@ -439,8 +439,16 @@ object Similarity extends QueryModule {
     * cells) — same constant-64 cell semantics, Θ(n^1.5) total instead of
     * Θ(n²).
     */
-  private[graft] def semdedupCells(embeddings: DataFrame, targetCell: Int)
-      : DataFrame = {
+  /** Fine-cell count past which the two-level build assigns via the
+    * CO-PARTITIONED JOIN instead of the closure map: k cells × Dim
+    * floats at 2^18 cells is ~64 MB of fine centroids — past a sane
+    * broadcast/closure budget, so the centroids must live in a
+    * DataFrame and meet the vectors by ccell, not ride to every task.
+    */
+  private[graft] val JoinAssignCellLimit = 1 << 18
+
+  private[graft] def semdedupCells(embeddings: DataFrame, targetCell: Int,
+      forceJoinAssign: Boolean = false): DataFrame = {
     // Cached for the Lloyd loop (count + seed + 2 refine scans + the
     // final assignment all read the same vectors — same treatment as
     // kmeansRefineQuery); materialize the assigned cells before dropping
@@ -454,7 +462,8 @@ object Similarity extends QueryModule {
         val cells = ivfBuildWith(e, cents).cells
         cells.count()
         cells
-      } else hierarchicalCells(e, k, targetCell)
+      } else hierarchicalCells(e, k, targetCell,
+        joinAssign = forceJoinAssign || k > JoinAssignCellLimit)
     } finally { e.unpersist(); () }
   }
 
@@ -465,14 +474,30 @@ object Similarity extends QueryModule {
     * the fine centroids of the row's coarse cell, so each scan costs
     * n·(√k + k/√k) distances instead of n·k. The one vector exchange
     * (the seed window's ccell shuffle) is the same co-location the prune
-    * stage needs anyway. Driver/closure state is the k×Dim fine-centroid
-    * map (~256 B per cell — MBs until corpus sizes where the map itself
-    * outgrows a broadcast, at which point the assignment becomes a
-    * co-partitioned join of vectors against centroids on ccell; the
-    * grouped recompute below already has exactly that shape).
+    * stage needs anyway.
+    *
+    * Fine-centroid state has TWO forms, switched on `joinAssign`
+    * (auto: k > [[JoinAssignCellLimit]]):
+    *
+    *  - CLOSURE (small k): the k×Dim map (~256 B per cell) is
+    *    driver-resident and rides to tasks in the assignment UDF —
+    *    cheapest while the map fits a broadcast budget.
+    *  - JOIN (large k): the fine centroids live in a DataFrame keyed by
+    *    ccell and NEVER materialize on the driver — seeds, both Lloyd
+    *    recomputes, and the final assignment are joins of vectors
+    *    against centroids on ccell (each vector meets only its coarse
+    *    cell's ~√k fine centroids), with the per-vector argmax
+    *    collapsing MAP-SIDE (partial max_by) so the shuffle carries one
+    *    row per vector. This is the only shape that survives 10⁹+
+    *    vectors, where the fine-centroid table itself is GBs.
+    *
+    * Both paths are row-identical (SemDedupSpec forces and compares
+    * them): the same cosine kernel per (vector, centroid) pair, and
+    * ties broken to the LOWEST fine-cell id exactly like the closure's
+    * first-strictly-greater update.
     */
-  private def hierarchicalCells(e: DataFrame, k: Int, targetCell: Int)
-      : DataFrame = {
+  private def hierarchicalCells(e: DataFrame, k: Int, targetCell: Int,
+      joinAssign: Boolean = false): DataFrame = {
     val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val (coarse, _) = kmeansRefine(e, seedCentroidsK(e, k1), iters = 2)
     val cAssign = udf { (emb: Array[Float]) =>
@@ -487,54 +512,113 @@ object Similarity extends QueryModule {
     val assigned = e.withColumn("ccell", cAssign(col("embedding"))).persist()
     try {
       val w = Window.partitionBy("ccell").orderBy("vec_id")
-      val seedRows = assigned
+      val seedDf = assigned
         .withColumn("rn", row_number().over(w))
         .filter((col("rn") - 1) % targetCell === 0)
         .select(col("ccell"),
           ((col("rn") - 1) / targetCell).cast(IntegerType).as("fcell"),
-          col("embedding"))
-        .collect()
-      var fine: Map[Int, Array[Array[Float]]] =
-        seedRows.groupBy(_.getInt(0)).map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
-        }
-      def assignUdfFor(cents: Map[Int, Array[Array[Float]]]) =
-        udf { (c: Int, emb: Array[Float]) =>
-          val arr = cents(c)
-          var best = 0; var bestSim = Double.MinValue; var ci = 0
-          while (ci < arr.length) {
-            val s = cosineKernel(arr(ci), emb)
-            if (s > bestSim) { bestSim = s; best = ci }
-            ci += 1
-          }
-          best
-        }
-      for (_ <- 0 until 2) {
-        val fAssign = assignUdfFor(fine)
-        val stats = assigned
-          .select(col("ccell"), fAssign(col("ccell"), col("embedding")).as("fcell"),
-            col("embedding"))
-          .groupBy("ccell", "fcell")
-          .agg(array((0 until Dim).map(i => avg(col("embedding").getItem(i))): _*)
-            .as("mean"))
-          .collect()
-        val next = fine.map { case (c, arr) => c -> arr.map(_.clone()) }
-        stats.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).map(_.toFloat).toArray
-        }
-        fine = next
-      }
-      val fAssign = assignUdfFor(fine)
-      // Combined cell id: coarse in the high bits — fine ids stay below
-      // 2^20 until a single coarse cell holds 64M vectors.
-      val cells = assigned
-        .select(col("vec_id"), col("embedding"),
-          (shiftleft(col("ccell").cast(LongType), 20) +
-            fAssign(col("ccell"), col("embedding"))).as("cell"))
-        .persist()
-      cells.count()
-      cells
+          col("embedding").as("centroid"))
+      if (joinAssign) hierarchicalCellsJoin(assigned, seedDf)
+      else hierarchicalCellsClosure(assigned, seedDf)
     } finally { assigned.unpersist(); () }
+  }
+
+  /** Closure-map fine assignment (small k): seeds collect to a driver
+    * map that rides in the assignment UDF.
+    */
+  private def hierarchicalCellsClosure(assigned: DataFrame, seedDf: DataFrame): DataFrame = {
+    val seedRows = seedDf.collect()
+    var fine: Map[Int, Array[Array[Float]]] =
+      seedRows.groupBy(_.getInt(0)).map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }
+    def assignUdfFor(cents: Map[Int, Array[Array[Float]]]) =
+      udf { (c: Int, emb: Array[Float]) =>
+        val arr = cents(c)
+        var best = 0; var bestSim = Double.MinValue; var ci = 0
+        while (ci < arr.length) {
+          val s = cosineKernel(arr(ci), emb)
+          if (s > bestSim) { bestSim = s; best = ci }
+          ci += 1
+        }
+        best
+      }
+    for (_ <- 0 until 2) {
+      val fAssign = assignUdfFor(fine)
+      val stats = assigned
+        .select(col("ccell"), fAssign(col("ccell"), col("embedding")).as("fcell"),
+          col("embedding"))
+        .groupBy("ccell", "fcell")
+        .agg(array((0 until Dim).map(i => avg(col("embedding").getItem(i))): _*)
+          .as("mean"))
+        .collect()
+      val next = fine.map { case (c, arr) => c -> arr.map(_.clone()) }
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).map(_.toFloat).toArray
+      }
+      fine = next
+    }
+    val fAssign = assignUdfFor(fine)
+    // Combined cell id: coarse in the high bits — fine ids stay below
+    // 2^20 until a single coarse cell holds 64M vectors.
+    val cells = assigned
+      .select(col("vec_id"), col("embedding"),
+        (shiftleft(col("ccell").cast(LongType), 20) +
+          fAssign(col("ccell"), col("embedding"))).as("cell"))
+      .persist()
+    cells.count()
+    cells
+  }
+
+  /** Distributed fine assignment (large k): centroids stay in a
+    * ccell-keyed DataFrame end to end — no driver materialization, no
+    * closure shipping. Each Lloyd pass and the final assignment is
+    * vectors ⋈_ccell centroids → per-vector argmax (map-side partial
+    * max_by, so the argmax shuffle carries ONE row per vector), and the
+    * recompute updates only cells that received members, exactly like
+    * the closure path's clone-then-overwrite.
+    */
+  private def hierarchicalCellsJoin(assigned: DataFrame, seedDf: DataFrame): DataFrame = {
+    var fineDf = seedDf.persist()
+    fineDf.count()
+    // Per-vector nearest fine centroid within the vector's coarse cell.
+    // Ties on the (deterministic, argument-symmetric) cosine break to
+    // the lowest fcell — `-fcell` in the max_by ordinal — matching the
+    // closure loop's strictly-greater update. The exploded
+    // vector×candidate intermediate is kept SKINNY (vec_id, fcell, sim
+    // — the embedding is consumed by the kernel in the same projection
+    // and dropped), and the argmax collapses map-side, so neither the
+    // explode nor its shuffle ever carries vector bytes; the vectors
+    // ride exactly once, in the final vec_id re-join.
+    def assignDf(fine: DataFrame): DataFrame = {
+      val best = assigned
+        .join(fine, Seq("ccell"))
+        .select(col("vec_id"), col("fcell"),
+          cosineUdf(col("embedding"), col("centroid")).as("sim"))
+        .groupBy("vec_id")
+        .agg(max_by(col("fcell"), struct(col("sim"), -col("fcell"))).as("fcell"))
+      assigned.join(best, Seq("vec_id"))
+    }
+    for (_ <- 0 until 2) {
+      val stats = assignDf(fineDf)
+        .groupBy("ccell", "fcell")
+        .agg(array((0 until Dim).map(i =>
+          avg(col("embedding").getItem(i)).cast(FloatType)): _*).as("mean"))
+      val next = fineDf.join(stats, Seq("ccell", "fcell"), "left")
+        .select(col("ccell"), col("fcell"),
+          coalesce(col("mean"), col("centroid")).as("centroid"))
+        .persist()
+      next.count()
+      fineDf.unpersist()
+      fineDf = next
+    }
+    val cells = assignDf(fineDf)
+      .select(col("vec_id"), col("embedding"),
+        (shiftleft(col("ccell").cast(LongType), 20) + col("fcell")).as("cell"))
+      .persist()
+    cells.count()
+    fineDf.unpersist()
+    cells
   }
 
   /** The prune stage over an assigned-cell corpus (dominance rule). */

@@ -121,6 +121,47 @@ class SemDedupSpec extends AnyFunSuite with SparkTest {
     } finally { cells.unpersist(); () }
   }
 
+  test("join-path fine assignment is row-identical to the closure path (forced)") {
+    // Past JoinAssignCellLimit cells the fine-centroid map outgrows any
+    // closure/broadcast budget, and the two-level build must assign via
+    // the co-partitioned ccell join instead (VERDICT r9 #2). Same corpus
+    // shape as the forced two-level test; both paths must produce the
+    // SAME (vec_id -> cell) assignment — same kernel per pair, ties to
+    // the lowest fcell — and the prune contract must hold on the join
+    // path's cells.
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = (0 until 600).map { i =>
+      (i.toLong, Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val big = base ++ (0 until NPlanted).map { i =>
+      (2000L + i, base(i)._2.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.02f))
+    }
+    val df = big.toDF("vec_id", "embedding")
+    val closure = Similarity.semdedupCells(df, targetCell = 2).persist()
+    val joined = Similarity.semdedupCells(df, targetCell = 2,
+      forceJoinAssign = true).persist()
+    try {
+      val cMap = closure.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val jMap = joined.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(cMap == jMap,
+        s"join path diverged on ${cMap.keySet.filter(k => cMap(k) != jMap.getOrElse(k, -1L))}")
+      // And the prune result over the join-path cells matches the naive
+      // dominance rule (the same end-to-end contract the closure test pins).
+      val assigned = joined.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+      val staged = Similarity.semdedupPruneCells(joined, Tau)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val naive = assigned.map { case (id, emb, cell) =>
+        id -> assigned.exists { case (id2, emb2, cell2) =>
+          cell2 == cell && id2 < id && cos(emb2, emb) >= Tau
+        }
+      }.toMap
+      assert(staged == naive,
+        s"join-path staged!=naive on ${staged.keySet.filter(k => staged(k) != naive(k))}")
+    } finally { closure.unpersist(); joined.unpersist(); () }
+  }
+
   test("survivors are pairwise non-duplicate within every cell") {
     import spark.implicits._
     val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
