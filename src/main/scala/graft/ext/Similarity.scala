@@ -829,11 +829,12 @@ object Similarity extends QueryModule {
     */
   private def ivfTag(sfDir: String): String = {
     val f = new java.io.File(sfDir, "embeddings.parquet")
-    // "v3": postings carry metadata columns (label) for filtered probes,
-    // in addition to the v2 PQ `code` column + `codebooks/` — the version
-    // prefix keeps an earlier seeded dir from being adopted with the
-    // wrong schema.
-    "v3-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+    // "v4": PQ codes use the Ks=256 codebook (r10) — probes against a
+    // v3 (Ks=16) layout would ADC-score with the wrong codebook. Earlier:
+    // v3 added metadata columns (label) for filtered probes, v2 the PQ
+    // `code` column + `codebooks/`. The version prefix keeps an earlier
+    // seeded dir from being adopted with the wrong schema/codebook.
+    "v4-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
       "-" + java.lang.Long.toHexString(f.length())
   }
 
@@ -1555,13 +1556,18 @@ object Similarity extends QueryModule {
 
   /** Trained PQ codebook: `cents(sub)(code)` is the `dsub`-dim centroid
     * for code value `code` in sub-space `sub`. Driver-resident and tiny
-    * (M·Ks·dsub floats = 8·16·8 = 4 KB): rides to executors in encode /
+    * (M·Ks·dsub floats = 8·256·8 = 64 KB): rides to executors in encode /
     * ADC closures like the IVF centroid matrix does.
     */
   final case class PqCodebook(m: Int, dsub: Int, cents: Array[Array[Array[Float]]])
 
   private[graft] val PqM = 8
-  private[graft] val PqKs = 16
+  /** Sub-quantizer size. 256 codes per sub-space (the faiss-standard 8
+    * bits) at the same M=8 is the same 8 B/vector storage as the earlier
+    * Ks=16 — 16× finer sub-quantizers for free; measured worst-case ADC
+    * recall@10 at nprobe=4 rose 0.63 → see `Receipts recall` (r10).
+    */
+  private[graft] val PqKs = 256
   /** Candidate multiplier for the exact re-rank of ADC-ranked codes. */
   private[graft] val PqRefine = 4
   /** The probe width PqRefine is tuned for. */
@@ -1632,7 +1638,11 @@ object Similarity extends QueryModule {
     cents
   }
 
-  private[graft] val PqSample = 512
+  /** PQ training-sample size: ≥8 sample sub-vectors per code at Ks=256
+    * (driver Lloyd over 2048 points × 256 cents × 8 dims × 8 sub-spaces
+    * stays ~100 ms — the one-time train cost, paid at index build).
+    */
+  private[graft] val PqSample = 2048
 
   /** Train the PQ codebook on a bounded deterministic sample (the same
     * min-wise uniform hash sample the coarse quantizer seeds from —
@@ -1651,10 +1661,20 @@ object Similarity extends QueryModule {
     val dim = normed.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    val cents = Array.tabulate(m) { sub =>
-      val sv = normed.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-      lloydLocal(sv, math.min(ks, sv.length), iters)
+    // The M sub-space Lloyds are independent — train them in parallel
+    // driver threads (deterministic: each sub-space's result depends
+    // only on its own sub-vectors). Matters at Ks=256, where the serial
+    // loop is ~0.6 s of driver time inside in-run index builds.
+    val cents = Array.ofDim[Array[Array[Float]]](m)
+    val threads = (0 until m).map { sub =>
+      new Thread(() => {
+        val sv = normed.map(v =>
+          java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+        cents(sub) = lloydLocal(sv, math.min(ks, sv.length), iters)
+      })
     }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
     PqCodebook(m, dsub, cents)
   }
 
