@@ -91,6 +91,48 @@ object Receipts {
       println(s"[receipt] longdocs: $nDocs docs x $tokPerDoc tokens -> $out")
       spark.stop()
 
+    case "delete" =>
+      // Takedown economics at 100x (200k vectors): deletion must be
+      // O(delete batch) — an id-list write + manifest swap, never a
+      // postings rewrite — and the probe-side tombstone anti-join must
+      // cost ~nothing against the pruned candidate scan. Compaction
+      // then materializes the drop physically.
+      val sfDir = args(1)
+      val spark = session()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      e.queryExecution.toRdd.count()
+      import org.apache.spark.sql.functions.max
+      val dir = graft.core.TempDirs.create("graft_receipt_delete")
+      graft.ext.Similarity.writeIvfIndex(spark, dir, e,
+        train = Some(e.filter(col("vec_id") =!= 0)))
+      val anchor = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      def probe() = graft.ext.Similarity
+        .probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L))
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+      val pre = timed("probe, no tombstones")(probe().collect().map(_.getLong(0)).toSeq)
+      import spark.implicits._
+      val ids = pre.take(3)
+      timed(s"ivfIndexDelete of ${ids.length} ids (O(batch): id list + manifest swap)") {
+        graft.ext.Similarity.ivfIndexDelete(spark, dir, ids.toDF("vec_id"))
+      }
+      val post = timed("probe, tombstone anti-join active")(
+        probe().collect().map(_.getLong(0)).toSeq)
+      require(ids.forall(i => !post.contains(i)), s"deleted ids leaked: $post")
+      timed("ivfIndexCompact (materializes the drop)") {
+        graft.ext.Similarity.ivfIndexCompact(spark, dir)
+      }
+      val postC = timed("probe, post-compaction (ledger clear)")(
+        probe().collect().map(_.getLong(0)).toSeq)
+      require(postC == post, "compaction changed the post-delete probe")
+      println(s"[receipt] deleted=${ids.mkString(",")} invisible pre+post compaction")
+      spark.stop()
+
     case "coarsecells" =>
       // VERDICT r9 #4 receipt: per-probe cell choice cost, linear scan
       // vs the exact branch-and-bound over the grouped centroid index,

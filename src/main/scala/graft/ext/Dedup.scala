@@ -545,14 +545,69 @@ object Dedup extends QueryModule {
       .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
   }
 
-  private[graft] def writeBatchManifest(dir: String, batches: Seq[Long]): Unit = {
+  /** Committed DELETE batches (doc-id tombstones) — same ledger shape as
+    * the IVF index's `tombstone_batches`. Absent field reads as empty,
+    * so pre-delete manifests stay valid.
+    */
+  private[graft] def readTombstoneManifest(dir: String): Seq[Long] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "manifest.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\"tombstone_batches\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
+  }
+
+  private[graft] def writeBatchManifest(dir: String, batches: Seq[Long],
+      tombstones: Seq[Long] = Seq.empty): Unit = {
     val tmp = new java.io.File(dir, ".manifest.tmp").toPath
     java.nio.file.Files.write(tmp,
-      s"""{"batches":[${batches.mkString(",")}]}"""
+      (s"""{"batches":[${batches.mkString(",")}],""" +
+        s""""tombstone_batches":[${tombstones.mkString(",")}]}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, new java.io.File(dir, "manifest.json").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
+  }
+
+  /** Record a DELETE batch of doc ids (takedowns): stage the id list,
+    * atomically rename into `tombstones/batch_id=N`, commit by manifest
+    * swap — the IVF index's delete protocol. Probes anti-join index-side
+    * candidates against the committed tombstones; compaction drops the
+    * tombstoned postings physically and clears the ledger.
+    */
+  private[graft] def minhashIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val batches = readBatchManifest(dir)
+    val tombs = readTombstoneManifest(dir)
+    val root = new java.io.File(dir, "tombstones")
+    root.mkdirs()
+    val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".tombstone_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    ids.select(col("doc_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(root, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeBatchManifest(dir, batches, tombs :+ newId)
+  }
+
+  /** Anti-join index-side rows (column `dup_of` = indexed doc id)
+    * against the committed tombstones; no-op when none are committed.
+    */
+  private def filterMinhashTombstones(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame = {
+    val tombs = readTombstoneManifest(dir)
+    if (tombs.isEmpty) rows
+    else rows.join(
+      spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+        .where(col("batch_id").isin(tombs: _*))
+        .select(col("doc_id").as("dup_of")),
+      Seq("dup_of"), "left_anti")
   }
 
   /** Write the band-postings index over `docs`: one (band, bh, doc_id)
@@ -618,7 +673,9 @@ object Dedup extends QueryModule {
     java.nio.file.Files.move(staging.toPath,
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    writeBatchManifest(dir, committed :+ newId)
+    // Preserve any committed tombstones — an append must not resurrect
+    // deleted docs.
+    writeBatchManifest(dir, committed :+ newId, readTombstoneManifest(dir))
   }
 
   /** Compact the committed band-postings batches into one — the same
@@ -640,7 +697,8 @@ object Dedup extends QueryModule {
     */
   private[graft] def minhashIndexCompact(spark: SparkSession, dir: String): Unit = {
     val committed = readBatchManifest(dir)
-    if (committed.size <= 1) return
+    val tombs = readTombstoneManifest(dir)
+    if (committed.size <= 1 && tombs.isEmpty) return
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -648,8 +706,18 @@ object Dedup extends QueryModule {
     val newId = (onDisk :+ 0L).max + 1
     val staging = new java.io.File(dir, s".compact_batch_$newId")
     graft.core.Warehouse.deleteRecursively(staging)
-    spark.read.parquet(postingsRoot.getPath)
+    // The rewrite materializes pending deletions: tombstoned docs'
+    // postings drop physically and the swapped manifest clears the
+    // tombstone ledger.
+    val merged = spark.read.parquet(postingsRoot.getPath)
       .where(col("batch_id").isin(committed: _*))
+    val dropped =
+      if (tombs.isEmpty) merged
+      else merged.join(
+        spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+          .where(col("batch_id").isin(tombs: _*)).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    dropped
       .drop("batch_id")
       .coalesce(8)
       .write.mode("overwrite").parquet(staging.getPath)
@@ -660,6 +728,10 @@ object Dedup extends QueryModule {
     committed.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(postingsRoot, s"batch_id=$id"))
+    }
+    tombs.foreach { id =>
+      graft.core.Warehouse.deleteRecursively(
+        new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
     }
   }
 
@@ -675,10 +747,10 @@ object Dedup extends QueryModule {
   private[graft] def probeMinhashIndex(spark: SparkSession, dir: String,
       batch: DataFrame, corpus: DataFrame, tap: Option[String] = None): DataFrame = {
     val committed = readBatchManifest(dir)
-    val postings = spark.read
+    val postings = filterMinhashTombstones(spark, dir, spark.read
       .parquet(new java.io.File(dir, "postings").getPath)
       .where(col("batch_id").isin(committed: _*))
-      .select(col("band"), col("bh"), col("doc_id").as("dup_of"))
+      .select(col("band"), col("bh"), col("doc_id").as("dup_of")))
     val cands = bandBuckets(minhashSignatures(batch.select(col("doc_id"), col("text"))))
       .join(postings, Seq("band", "bh"))
       .select(col("doc_id"), col("dup_of")).distinct()

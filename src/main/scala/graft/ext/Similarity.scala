@@ -1046,10 +1046,20 @@ object Similarity extends QueryModule {
     * micro-batch whose append committed but whose streaming checkpoint
     * didn't) cannot commit the same vectors twice. Keys survive
     * compaction (the merged batch carries the same rows).
+    *
+    * `tombstoneBatches` lists committed DELETE batches (parquet id
+    * lists under `tombstones/batch_id=N`, published with the same
+    * staged-rename + manifest-commit protocol as appends). Probes
+    * anti-join candidates against the committed tombstones; compaction
+    * physically drops tombstoned postings and clears the ledger. A
+    * tombstone suppresses its vec_id until the next compaction
+    * materializes the deletion — re-adding a deleted id is an
+    * append AFTER that compaction (the documented takedown contract).
     */
   final case class IvfManifest(batches: Seq[Long], imbalance: Double,
       rebuildNeeded: Boolean, cellCounts: Map[Int, Long],
-      ingestKeys: Seq[String] = Seq.empty)
+      ingestKeys: Seq[String] = Seq.empty,
+      tombstoneBatches: Seq[Long] = Seq.empty)
 
   private[graft] def readIvfManifest(dir: String): IvfManifest = {
     val s = new String(java.nio.file.Files.readAllBytes(
@@ -1070,7 +1080,10 @@ object Similarity extends QueryModule {
     val keys = "\"ingest_keys\":\"([^\"]*)\"".r.findFirstMatchIn(s)
       .map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(',').toSeq).getOrElse(Seq.empty)
-    IvfManifest(batches, imb, rebuild, counts, keys)
+    val tombs = "\"tombstone_batches\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
+    IvfManifest(batches, imb, rebuild, counts, keys, tombs)
   }
 
   private[graft] def writeIvfManifest(dir: String, m: IvfManifest): Unit = {
@@ -1079,7 +1092,8 @@ object Similarity extends QueryModule {
     val json = s"""{"batches":[${m.batches.mkString(",")}],""" +
       s""""imbalance":${m.imbalance},"rebuild_needed":${m.rebuildNeeded},""" +
       s""""cell_counts":"$counts",""" +
-      s""""ingest_keys":"${m.ingestKeys.mkString(",")}"}"""
+      s""""ingest_keys":"${m.ingestKeys.mkString(",")}",""" +
+      s""""tombstone_batches":[${m.tombstoneBatches.mkString(",")}]}"""
     val tmp = new java.io.File(dir, ".manifest.tmp").toPath
     java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // rename(2) is atomic on one filesystem: readers see the old manifest
@@ -1382,9 +1396,65 @@ object Similarity extends QueryModule {
       c -> (manifest.cellCounts.getOrElse(c, 0L) + batchCounts.getOrElse(c, 0L))
     }.toMap
     val imb = cellImbalance(merged.values)
-    writeIvfManifest(dir, IvfManifest(committed, imb, imb > IvfDriftThreshold, merged,
-      manifest.ingestKeys ++ ingestKey))
+    // copy() preserves the tombstone ledger — an append must not
+    // resurrect deleted ids.
+    writeIvfManifest(dir, manifest.copy(batches = committed, imbalance = imb,
+      rebuildNeeded = imb > IvfDriftThreshold, cellCounts = merged,
+      ingestKeys = manifest.ingestKeys ++ ingestKey))
   }
+
+  /** Record a DELETE batch — the takedown operation a real corpus needs
+    * (GDPR erasure, licensing removals, contaminated-shard pulls). The
+    * ids stage as a parquet list under a dot-directory, atomically
+    * rename into `tombstones/batch_id=N`, and commit by atomically
+    * replacing the manifest — the append protocol, applied to removals.
+    * Nothing in the postings layout is touched: deletion is O(delete
+    * batch), never a postings rewrite; probes anti-join candidates
+    * against the committed tombstones ([[tombstoneIds]]), and the next
+    * [[ivfIndexCompact]] materializes the deletion physically and
+    * clears the ledger. A crashed delete leaves an orphan id list no
+    * probe reads — the same crash story as appends.
+    */
+  private[graft] def ivfIndexDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val manifest = readIvfManifest(dir)
+    val root = new java.io.File(dir, "tombstones")
+    root.mkdirs()
+    val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".tombstone_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    ids.select(col("vec_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(root, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeIvfManifest(dir, manifest.copy(
+      tombstoneBatches = manifest.tombstoneBatches :+ newId))
+  }
+
+  /** The committed tombstoned ids as a DataFrame (empty-schema-free:
+    * None when no delete batch is committed, so the common no-deletes
+    * probe plan is untouched).
+    */
+  private def tombstoneIds(spark: SparkSession, dir: String,
+      manifest: IvfManifest): Option[DataFrame] =
+    if (manifest.tombstoneBatches.isEmpty) None
+    else Some(spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+      .where(col("batch_id").isin(manifest.tombstoneBatches: _*))
+      .select(col("vec_id")))
+
+  /** Anti-join `rows` against the committed tombstones — applied at the
+    * CANDIDATE stage of every probe over this index (before any
+    * shortlist limit, so deleted rows never consume ranking slots).
+    * At scale the tombstone side is the small one; Catalyst broadcasts
+    * it and the filter rides the existing candidate scan.
+    */
+  private[graft] def filterTombstones(spark: SparkSession, dir: String,
+      manifest: IvfManifest, rows: DataFrame): DataFrame =
+    tombstoneIds(spark, dir, manifest)
+      .fold(rows)(t => rows.join(t, Seq("vec_id"), "left_anti"))
 
   /** Compact the committed batches into ONE batch partition — the index
     * lifecycle operation append-heavy ingest eventually needs: every
@@ -1416,7 +1486,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfIndexCompact(spark: SparkSession, dir: String): Unit = {
     val manifest = readIvfManifest(dir)
-    if (manifest.batches.size <= 1) return
+    if (manifest.batches.size <= 1 && manifest.tombstoneBatches.isEmpty) return
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -1424,21 +1494,35 @@ object Similarity extends QueryModule {
     val newId = (onDisk :+ 0L).max + 1
     val staging = new java.io.File(dir, s".compact_batch_$newId")
     graft.core.Warehouse.deleteRecursively(staging)
-    spark.read.parquet(postingsRoot.getPath)
-      .where(col("batch_id").isin(manifest.batches: _*))
+    // The rewrite MATERIALIZES pending deletions: tombstoned postings
+    // are dropped physically, and the swapped manifest clears the
+    // tombstone ledger (probes then stop paying the anti-join).
+    filterTombstones(spark, dir, manifest,
+      spark.read.parquet(postingsRoot.getPath)
+        .where(col("batch_id").isin(manifest.batches: _*)))
       .drop("batch_id")
       .repartition(col("cell_id"))
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(staging.getPath)
+    // Post-drop sentinel counts from the staged footers (exact, driver-
+    // side — deletions change the per-cell sizes the drift stat reads).
+    val newCounts = cellCountsFromLayout(spark, staging)
+    val imb = cellImbalance(newCounts.values)
     java.nio.file.Files.move(staging.toPath,
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    writeIvfManifest(dir, manifest.copy(batches = Seq(newId)))
-    // GC of now-unreferenced batch dirs — safe AFTER the manifest swap,
-    // and restricted to the ids that were committed at compact start.
+    writeIvfManifest(dir, manifest.copy(batches = Seq(newId),
+      imbalance = imb, rebuildNeeded = imb > IvfDriftThreshold,
+      cellCounts = newCounts, tombstoneBatches = Seq.empty))
+    // GC of now-unreferenced batch + tombstone dirs — safe AFTER the
+    // manifest swap, and restricted to ids committed at compact start.
     manifest.batches.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(postingsRoot, s"batch_id=$id"))
+    }
+    manifest.tombstoneBatches.foreach { id =>
+      graft.core.Warehouse.deleteRecursively(
+        new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
     }
   }
 
@@ -1459,6 +1543,26 @@ object Similarity extends QueryModule {
     ivfIndexCompact(spark, dir)
     probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
       tap = Some("ann_ivf_compact_scored"))
+  }
+
+  /** Template copy → append → DELETE the probe's current top-3 → probe:
+    * the takedown lifecycle end to end. The deleted ids are exactly the
+    * pre-delete top hits, so the post-delete probe MUST re-rank onto
+    * the next-best neighbors — a tombstone filter that silently failed
+    * would surface the deleted ids in the tap and fail the oracle.
+    */
+  private def annIvfDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = embeddingsStats(spark, sfDir)._2
+    val (seed, cut) = ensureIvfScratchSeed(spark, sfDir)
+    val dir = scratchIvfFromSeed(seed, "graft_ann_delete")
+    ivfIndexAppend(spark, dir, e.filter(col("vec_id") >= cut))
+    val top3 = probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 3, exclude = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    ivfIndexDelete(spark, dir, top3.toDF("vec_id"))
+    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
+      tap = Some("ann_ivf_delete_scored"))
   }
 
   // ---- Streaming ingest into the persisted index -----------------------
@@ -1537,9 +1641,10 @@ object Similarity extends QueryModule {
     val centroids = readIvfCentroids(spark, dir)
     val manifest = readIvfManifest(dir)
     val probed: Seq[Int] = chooseCells(centroids, anchor, nprobe)
-    val cells = spark.read.parquet(new java.io.File(dir, "postings").getPath)
-      .where(col("batch_id").isin(manifest.batches: _*) &&
-        col("cell_id").isin(probed: _*))
+    val cells = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probed: _*)))
     val scored = exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
       .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
         round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
@@ -1592,8 +1697,9 @@ object Similarity extends QueryModule {
       nprobe: Int, k: Int, exclude: Option[Long] = None,
       tap: Option[String] = None): DataFrame = {
     val manifest = readIvfManifest(dir)
-    val postings = spark.read.parquet(new java.io.File(dir, "postings").getPath)
-      .where(col("batch_id").isin(manifest.batches: _*))
+    val postings = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*)))
     val cells =
       if (m <= FilteredBruteFactor * k) postings
       else {
@@ -1676,9 +1782,10 @@ object Similarity extends QueryModule {
       .withColumn("cell_id", explode(topCellsUdf(col("q_emb"))))
     val probedCells: Seq[Int] = anchorCells.select(col("cell_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val postings0 = spark.read.parquet(new java.io.File(dir, "postings").getPath)
-      .where(col("batch_id").isin(manifest.batches: _*) &&
-        col("cell_id").isin(probedCells: _*))
+    val postings0 = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probedCells: _*)))
     // The predicate lands INSIDE the pruned scan (PushedFilters), before
     // the anchor join — candidates outside it are never scored.
     val postings = labelValue.fold(postings0)(v => postings0.filter(col("label") === v))
@@ -1984,9 +2091,10 @@ object Similarity extends QueryModule {
     val manifest = readIvfManifest(dir)
     val probed: Seq[Int] = chooseCells(centroids, anchor, nprobe)
     val table = adcTable(cb, anchor)
-    val pruned = spark.read.parquet(new java.io.File(dir, "postings").getPath)
-      .where(col("batch_id").isin(manifest.batches: _*) &&
-        col("cell_id").isin(probed: _*))
+    val pruned = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probed: _*)))
     val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
     // Bounded collect: the k·refine-candidate short list (ids only).
     val cand = base
@@ -2070,9 +2178,10 @@ object Similarity extends QueryModule {
       .withColumn("cell_id", explode(topCellsUdf(col("q_emb"))))
     val probedCells: Seq[Int] = anchorCells.select(col("cell_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(new java.io.File(dir, "postings").getPath)
-      .where(col("batch_id").isin(manifest.batches: _*) &&
-        col("cell_id").isin(probedCells: _*))
+    val postings = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probedCells: _*)))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     // Candidate stage: codes only — parquet column pruning never touches
@@ -2454,6 +2563,11 @@ object Similarity extends QueryModule {
     "s_ann_ingest" -> QueryDef(annIngest, Some(annScoredOracle("s_ann_ingest_scored", 10))),
     "q_ann_ivf_compact" -> QueryDef(annIvfCompact,
       Some(annScoredOracle("ann_ivf_compact_scored", 10))),
+    // Partial oracle: the post-delete scored candidates are tapped;
+    // DuckDB re-scores + re-ranks them independently. The tombstoned
+    // ids' invisibility (pre- AND post-compaction) is spec-pinned.
+    "q_ann_ivf_delete" -> QueryDef(annIvfDelete,
+      Some(annScoredOracle("ann_ivf_delete_scored", 10))),
     // Partial oracle: the tapped per-iteration centroid matrices are the
     // declared boundary (the Lloyd update has no SQL twin); the
     // convergence trace itself — per-vector best-assignment cosine,

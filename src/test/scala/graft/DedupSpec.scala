@@ -324,6 +324,40 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       s"append postings carry non-representative docs: ${postingDocs(dir) -- postingDocs(rebuilt)}")
   }
 
+  test("minhashIndexDelete: tombstoned docs invisible pre- and post-compaction; ledger survives appends") {
+    import spark.implicits._
+    val base = (0L until 10L).map(i => (i, docText(i.toInt)))
+    // Probe doc 300 copies doc 3's content; 301 copies doc 5's.
+    val probeDocs = Seq((300L, base(3)._2), (301L, base(5)._2))
+    val corpus = (base ++ probeDocs).toDF("doc_id", "text")
+    val batchDf = probeDocs.toDF("doc_id", "text")
+    val dir = graft.core.TempDirs.create("graft_minhash_delete")
+    graft.ext.Dedup.writeMinhashIndex(spark, dir, base.toDF("doc_id", "text"))
+    def probe() = graft.ext.Dedup.probeMinhashIndex(spark, dir, batchDf, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe() == Set((300L, 3L), (301L, 5L)))
+
+    // Takedown of doc 3: its postings must stop matching immediately.
+    graft.ext.Dedup.minhashIndexDelete(spark, dir, Seq(3L).toDF("doc_id"))
+    assert(probe() == Set((301L, 5L)), s"deleted doc still matches: ${probe()}")
+
+    // Appends preserve the ledger (no resurrection via manifest rewrite).
+    graft.ext.Dedup.minhashIndexAppend(spark, dir,
+      Seq((200L, docText(200))).toDF("doc_id", "text"))
+    assert(graft.ext.Dedup.readTombstoneManifest(dir).nonEmpty,
+      "append wiped the tombstone ledger")
+    assert(probe() == Set((301L, 5L)))
+
+    // Compaction drops doc 3's postings physically and clears the ledger.
+    graft.ext.Dedup.minhashIndexCompact(spark, dir)
+    assert(graft.ext.Dedup.readTombstoneManifest(dir).isEmpty)
+    assert(probe() == Set((301L, 5L)), "compaction changed the post-delete probe")
+    val remaining = spark.read
+      .parquet(new java.io.File(dir, "postings").getPath)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!remaining.contains(3L), "tombstoned doc's postings survived compaction")
+  }
+
   test("minhashIndexCompact GC spares a renamed-but-uncommitted batch directory") {
     import spark.implicits._
     // ADVICE r9: GC used to delete every on-disk batch dir; an in-flight

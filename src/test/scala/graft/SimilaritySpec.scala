@@ -483,6 +483,69 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(topIds() == afterCompact, "post-compaction replay was not a no-op")
   }
 
+  test("ivfIndexDelete: tombstoned ids invisible pre- and post-compaction, ledger cleared, re-add after compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = corpus.toDF("vec_id", "embedding")
+    // Near-copies of vector 0 with new ids — they will be the probe's
+    // top hits, so deletion MUST re-rank the output.
+    val twins = (0 until 3).map { i =>
+      (100000L + i, corpus.head._2.map(x => x * (0.999f - i * 0.0001f)))
+    }.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_delete")
+    Similarity.writeIvfIndex(spark, dir, a)
+    Similarity.ivfIndexAppend(spark, dir, twins)
+    val lookup = corpus.toMap
+    def topIds(k: Int = 5) = Similarity
+      .probeIvfIndex(spark, dir, lookup(0L), nprobe = 4, k = k, exclude = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val before = topIds()
+    assert(before.take(3).toSet == Set(100000L, 100001L, 100002L),
+      s"planted twins should lead pre-delete: $before")
+
+    // Crash window: a staged delete (dir renamed, manifest NOT yet
+    // swapped) must not affect probes.
+    val manifestPath = new java.io.File(dir, "manifest.json").toPath
+    val preDelete = java.nio.file.Files.readAllBytes(manifestPath)
+    Similarity.ivfIndexDelete(spark, dir, Seq(100000L, 100001L).toDF("vec_id"))
+    val postDelete = java.nio.file.Files.readAllBytes(manifestPath)
+    java.nio.file.Files.write(manifestPath, preDelete)
+    assert(topIds() == before, "uncommitted tombstones leaked into a probe")
+    java.nio.file.Files.write(manifestPath, postDelete)
+
+    // Committed: deleted ids invisible, k still filled by next-best.
+    val after = topIds()
+    assert(!after.contains(100000L) && !after.contains(100001L),
+      s"tombstoned ids survived the probe: $after")
+    assert(after.head == 100002L && after.length == 5,
+      s"next-best should lead and k stay filled: $after")
+    // ADC probes honor tombstones too.
+    val adc = Similarity
+      .probeIvfPqIndex(spark, dir, lookup(0L), nprobe = 4, k = 5, exclude = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(!adc.contains(100000L) && !adc.contains(100001L),
+      s"tombstoned ids survived the ADC probe: $adc")
+
+    // Compaction materializes the deletion: probes identical, ledger
+    // cleared, tombstone dirs GC'd, counts shrink by the dropped rows.
+    val preCounts = Similarity.readIvfManifest(dir).cellCounts.values.sum
+    Similarity.ivfIndexCompact(spark, dir)
+    val m = Similarity.readIvfManifest(dir)
+    assert(m.tombstoneBatches.isEmpty, s"ledger not cleared: $m")
+    assert(m.cellCounts.values.sum == preCounts - 2,
+      s"sentinel counts should drop by the 2 deleted rows: $preCounts -> ${m.cellCounts.values.sum}")
+    assert(topIds() == after, "compaction changed the post-delete probe")
+    val tombDirs = Option(new java.io.File(dir, "tombstones").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+    assert(tombDirs.isEmpty, s"tombstone dirs not GC'd: ${tombDirs.map(_.getName).mkString(",")}")
+
+    // The documented resurrect contract: append AFTER compaction makes
+    // the id visible again.
+    Similarity.ivfIndexAppend(spark, dir,
+      Seq((100000L, corpus.head._2.map(x => x * 0.999f))).toDF("vec_id", "embedding"))
+    assert(topIds().contains(100000L), "re-added id should be visible after compaction")
+  }
+
   test("ivfIndexCompact GC spares a renamed-but-uncommitted batch directory") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
