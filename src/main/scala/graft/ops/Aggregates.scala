@@ -36,13 +36,34 @@ object Aggregates extends QueryModule {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  private def aggApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     // HLL++ sketch: one pass, fixed memory, merges across partitions —
     // the scale path where exact distinct would shuffle every key.
-    Tables(spark, sfDir, "lineitem")
+    //
+    // Partial-oracle shape (r10, the ANN tap pattern): the sketch
+    // ESTIMATE — the one leg DuckDB cannot recompute — is tapped; the
+    // output joins it against the exact distinct count and declares the
+    // relative error + an error-envelope verdict (5%, generous vs the
+    // lgConfigK=12 rsd of ~1.6%). DuckDB recomputes exact/rel_err/
+    // within_bound wholesale from the tap + lineitem, so the exact side
+    // and the envelope arithmetic are hash-matched; the estimate's own
+    // merge/error properties are SketchSpec's (the same split as the
+    // MinHash signature kernel). Error truncation (floor) keeps the
+    // boundary off Spark-vs-DuckDB HALF_UP divergence.
+    val est = Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    val tapped = graft.ext.OracleTap(spark, "approx_distinct_est", est)
+    val exact = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val err = floor(abs(col("approx_parts").cast("double") - col("exact_parts")) /
+      col("exact_parts") * 10000) / 10000
+    tapped.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        err.as("rel_err"), (err <= 0.05).as("within_bound"))
       .orderBy("l_returnflag")
+  }
 
   private def aggHaving(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "orders")
@@ -347,7 +368,20 @@ object Aggregates extends QueryModule {
              count(DISTINCT l_suppkey) AS n_supps,
              count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
-    "q_agg_approx_distinct" -> QueryDef(aggApproxDistinct, None),
+    // Partial oracle (r10): estimate tapped; DuckDB recomputes the exact
+    // distinct counts, relative error, and envelope verdict wholesale.
+    "q_agg_approx_distinct" -> QueryDef(aggApproxDistinct, Some("""
+      WITH est AS (SELECT l_returnflag, approx_parts
+                   FROM read_parquet('/tmp/graft_oracle_aux/approx_distinct_est/*.parquet')),
+      exact AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+                FROM lineitem GROUP BY l_returnflag)
+      SELECT e.l_returnflag, e.approx_parts, x.exact_parts,
+             floor(abs(CAST(e.approx_parts AS DOUBLE) - x.exact_parts)
+                   / x.exact_parts * 10000) / 10000 AS rel_err,
+             floor(abs(CAST(e.approx_parts AS DOUBLE) - x.exact_parts)
+                   / x.exact_parts * 10000) / 10000 <= 0.05 AS within_bound
+      FROM est e JOIN exact x USING (l_returnflag)
+      ORDER BY e.l_returnflag""")),
     "q_udaf_stats" -> QueryDef(udafStats, Some("""
       SELECT l_returnflag,
              count(l_quantity) AS n_vals,

@@ -97,10 +97,19 @@ object Reshape extends QueryModule {
         round(max(when(col("p") === 0.99, col("pct"))), 4).as("p99"))
       .orderBy("l_returnflag")
 
-  private def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+  private def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     // The sketch path (KLL-style, fixed memory, mergeable) — what actually
     // runs at 100 TB; q_percentiles above is its exact audit twin.
-    Tables(spark, sfDir, "lineitem")
+    //
+    // Partial-oracle shape (r10): the sketch estimates are tapped; the
+    // output joins them against the EXACT per-group percentiles and
+    // declares per-percentile relative errors + an envelope verdict
+    // (1% on value — generous vs the accuracy=10000 rank bound on these
+    // distributions). DuckDB recomputes exact (quantile_cont — the
+    // hash-green twin q_percentiles already proves the exact sides
+    // agree), the errors, and the verdict wholesale from the tap;
+    // floor-truncation keeps the boundaries off HALF_UP divergence.
+    val est = Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("pcts"))
@@ -108,7 +117,25 @@ object Reshape extends QueryModule {
         round(element_at(col("pcts"), 1), 2).as("p50"),
         round(element_at(col("pcts"), 2), 2).as("p90"),
         round(element_at(col("pcts"), 3), 2).as("p99"))
+    val tapped = graft.ext.OracleTap(spark, "approx_pct_est", est)
+    val exact = exactPercentiles(Tables(spark, sfDir, "lineitem"),
+        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(max(when(col("p") === 0.5, col("pct"))), 4).as("e50"),
+        round(max(when(col("p") === 0.9, col("pct"))), 4).as("e90"),
+        round(max(when(col("p") === 0.99, col("pct"))), 4).as("e99"))
+    def err(a: String, e: String) =
+      floor(abs(col(a) - col(e)) / col(e) * 10000) / 10000
+    tapped.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+        err("p50", "e50").as("err50"),
+        err("p90", "e90").as("err90"),
+        err("p99", "e99").as("err99"),
+        (err("p50", "e50") <= 0.01 && err("p90", "e90") <= 0.01 &&
+          err("p99", "e99") <= 0.01).as("within_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** IQR anomaly detection — the corpus-audit cut of the percentile
     * family: per-group Tukey fences (q3 + 1.5*IQR) from exact quartiles,
@@ -261,7 +288,26 @@ object Reshape extends QueryModule {
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
-    "q_approx_percentiles" -> QueryDef(approxPercentiles, None),
+    // Partial oracle (r10): estimates tapped; DuckDB recomputes the exact
+    // percentiles (quantile_cont), per-percentile errors, and the
+    // envelope verdict wholesale.
+    "q_approx_percentiles" -> QueryDef(approxPercentiles, Some("""
+      WITH est AS (SELECT l_returnflag, p50, p90, p99
+                   FROM read_parquet('/tmp/graft_oracle_aux/approx_pct_est/*.parquet')),
+      exact AS (SELECT l_returnflag,
+                       round(quantile_cont(l_extendedprice, 0.5), 4) AS e50,
+                       round(quantile_cont(l_extendedprice, 0.9), 4) AS e90,
+                       round(quantile_cont(l_extendedprice, 0.99), 4) AS e99
+                FROM lineitem GROUP BY l_returnflag)
+      SELECT e.l_returnflag, e.p50, e.p90, e.p99,
+             floor(abs(e.p50 - x.e50) / x.e50 * 10000) / 10000 AS err50,
+             floor(abs(e.p90 - x.e90) / x.e90 * 10000) / 10000 AS err90,
+             floor(abs(e.p99 - x.e99) / x.e99 * 10000) / 10000 AS err99,
+             (floor(abs(e.p50 - x.e50) / x.e50 * 10000) / 10000 <= 0.01 AND
+              floor(abs(e.p90 - x.e90) / x.e90 * 10000) / 10000 <= 0.01 AND
+              floor(abs(e.p99 - x.e99) / x.e99 * 10000) / 10000 <= 0.01) AS within_bound
+      FROM est e JOIN exact x USING (l_returnflag)
+      ORDER BY e.l_returnflag""")),
     "q_gap_fill" -> QueryDef(gapFill, Some("""
       WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day, round(value, 2) AS value,
