@@ -91,6 +91,76 @@ object Receipts {
       println(s"[receipt] longdocs: $nDocs docs x $tokPerDoc tokens -> $out")
       spark.stop()
 
+    case "canalcrash" =>
+      // VERDICT r9 #8: kill-BETWEEN-sink-commit-and-checkpoint proof for
+      // the Canal pipeline at scale (run against a ScaleGen 20x dir).
+      // Life 1 runs the full parse->filter->flatten->partitioned-sink
+      // pipeline in 8 micro-batches; the crash window is simulated by
+      // deleting the final checkpoint commit record (sink ledger has the
+      // batch, checkpoint doesn't); life 2 must dedup the replayed batch
+      // — committed rows and data files byte-identical.
+      val sfDir = args(1)
+      val spark = session()
+      import org.apache.spark.sql.types.{StructType, StructField, StringType}
+      spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val topic = graft.core.TempDirs.create("graft_canalcrash_topic")
+      val out = graft.core.TempDirs.create("graft_canalcrash_out")
+      val ckpt = graft.core.TempDirs.create("graft_canalcrash_ckpt")
+      val nIn = graft.core.Tables(spark, sfDir, "events")
+        .select(to_json(struct(
+          col("event_id").as("id"),
+          (unix_micros(col("ts")) / lit(1000L)).cast("long").as("es"),
+          ((unix_micros(col("ts")) / lit(1000L)).cast("long") + lit(1000L)).as("ts"),
+          when(col("event_type") === "error", "CREATE").otherwise("INSERT").as("type"),
+          when(col("event_type") === "error", "true").otherwise("false").as("isDdl"),
+          lit("qfbap_ods").as("database"), lit("events").as("table"),
+          array(map(lit("user_id"), col("user_id").cast("string"),
+            lit("event_type"), col("event_type"),
+            lit("value"), col("value").cast("string"))).as("data"))).as("value"))
+        .repartition(8)
+        .write.mode("overwrite").text(topic)
+      def life(label: String): Double = {
+        val t0 = System.nanoTime()
+        val parsed = graft.cdc.Cdc.parseEnvelope(spark.readStream
+          .schema(StructType(Seq(StructField("value", StringType))))
+          .option("maxFilesPerTrigger", "1").text(topic))
+        val q = graft.cdc.Cdc
+          .flatten(graft.cdc.Cdc.ddlFilter(parsed), Seq("user_id", "event_type", "value"))
+          .withColumn("dt", graft.cdc.Cdc.eventTimeDt(col("es")))
+          .writeStream.format("parquet").partitionBy("dt")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[receipt] canal $label: $dt%.1f s")
+        dt
+      }
+      life("life 1 (8 micro-batches to completion)")
+      val rows1 = spark.read.parquet(out).count()
+      def files() = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(out))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_spark_metadata"))
+          .map(_.getName).sorted
+      }
+      val files1 = files()
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      val last = commits.last
+      require(last.delete())
+      new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+      life("life 2 (replay of the crashed batch)")
+      val rows2 = spark.read.parquet(out).count()
+      require(rows1 == rows2, s"exactly-once violated: $rows1 -> $rows2 rows")
+      require(files() == files1, "replay wrote new data files")
+      println(s"[receipt] canal exactly-once at scale: $rows1 committed rows, " +
+        s"${files1.length} data files, byte-identical across the crash replay")
+      spark.stop()
+
     case "delete" =>
       // Takedown economics at 100x (200k vectors): deletion must be
       // O(delete batch) — an id-list write + manifest swap, never a
