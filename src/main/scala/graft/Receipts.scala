@@ -91,6 +91,45 @@ object Receipts {
       println(s"[receipt] longdocs: $nDocs docs x $tokPerDoc tokens -> $out")
       spark.stop()
 
+    case "concurrent" =>
+      // VERDICT r9 #6: a shared 100 TB cluster runs N queries at once;
+      // everything else in this file benches serially. Run 8 MIXED
+      // registry entries (ANN probes, persisted-index near-dup, dedup,
+      // ranking, relational agg, window) first serially then all at
+      // once on local[32], and record per-entry latency in both modes.
+      // Scheduler fairness + index-reader contention are the subjects:
+      // concurrent latency within ~2x of serial per entry = healthy.
+      val sfDir = args(1)
+      val spark = session()
+      val entries = Seq("q_ann_ivf_probe", "q_ann_ivfpq_probe", "q_ann_ivf_batch",
+        "q_minhash_incremental", "q_dedup_exact", "q_bm25", "q_agg_group", "q_win_rank")
+      // Warm-up (seeds, JIT, footer caches) — same discipline as Bench.
+      entries.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      def once(n: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val serial = entries.map(n => n -> once(n)).toMap
+      val serialWall = serial.values.sum
+      val conc = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      val t0 = System.nanoTime()
+      val threads = entries.map { n =>
+        new Thread(() => conc.put(n, once(n)))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val concWall = (System.nanoTime() - t0) / 1e9
+      entries.foreach { n =>
+        val s = serial(n); val c = conc.get(n)
+        println(f"[receipt] concurrent $n%-24s serial $s%6.2f s  concurrent $c%6.2f s  (${c / s}%4.1fx)")
+      }
+      println(f"[receipt] concurrent aggregate: serial wall $serialWall%.1f s, " +
+        f"8-way concurrent wall $concWall%.1f s (${serialWall / concWall}%.2fx throughput)")
+      spark.stop()
+
     case "canalcrash" =>
       // VERDICT r9 #8: kill-BETWEEN-sink-commit-and-checkpoint proof for
       // the Canal pipeline at scale (run against a ScaleGen 20x dir).
