@@ -774,6 +774,30 @@ object Dedup extends QueryModule {
       tap = Some("minhash_inc_candidates"))
   }
 
+  /** Takedown on the near-dup index: copy the seeded index to scratch
+    * (the canonical marker-gated dir is never mutated), probe once to
+    * find the docs the ingest batch would match, DELETE the smallest
+    * matched index doc ([[minhashIndexDelete]] — tombstone ledger, same
+    * commit protocol as appends), and re-probe. The deleted doc's pairs
+    * MUST vanish while every other pair survives — the oracle
+    * re-verifies the post-delete candidates' Jaccard wholesale.
+    */
+  private def minhashDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = ensureMinhashIndex(spark, sfDir)
+    val dir = graft.core.TempDirs.create("graft_minhash_del")
+    graft.core.Warehouse.copyRecursively(new java.io.File(seed), new java.io.File(dir))
+    new java.io.File(dir, "_SEEDED").delete()
+    val docs = Tables(spark, sfDir, "documents")
+    val batch = docs.filter(col("doc_id") >= 400)
+    val victimRow = probeMinhashIndex(spark, dir, batch, docs)
+      .agg(min(col("dup_of"))).head()
+    if (!victimRow.isNullAt(0))
+      minhashIndexDelete(spark, dir, Seq(victimRow.getLong(0)).toDF("doc_id"))
+    probeMinhashIndex(spark, dir, batch, docs,
+      tap = Some("minhash_del_candidates"))
+  }
+
   override val defs: Map[String, QueryDef] = Map(
     // Partial oracle: the banded candidate stage (batch × index-rep) is
     // tapped; DuckDB recomputes the word-set Jaccard verification,
@@ -781,6 +805,24 @@ object Dedup extends QueryModule {
     "q_minhash_incremental" -> QueryDef(minhashIncremental, Some("""
       WITH cand AS (SELECT doc_id, dup_of
                     FROM read_parquet('/tmp/graft_oracle_aux/minhash_inc_candidates/*.parquet')),
+      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+      v AS (
+        SELECT c.doc_id, c.dup_of,
+               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
+                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_id
+        JOIN w wb ON wb.doc_id = c.dup_of)
+      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
+      ORDER BY doc_id, dup_of""")),
+    // Partial oracle: the POST-DELETE banded candidates are tapped;
+    // DuckDB re-verifies the Jaccard leg wholesale — the tombstoned
+    // doc's absence flows through the hash-match, and its probe-level
+    // invisibility (pre/post compaction) is DedupSpec-pinned.
+    "q_minhash_delete" -> QueryDef(minhashDelete, Some("""
+      WITH cand AS (SELECT doc_id, dup_of
+                    FROM read_parquet('/tmp/graft_oracle_aux/minhash_del_candidates/*.parquet')),
       w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
             FROM documents),
       v AS (
