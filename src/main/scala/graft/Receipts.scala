@@ -423,6 +423,12 @@ object Receipts {
       time("unfiltered probe (floor)",
         graft.ext.Similarity.probeIvfIndex(spark, dir, anchor,
           nprobe = 4, k = 10, exclude = Some(0L)))
+      // Filtered × ADC (r10): same widened probe, candidates scanned as
+      // 8-byte codes instead of 256-byte vectors — the three prunes
+      // (partition × predicate × column) composed.
+      time("filtered ADC probe (widened, codes-only candidates)",
+        graft.ext.Similarity.probeIvfPqIndexFiltered(spark, dir, anchor,
+          labelValue = 3, n = n, m = m, nprobe = 4, k = 10, exclude = Some(0L)))
       spark.stop()
 
     case "minhashinc" =>

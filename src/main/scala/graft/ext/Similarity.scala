@@ -2111,6 +2111,71 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
+  /** Filtered ADC probe — the last corner of the retrieval matrix
+    * (single/batch × full-precision/ADC × filtered/unfiltered), and the
+    * shape a production filtered-RAG probe actually runs at 100 TB:
+    * metadata predicate + CODES-ONLY candidate scan. Cost model is
+    * [[probeIvfIndexFiltered]]'s (measured selectivity picks exact brute
+    * force vs 1/s-widened probe); the broad branch composes all three
+    * prunes — partition (committed batches × probed cells), predicate
+    * (label inside pruned cells, row-group stats + dictionary), and
+    * COLUMN (candidates select vec_id+code: 8 bytes per surviving
+    * posting) — then ADC-shortlists and exact-cosine re-ranks the
+    * ≤ k·refine ids like [[probeIvfPqIndex]].
+    */
+  private[graft] def probeIvfPqIndexFiltered(spark: SparkSession, dir: String,
+      anchor: Array[Float], labelValue: Int, n: Long, m: Long,
+      nprobe: Int, k: Int, refine: Int = PqRefine, exclude: Option[Long] = None,
+      tap: Option[String] = None): DataFrame = {
+    val manifest = readIvfManifest(dir)
+    val postings = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*)))
+    val scored =
+      if (m <= FilteredBruteFactor * k) {
+        // Selective: exact top-k over the filtered subset — identical to
+        // the full-precision filtered probe's branch (ADC buys nothing
+        // when m rows fit one TakeOrderedAndProject).
+        val base = postings.filter(col("label") === labelValue)
+        exclude.fold(base)(id => base.filter(col("vec_id") =!= id))
+          .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+            round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+      } else {
+        val centroids = readIvfCentroids(spark, dir)
+        val cb = readIvfCodebook(spark, dir)
+        val np = widenedNprobe(nprobe, n, m, centroids.length)
+        val probed: Seq[Int] = chooseCells(centroids, anchor, np)
+        val table = adcTable(cb, anchor)
+        val pruned = postings.where(col("cell_id").isin(probed: _*))
+          .filter(col("label") === labelValue)
+        val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+        // Bounded collect: the k·refine shortlist ids (codes-only scan).
+        val cand = base
+          .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(pqShortlist(k, refine, np))
+          .collect().map(_.getLong(0))
+        base.filter(col("vec_id").isin(cand: _*))
+          .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+            round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+      }
+    tap.fold(scored)(nm => OracleTap(spark, nm, scored))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def annFilteredPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val n = corpus.count()
+    val m = corpus.filter(col("label") === 3).count()
+    probeIvfPqIndexFiltered(spark, dir, anchor, labelValue = 3, n = n, m = m,
+      nprobe = 4, k = 10, exclude = Some(0L), tap = Some("ann_filtered_pq_scored"))
+  }
+
   /** q_ann_ivfpq_probe: the persisted twin of q_ann_ivfpq, probing the
     * same marker-gated index q_ann_ivf_probe uses (one layout serves
     * both precision modes — full-vector probes column-prune away `code`,
@@ -2555,6 +2620,11 @@ object Similarity extends QueryModule {
       Some(annFilteredOracle("ann_filtered_scored", 10))),
     "q_ann_filtered_probe" -> QueryDef(annFilteredProbe,
       Some(annFilteredOracle("ann_filtered_probe_scored", 10))),
+    // Label-verifying oracle like the other filtered taps: DuckDB drops
+    // any candidate whose label fails the predicate before re-scoring,
+    // so a filter that leaked would hash-mismatch.
+    "q_ann_filtered_pq" -> QueryDef(annFilteredPq,
+      Some(annFilteredOracle("ann_filtered_pq_scored", 10))),
     "q_ann_filtered_batch" -> QueryDef(annFilteredBatch,
       Some(annFilteredBatchOracle("ann_filtered_batch_scored", 5))),
     // Streaming ingest into the persisted ANN index; the probe's scored

@@ -803,4 +803,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(hits.contains(300000L),
       s"appended row must survive the ADC shortlist + re-rank: $hits")
   }
+
+  test("q_ann_filtered_pq equals q_ann_filtered_probe row-for-row (filtered ADC == filtered exact)") {
+    // The filtered x ADC corner of the retrieval matrix: the codes-only
+    // candidate scan + exact re-rank must land on the same final top-k
+    // as the full-precision filtered probe whenever the true neighbors
+    // survive the ADC shortlist — the same equivalence pinned for
+    // q_ann_ivfpq vs q_ann_ivf. (Both take the widened-probe branch at
+    // this fixture's 10% selectivity only at sf0.1+; at the spec's sf
+    // the selective exact branch makes the claim trivially exact — both
+    // informative: branch parity is part of the contract.)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val adc = rows("q_ann_filtered_pq")
+    val exact = rows("q_ann_filtered_probe")
+    assert(adc.nonEmpty && adc == exact,
+      s"filtered ADC diverged from filtered exact:\n  adc:   $adc\n  exact: $exact")
+  }
 }
