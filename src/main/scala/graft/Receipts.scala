@@ -240,6 +240,28 @@ object Receipts {
         probe().collect().map(_.getLong(0)).toSeq)
       require(postC == post, "compaction changed the post-delete probe")
       println(s"[receipt] deleted=${ids.mkString(",")} invisible pre+post compaction")
+      // MinHash twin at the same scale: takedown of an indexed doc, the
+      // probe's pairs against it must vanish at O(delete) cost.
+      val docs = graft.core.Tables(spark, sfDir, "documents")
+      val mdir = graft.core.TempDirs.create("graft_receipt_mdel")
+      timed("minhash index build (seed, untimed in entries)") {
+        graft.ext.Dedup.writeMinhashIndex(spark, mdir, docs.filter(col("doc_id") % 2 === 0))
+      }
+      val mbatch = docs.filter(col("doc_id") % 2 === 1)
+      def mprobe() = graft.ext.Dedup.probeMinhashIndex(spark, mdir, mbatch, docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mpre = timed("minhash probe, no tombstones")(mprobe())
+      val victims = mpre.map(_._2).toSeq.sorted.take(3)
+      timed(s"minhashIndexDelete of ${victims.length} docs") {
+        graft.ext.Dedup.minhashIndexDelete(spark, mdir,
+          spark.createDataset(victims)(org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"))
+      }
+      val mpost = timed("minhash probe, tombstone anti-join active")(mprobe())
+      require(victims.forall(v => !mpost.exists(_._2 == v)), "deleted docs leaked")
+      require(mpost == mpre.filterNot(p => victims.contains(p._2)),
+        "non-deleted pairs changed")
+      println(s"[receipt] minhash deleted=${victims.mkString(",")}: " +
+        s"${mpre.size} -> ${mpost.size} pairs, others intact")
       spark.stop()
 
     case "coarsecells" =>
