@@ -50,6 +50,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { graft.ext.Dedup.ensureMinhashIndex(spark, sfDir); () }
     catch { case _: Throwable => () }
+    try { graft.ext.Similarity.ensureSemdedupIndex(spark, sfDir); () }
+    catch { case _: Throwable => () }
     // Untimed JIT warm-up (disclosed; applied from r7): run the whole
     // registry once against the SMALLEST driver fixture (sf0.001) before
     // any timing. Spark's codegen cache keys on generated source, so the

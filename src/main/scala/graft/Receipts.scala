@@ -308,6 +308,45 @@ object Receipts {
           f"b&b ${tBb * 1000 / qn}%.2f ms/probe (${tLin / tBb}%.1fx), mismatches=$mismatches")
       }
 
+    case "semdedupinc" =>
+      // Incremental-semdedup economics at 100x (200k vectors): the seed
+      // index build (one-time, untimed in entries) vs per-batch ingest
+      // vs the full recompute a batch would otherwise pay. The ingest
+      // must scale with the batch and its touched cells, not the corpus.
+      val sfDir = args(1)
+      val spark = session()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.queryExecution.toRdd.count()
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId * 9 / 10
+      val dir = graft.core.TempDirs.create("graft_receipt_sdi")
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      val nSeed = e.filter(col("vec_id") < cut).count()
+      timed(s"semdedup index seed over $nSeed vectors (one-time, untimed in entries)") {
+        graft.ext.Similarity.writeSemdedupIndex(spark, dir, e.filter(col("vec_id") < cut), tau = 0.4)
+      }
+      val batchRows = timed("ingest of the top-decile batch (touches ~every cell)") {
+        graft.ext.Similarity.semdedupIndexIngest(spark, dir,
+          e.filter(col("vec_id") >= cut), tau = 0.4).count()
+      }
+      // The real incremental shape: a SMALL batch touches few cells, so
+      // the member read partition-prunes to its groups and the pair work
+      // scales with the batch, not the corpus.
+      val smallRows = timed("ingest of a 1000-vector batch (prune-proportional)") {
+        graft.ext.Similarity.semdedupIndexIngest(spark, dir,
+          e.filter(col("vec_id") >= cut).limit(1000)
+            .withColumn("vec_id", col("vec_id") + 1000000000000L), tau = 0.4).count()
+      }
+      val fullRows = timed("full recompute over the union (what each batch avoids)") {
+        graft.ext.Similarity.semdedupPrune(e, tau = 0.4).count()
+      }
+      println(s"[receipt] semdedupinc: decile batch=$batchRows rows, small=$smallRows, full=$fullRows rows")
+      spark.stop()
+
     case "semdedupjoin" =>
       // VERDICT r9 #2 receipt: the co-partitioned fine-centroid JOIN
       // assignment vs the closure-map path at scale. Run against a

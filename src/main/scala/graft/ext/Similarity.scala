@@ -612,6 +612,201 @@ object Similarity extends QueryModule {
     semdedupPruneCells(cells, tau)
   }
 
+  // ---- Persisted incremental semantic-dedup index -----------------------
+  //
+  // The ingest shape of SemDeDup (the twin of q_dedup_incremental /
+  // q_minhash_incremental for the embedding modality): the corpus's cell
+  // assignment + removed flags persist once, and a new batch pays
+  // O(batch · touched-cell density) — assign against the FIXED quantizer,
+  // compare only against members of the batch's own cells (partition-
+  // pruned read), publish with the staged-rename + manifest-commit
+  // protocol every persisted index here uses. At 100 TB this is the only
+  // viable semdedup economics: the corpus is never re-scanned, and the
+  // dominance rule (removed iff a lower-id same-cell member is within
+  // tau) stays EXACTLY the batch-equivalent of the full recompute as
+  // long as ingest ids are monotone (new data gets higher ids — the
+  // ingest-stream invariant; a violating batch still gets correct flags
+  // for itself, but historical flags are frozen until a full rebuild).
+
+  /** Partition-group count for the members layout: cells hash into
+    * [[SemdedupCellGroups]] directory partitions (`cell_grp = cell %
+    * 128`) instead of one directory per cell — k = n/64 cells would mean
+    * tasks × k tiny files per batch (measured 90k files at 200k
+    * vectors); grouping bounds the layout at 128 dirs while ingest reads
+    * still partition-prune to the batch's touched GROUPS and the
+    * dominance join handles cell exactness.
+    */
+  private[graft] val SemdedupCellGroups = 128
+
+  /** Exact nearest-centroid assignment that stays cheap at large k: the
+    * same argmax as [[ivfBuildWith]]'s closure loop (ties to the lower
+    * cell), routed through [[chooseCells]] so past [[CoarseScanLimit]]
+    * centroids each row pays the grouped branch-and-bound instead of a
+    * linear k-scan. Row-identical to the linear loop by construction.
+    */
+  private def assignCellsExact(e: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    val ci = if (cents.length >= CoarseScanLimit) Some(coarseIndexFor(cents)) else None
+    val assignUdf = udf { (emb: Array[Float]) => chooseCells(cents, emb, 1, ci).head }
+    e.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assignUdf(col("embedding"))).persist()
+  }
+
+  /** Build + persist the semdedup index over `e`: `centroids/` (the
+    * fixed flat quantizer, k = n/targetCell — trained with two Lloyd
+    * refinements while the n·k scans are affordable, raw min-wise-sample
+    * seeds past [[CoarseScanLimit]] cells where balance tuning is not
+    * worth a quadratic pass), `members/` partitioned by (batch_id,
+    * cell_grp) carrying (vec_id, embedding, cell, removed), and the
+    * batches manifest (written last — ingests read only committed
+    * batches).
+    */
+  private[graft] def writeSemdedupIndex(spark: SparkSession, dir: String,
+      e: DataFrame, tau: Double, targetCell: Int = 64): Unit = {
+    import spark.implicits._
+    val ec = e.select(col("vec_id"), col("embedding")).persist()
+    try {
+      val n = ec.count()
+      val k = math.max(1, math.ceil(n.toDouble / targetCell).toInt)
+      // Quantizer training: Lloyd refinement over a bounded deterministic
+      // min-wise sample (k-means-on-a-sample is standard practice —
+      // refinement cost caps at SampleCap·k regardless of corpus size;
+      // the one full n·k pass left is the members ASSIGNMENT below,
+      // which is the irreducible cost of building any cell index). Past
+      // CoarseScanLimit cells even the sampled refine is skipped: raw
+      // min-wise seeds, balance handled by cell-size stats downstream.
+      val SampleCap = 32768
+      val cents =
+        if (k >= CoarseScanLimit) seedCentroidsK(ec, k)
+        else {
+          val train =
+            if (n > SampleCap)
+              ec.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(SampleCap)
+                .localCheckpoint(true)
+            else ec
+          kmeansRefine(train, seedCentroidsK(ec, k), iters = 2)._1
+        }
+      val cells = assignCellsExact(ec, cents)
+      try {
+        val flags = semdedupPruneCells(cells, tau)
+          .select(col("vec_id"), col("removed"))
+        cells.join(flags, Seq("vec_id"))
+          .withColumn("batch_id", lit(0L))
+          .withColumn("cell_grp", pmod(col("cell"), lit(SemdedupCellGroups)))
+          .repartition(col("cell_grp"))
+          .write.mode("overwrite").partitionBy("batch_id", "cell_grp")
+          .parquet(new java.io.File(dir, "members").getPath)
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(dir, "centroids").getPath)
+        Dedup.writeBatchManifest(dir, Seq(0L))
+      } finally { cells.unpersist(); () }
+    } finally { ec.unpersist(); () }
+  }
+
+  /** Ingest a batch against the persisted index: assign on the FIXED
+    * quantizer, dominance-check only against committed members of the
+    * batch's own cells plus lower-id batch members, publish the batch
+    * (staged rename + manifest commit — a crashed ingest leaves an
+    * orphan no later ingest reads), and return the batch's
+    * (vec_id, cell, removed). The tap carries (vec_id, cell, is_batch)
+    * for the batch AND the touched members, so DuckDB re-derives the
+    * entire dominance leg independently.
+    */
+  private[graft] def semdedupIndexIngest(spark: SparkSession, dir: String,
+      batch: DataFrame, tau: Double, tap: Option[String] = None): DataFrame = {
+    val committed = Dedup.readBatchManifest(dir)
+    val cents = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val assigned = assignCellsExact(batch, cents)
+    try {
+      val touched: Seq[Int] = assigned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      // Partition-prune to the touched cell GROUPS; cell exactness falls
+      // out of the dominance join itself, and the pruned rows that
+      // survive here but belong to untouched cells never match a pair.
+      val touchedGrps = touched.map(c => math.floorMod(c, SemdedupCellGroups)).distinct
+      val members = spark.read
+        .parquet(new java.io.File(dir, "members").getPath)
+        .where(col("batch_id").isin(committed: _*) &&
+          col("cell_grp").isin(touchedGrps: _*))
+        .join(broadcast(assigned.select(col("cell")).distinct()), Seq("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // Same-rounded-cosine contract as semdedupPruneCells: both engines
+      // compare the 4-decimal value against tau.
+      def dominated(lower: DataFrame, upper: DataFrame): DataFrame =
+        lower.alias("a").join(upper.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .where(round(cosineUdf(col("a.embedding"), col("b.embedding")), 4) >= tau)
+          .select(col("b.vec_id").as("vec_id")).distinct()
+      val removedIds = dominated(members, assigned)
+        .unionByName(dominated(assigned, assigned)).distinct()
+      val out = assigned
+        .join(removedIds.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("removed"), lit(false)).as("removed"))
+      tap.foreach(n => OracleTap(spark, n,
+        members.select(col("vec_id"), col("cell"), lit(false).as("is_batch"))
+          .unionByName(assigned.select(col("vec_id"), col("cell"),
+            lit(true).as("is_batch")))))
+      // Publish the batch (all members, removed or not — dominance reads
+      // every lower-id member, exactly like the full recompute).
+      val root = new java.io.File(dir, "members")
+      val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong)
+      val newId = (onDisk :+ 0L).max + 1
+      val staging = new java.io.File(dir, s".staging_batch_$newId")
+      graft.core.Warehouse.deleteRecursively(staging)
+      assigned.join(removedIds.withColumn("removed", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          coalesce(col("removed"), lit(false)).as("removed"))
+        .withColumn("cell_grp", pmod(col("cell"), lit(SemdedupCellGroups)))
+        .repartition(col("cell_grp"))
+        .write.mode("overwrite").partitionBy("cell_grp")
+        .parquet(staging.getPath)
+      java.nio.file.Files.move(staging.toPath,
+        new java.io.File(root, s"batch_id=$newId").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Dedup.writeBatchManifest(dir, committed :+ newId)
+      out.select(col("vec_id"), col("cell").cast(LongType), col("removed"))
+        .orderBy("vec_id")
+        .localCheckpoint(true)
+    } finally { assigned.unpersist(); () }
+  }
+
+  private val SemdedupRoot = "/tmp/graft_semdedup"
+
+  private[graft] def ensureSemdedupIndex(spark: SparkSession, sfDir: String): (String, Long) = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val maxId = embeddingsStats(spark, sfDir)._1
+    val cut = maxId * 9 / 10
+    val dir = new java.io.File(SemdedupRoot, ivfTag(sfDir) + s"-cut$cut")
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      writeSemdedupIndex(spark, dir.getPath, e.filter(col("vec_id") < cut), tau = 0.4)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    (dir.getPath, cut)
+  }
+
+  private def semdedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
+    // Each run ingests into a scratch COPY so repeated runs see the same
+    // pre-ingest state (the seed template is immutable, like the IVF
+    // scratch seed).
+    val dir = graft.core.TempDirs.create("graft_semdedup_inc")
+    graft.core.Warehouse.copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
+    new java.io.File(dir, "_SEEDED").delete()
+    semdedupIndexIngest(spark, dir, e.filter(col("vec_id") >= cut), tau = 0.4,
+      tap = Some("semdedup_inc_cells"))
+  }
+
   /** Above this many cells the flat Lloyd loop's ASSIGNMENT step (n·k
     * distances per scan — Θ(n²/targetCell) when k = n/targetCell) costs
     * more than the pair work it exists to bound; switch to the two-level
@@ -2559,6 +2754,31 @@ object Similarity extends QueryModule {
              (d.vec_id IS NOT NULL) AS removed
       FROM cells c2 LEFT JOIN dup d ON d.vec_id = c2.vec_id
       ORDER BY c2.vec_id""")),
+    // Partial oracle (same boundary as q_semdedup): the tapped cell
+    // assignments — batch rows AND the touched committed members — are
+    // the k-means leg; DuckDB re-derives the entire incremental
+    // dominance check (lower-id same-cell pairs against batch rows,
+    // independent cosine, removed flags) from the tap + embeddings.
+    "q_semdedup_incremental" -> QueryDef(semdedupIncremental, Some("""
+      WITH t AS (SELECT vec_id, cell, is_batch
+                 FROM read_parquet('/tmp/graft_oracle_aux/semdedup_inc_cells/*.parquet')),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM t a JOIN t b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
+      terms AS (SELECT p.va, p.vb,
+                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
+                             JOIN embeddings eb ON eb.vec_id = p.vb,
+                     range(1, 65) t2(i)),
+      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY va, vb),
+      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
+      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
+             (d.vec_id IS NOT NULL) AS removed
+      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
+      WHERE tb.is_batch
+      ORDER BY tb.vec_id""")),
     "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

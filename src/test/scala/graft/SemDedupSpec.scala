@@ -49,6 +49,75 @@ class SemDedupSpec extends AnyFunSuite with SparkTest {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  test("semdedupIndexIngest: batch flags equal the full recompute with the same quantizer; crash-orphan invisible") {
+    import spark.implicits._
+    // Corpus A seeds the index; batch B (ids above A's) carries planted
+    // near-copies of A members (must come back removed), a near-copy of
+    // an EARLIER B member (in-batch dominance), and fresh uniques (must
+    // survive). Monotone ids — the documented ingest invariant.
+    val rnd = new scala.util.Random(37)
+    val a = corpus // ids 0..299 + planted 1000..1014
+    val b0 = (0 until 10).map { i =>
+      (5000L + i, a(i)._2.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.02f))
+    }
+    val bFresh = (0 until 10).map { i =>
+      (5100L + i, Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val bSelf = Seq((5200L, bFresh.head._2.map(v => v + 1e-4f))) // dominated by 5100
+    val b = b0 ++ bFresh ++ bSelf
+    val dir = graft.core.TempDirs.create("graft_semdedup_ingest")
+    Similarity.writeSemdedupIndex(spark, dir, a.toDF("vec_id", "embedding"), tau = Tau)
+    val got = Similarity.semdedupIndexIngest(spark, dir,
+        b.toDF("vec_id", "embedding"), tau = Tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+
+    // Full recompute over A ∪ B with the SAME persisted quantizer: the
+    // batch rows' flags must be identical (the append==rebuild analogue).
+    val cents = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val fullCells = Similarity.ivfBuildWith((a ++ b).toDF("vec_id", "embedding"), cents).cells
+    val full = Similarity.semdedupPruneCells(fullCells, Tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    fullCells.unpersist()
+    val batchIds = b.map(_._1).toSet
+    assert(got.keySet == batchIds)
+    val diverged = batchIds.filter(id => got(id) != full(id))
+    assert(diverged.isEmpty, s"ingest flags diverged from full recompute on $diverged")
+    // Non-vacuity: planted A-copies removed, fresh uniques kept,
+    // in-batch near-copy removed.
+    assert((5000L until 5010L).forall(got(_)), s"planted copies not removed: $got")
+    assert((5100L until 5110L).forall(id => !got(id)), s"fresh uniques removed: $got")
+    assert(got(5200L), "in-batch near-copy must be dominated by its lower-id twin")
+
+    // Committed batch is read by the NEXT ingest: a near-copy of the
+    // FRESH batch-1 unique 5100 (which matches nothing in the seed) must
+    // be dominated by it.
+    val freshContent = bFresh.head._2
+    val got2 = Similarity.semdedupIndexIngest(spark, dir,
+        Seq((6000L, freshContent.map(v => v + 1e-4f))).toDF("vec_id", "embedding"), tau = Tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got2(6000L), "second ingest must see the first batch's members")
+
+    // Crash window: roll the manifest back so batch 2 ([6000]) is an
+    // ORPHAN. Another 5100-copy is still dominated — by batch 1's 5100,
+    // which is committed...
+    graft.ext.Dedup.writeBatchManifest(dir, Seq(0L, 1L))
+    val got3 = Similarity.semdedupIndexIngest(spark, dir,
+        Seq((7000L, freshContent.map(v => v + 2e-4f))).toDF("vec_id", "embedding"), tau = Tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got3(7000L))
+    // ...and with batch 1 de-committed too (only the seed visible), the
+    // next 5100-copy must SURVIVE: if orphaned batch dirs leaked into the
+    // member read, 5100/6000/7000 would dominate it.
+    graft.ext.Dedup.writeBatchManifest(dir, Seq(0L))
+    val got4 = Similarity.semdedupIndexIngest(spark, dir,
+        Seq((8000L, freshContent.map(v => v + 3e-4f))).toDF("vec_id", "embedding"), tau = Tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!got4(8000L),
+      "orphaned batches leaked into the member read (manifest gate broken)")
+  }
+
   test("distributed prune matches the naive dominance rule on the same cells") {
     import spark.implicits._
     val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
