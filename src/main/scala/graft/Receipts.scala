@@ -455,6 +455,36 @@ object Receipts {
       println(f"[receipt] $q sequential single probes: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
       spark.stop()
 
+    case "range" =>
+      // Range-search economics on the persisted index: the radius scan
+      // (ALL candidates with cosine >= tau in nprobe pruned cells) vs the
+      // exact full-index threshold scan (nprobe = C) vs the top-k probe
+      // floor. The narrow probe reads nprobe/C of the postings files; the
+      // exact scan is the completeness ceiling a takedown sweep would pay.
+      val sfDir = args(1)
+      val spark = session()
+      val dir = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val anchor = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      val cCount = spark.read.parquet(s"$dir/centroids").count().toInt
+      time("range tau=0.25 (nprobe=8 pruned cells)",
+        graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,
+          nprobe = 8, tau = 0.25, exclude = Some(0L)))
+      time(s"range tau=0.25 (nprobe=C=$cCount, exact)",
+        graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,
+          nprobe = cCount, tau = 0.25, exclude = Some(0L)))
+      val narrow = graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,
+        nprobe = 8, tau = 0.25, exclude = Some(0L)).count()
+      val full = graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,
+        nprobe = cCount, tau = 0.25, exclude = Some(0L)).count()
+      time("top-k probe floor (nprobe=8, k=10)",
+        graft.ext.Similarity.probeIvfIndex(spark, dir, anchor,
+          nprobe = 8, k = 10, exclude = Some(0L)))
+      println(s"[receipt] range rows: narrow=$narrow exact=$full " +
+        f"cell_recall=${if (full == 0) 1.0 else narrow.toDouble / full}%.3f")
+      spark.stop()
+
     case "filtered" =>
       // Filtered-ANN economics on the persisted index: the widened probe
       // (label predicate inside nprobe/s pruned cells) vs the pre-filter

@@ -1848,6 +1848,36 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
+  /** Radius (range) search against the persisted index — the faiss
+    * `range_search` analogue: ALL vectors with cosine ≥ `tau` inside the
+    * `nprobe` nearest cells, not a fixed top-k. Same partition-pruned
+    * scan + tombstone filter as [[probeIvfIndex]]; the only difference
+    * is the acceptance predicate (threshold instead of rank), so output
+    * size follows the data, which is the contract a takedown sweep or a
+    * near-dup harvest actually wants. At nprobe = C this IS the exact
+    * brute-force threshold scan (SimilaritySpec pins the equality); at
+    * small nprobe it inherits IVF's cell-recall economics. The tap
+    * carries every scored candidate, so the oracle re-derives the
+    * threshold subset wholesale from independent cosine recomputation.
+    */
+  private[graft] def rangeIvfIndex(spark: SparkSession, dir: String,
+      anchor: Array[Float], nprobe: Int, tau: Double,
+      exclude: Option[Long] = None, tap: Option[String] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val manifest = readIvfManifest(dir)
+    val probed: Seq[Int] = chooseCells(centroids, anchor, nprobe)
+    val cells = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probed: _*)))
+    val scored = exclude.fold(cells)(id => cells.filter(col("vec_id") =!= id))
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+        round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
   /** ANN probe against the PERSISTED index: nearest-cell choice over the
     * collected centroid table (bounded: C×Dim floats, ~8 MB at n=1e9 —
     * same budget as ivfProbe), then a partition-pruned postings scan
@@ -1868,6 +1898,22 @@ object Similarity extends QueryModule {
     // pass).
     probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
       tap = Some("ann_ivf_probe_scored"))
+  }
+
+  /** Range (radius) retrieval on the persisted index: everything with
+    * cosine ≥ 0.25 of the anchor within 8 probed cells. The driver
+    * fixture plants no near-twins of vec 0, so the threshold sits in the
+    * upper tail of the random-direction distribution — the result is a
+    * data-dependent handful of rows at every sf, which is exactly the
+    * shape distinguishing range search from top-k.
+    */
+  private def annRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    rangeIvfIndex(spark, dir, anchor, nprobe = 8, tau = 0.25,
+      exclude = Some(0L), tap = Some("ann_range_scored"))
   }
 
   /** Filtered probe against the PERSISTED index — [[annFilteredSearch]]'s
@@ -2621,6 +2667,28 @@ object Similarity extends QueryModule {
       SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
 
+  /** Range-search twin of [[annScoredOracle]]: same independent cosine
+    * recomputation over the tapped candidates, but the acceptance leg is
+    * the threshold predicate, not a rank limit — DuckDB re-derives the
+    * ENTIRE declared output (membership and order) from the tap.
+    */
+  private def annRangeOracle(tapName: String, tau: Double): String = s"""
+      WITH cand AS (SELECT vec_id, cell
+                    FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
+      terms AS (
+        SELECT c.vec_id, c.cell,
+               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, anchor a,
+             range(1, 65) t(i)),
+      sims AS (SELECT vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY vec_id, cell)
+      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      WHERE round(c, 4) >= $tau
+      ORDER BY round(c, 4) DESC, vec_id"""
+
   private def annScoredOracle(tapName: String, k: Int): String = s"""
       WITH cand AS (SELECT vec_id, cell
                     FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
@@ -2687,6 +2755,7 @@ object Similarity extends QueryModule {
 
   override val defs: Map[String, QueryDef] = Map(
     "q_ann_ivf_probe" -> QueryDef(annIvfProbe, Some(annScoredOracle("ann_ivf_probe_scored", 10))),
+    "q_ann_range" -> QueryDef(annRange, Some(annRangeOracle("ann_range_scored", 0.25))),
     "q_ann_ivf_batch" -> QueryDef(annIvfBatch, Some(annBatchScoredOracle("ann_ivf_batch_scored", 5))),
     "q_ann_ivfpq" -> QueryDef(annIvfPq, Some(annScoredOracle("ann_ivfpq_scored", 10))),
     "q_ann_ivfpq_probe" -> QueryDef(annIvfPqProbe, Some(annScoredOracle("ann_ivfpq_probe_scored", 10))),

@@ -300,6 +300,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       s"q_ann_ivf_probe diverged from q_ann_ivf:\n  probe: $got\n  ivf: $inMemoryEntry")
   }
 
+  test("rangeIvfIndex at nprobe = C is the exact brute-force threshold scan; planted twin surfaces at nprobe = 4") {
+    import spark.implicits._
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_range")
+    Similarity.writeIvfIndex(spark, dir, df)
+    val lookup = corpus.toMap
+    val anchor = lookup(3L)
+    val cents = spark.read.parquet(s"$dir/centroids").count().toInt
+    // Exactness: probing EVERY cell makes range search the brute-force
+    // threshold scan — membership AND order must coincide (the engine
+    // rounds HALF_UP to 4 dp; the twin must too).
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tau = 0.25
+    val got = Similarity.rangeIvfIndex(spark, dir, anchor, nprobe = cents,
+        tau = tau, exclude = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = corpus.filter(_._1 != 3L)
+      .map { case (id, v) => (id, r4(cos(anchor, v))) }
+      .filter(_._2 >= tau)
+      .sortBy { case (id, c) => (-c, id) }
+    assert(got.nonEmpty && got == brute,
+      s"full-probe range search diverged from brute force:\n  got: $got\n  brute: $brute")
+    // Recall: the planted twin (cos ~0.998) is the ONLY vector above 0.9,
+    // and a narrow 4-cell probe must still surface it (same cell as its
+    // near-identical source).
+    val tight = Similarity.rangeIvfIndex(spark, dir, anchor, nprobe = 4,
+        tau = 0.9, exclude = Some(3L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(tight == Seq(1003L),
+      s"narrow-probe range search missed the planted twin: $tight")
+  }
+
   test("q_ann_ivf_batch equals per-anchor single probes on the same persisted index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
