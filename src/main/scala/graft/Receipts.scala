@@ -547,6 +547,46 @@ object Receipts {
         SparkEntry.queries("q_minhash_near_dup")(spark, sfDir))
       spark.stop()
 
+    case "minhashingest" =>
+      // Streaming near-dup ingest economics at scale: the per-micro-batch
+      // cost of committing band postings through foreachBatch (O(batch)
+      // hashing + staged partitioned publish — the corpus is never
+      // re-hashed), then the probe that must see the streamed docs.
+      val sfDir = args(1)
+      val spark = session()
+      val seed = graft.ext.Dedup.ensureMinhashIndex(spark, sfDir)
+      val dir = graft.core.TempDirs.create("graft_minhash_ingest_rcpt")
+      graft.core.Warehouse.copyRecursively(
+        new java.io.File(seed), new java.io.File(dir))
+      new java.io.File(dir, "_SEEDED").delete()
+      val docs = graft.core.Tables(spark, sfDir, "documents")
+      docs.queryExecution.toRdd.count()
+      val docsPath = new java.io.File(sfDir, "documents.parquet").getPath
+      val schema = spark.read.parquet(docsPath).schema
+      // ScaleGen shifts each replica's doc_id by copy*1e9: the streamed
+      // slice is replica 0's tail (4600 docs past the seeded sub-400),
+      // the probe batch is replica 1's first 5000 docs — textual copies
+      // of replica 0, so the probe MUST surface matches against both the
+      // seeded and the streamed postings.
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema).parquet(docsPath)
+        .filter(col("doc_id") >= 400 && col("doc_id") < 1000000000L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (!b.isEmpty) graft.ext.Dedup.minhashIndexAppend(spark, dir, b,
+            ingestKey = Some(s"stream-$batchId"))
+        }
+        .option("checkpointLocation", graft.core.TempDirs.create("graft_minhash_ingest_rcpt_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(f"[receipt] stream-ingest 4600-doc slice: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"(batches=${graft.ext.Dedup.readBatchManifest(dir).size - 1} committed)")
+      time("probe after ingest (5000-doc batch vs seed+streamed index)",
+        graft.ext.Dedup.probeMinhashIndex(spark, dir,
+          docs.filter(col("doc_id") >= 1000000000L && col("doc_id") < 1000005000L), docs))
+      spark.stop()
+
     case "recall" =>
       // Operational recall audit — the metric a production ANN deployment
       // tracks continuously: sample Q anchors, compare the persisted-index

@@ -558,12 +558,28 @@ object Dedup extends QueryModule {
       .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
   }
 
+  /** Idempotency ledger for streaming ingest — the IVF manifest's
+    * `ingest_keys` scheme: an append carrying a key already in the
+    * ledger is a committed replay and must be a no-op. Absent field
+    * reads as empty, so pre-ingest manifests stay valid.
+    */
+  private[graft] def readIngestKeys(dir: String): Seq[String] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "manifest.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\"ingest_keys\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+  }
+
   private[graft] def writeBatchManifest(dir: String, batches: Seq[Long],
-      tombstones: Seq[Long] = Seq.empty): Unit = {
+      tombstones: Seq[Long] = Seq.empty,
+      ingestKeys: Seq[String] = Seq.empty): Unit = {
     val tmp = new java.io.File(dir, ".manifest.tmp").toPath
     java.nio.file.Files.write(tmp,
       (s"""{"batches":[${batches.mkString(",")}],""" +
-        s""""tombstone_batches":[${tombstones.mkString(",")}]}""")
+        s""""tombstone_batches":[${tombstones.mkString(",")}],""" +
+        s""""ingest_keys":"${ingestKeys.mkString(",")}"}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, new java.io.File(dir, "manifest.json").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -593,7 +609,7 @@ object Dedup extends QueryModule {
     java.nio.file.Files.move(staging.toPath,
       new java.io.File(root, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    writeBatchManifest(dir, batches, tombs :+ newId)
+    writeBatchManifest(dir, batches, tombs :+ newId, readIngestKeys(dir))
   }
 
   /** Anti-join index-side rows (column `dup_of` = indexed doc id)
@@ -657,7 +673,13 @@ object Dedup extends QueryModule {
     * postings rows without adding recall.
     */
   private[graft] def minhashIndexAppend(spark: SparkSession, dir: String,
-      newDocs: DataFrame): Unit = {
+      newDocs: DataFrame, ingestKey: Option[String] = None): Unit = {
+    // At-least-once callers (foreachBatch replays after a crash between
+    // manifest commit and checkpoint) pass the micro-batch's batchId as
+    // the key: a key already in the committed ledger means this batch's
+    // postings are already published — the replay is a no-op.
+    val ledger = readIngestKeys(dir)
+    if (ingestKey.exists(ledger.contains)) return
     val committed = readBatchManifest(dir)
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -674,8 +696,10 @@ object Dedup extends QueryModule {
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // Preserve any committed tombstones — an append must not resurrect
-    // deleted docs.
-    writeBatchManifest(dir, committed :+ newId, readTombstoneManifest(dir))
+    // deleted docs; extend the ingest-key ledger so a replay of THIS
+    // batch is a no-op.
+    writeBatchManifest(dir, committed :+ newId, readTombstoneManifest(dir),
+      ledger ++ ingestKey)
   }
 
   /** Compact the committed band-postings batches into one — the same
@@ -724,7 +748,10 @@ object Dedup extends QueryModule {
     java.nio.file.Files.move(staging.toPath,
       new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    writeBatchManifest(dir, Seq(newId))
+    // Tombstones are materialized (ledger clears); ingest keys are NOT —
+    // a pre-compaction micro-batch that replays after the compact must
+    // still be recognized as committed.
+    writeBatchManifest(dir, Seq(newId), ingestKeys = readIngestKeys(dir))
     committed.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(postingsRoot, s"batch_id=$id"))
@@ -798,6 +825,43 @@ object Dedup extends QueryModule {
       tap = Some("minhash_del_candidates"))
   }
 
+  /** Streaming ingest into the persisted near-dup index — the MinHash
+    * twin of `s_ann_ingest`: documents arrive as a stream, each
+    * micro-batch publishes its band postings through
+    * [[minhashIndexAppend]]'s atomic staged-rename + manifest-commit in
+    * `foreachBatch`, keyed on the batchId so an at-least-once replay
+    * (crash between manifest commit and checkpoint) is a committed
+    * no-op. The seed index (docs < 400) comes from the immutable
+    * marker-gated template, copied to scratch so the canonical dir is
+    * never mutated; docs [400, 450) stream in; the final probe batch
+    * (docs ≥ 450) must surface near-dups AGAINST THE STREAMED DOCS —
+    * continuous corpus growth with the probe seeing every committed
+    * arrival.
+    */
+  private def minhashIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = ensureMinhashIndex(spark, sfDir)
+    val dir = graft.core.TempDirs.create("graft_minhash_ingest")
+    graft.core.Warehouse.copyRecursively(new java.io.File(seed), new java.io.File(dir))
+    new java.io.File(dir, "_SEEDED").delete()
+    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) minhashIndexAppend(spark, dir, b,
+          ingestKey = Some(s"stream-$batchId"))
+      }
+      .option("checkpointLocation", graft.core.TempDirs.create("graft_minhash_ingest_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val docs = Tables(spark, sfDir, "documents")
+    probeMinhashIndex(spark, dir, docs.filter(col("doc_id") >= 450), docs,
+      tap = Some("s_minhash_ingest_candidates"))
+  }
+
   override val defs: Map[String, QueryDef] = Map(
     // Partial oracle: the banded candidate stage (batch × index-rep) is
     // tapped; DuckDB recomputes the word-set Jaccard verification,
@@ -805,6 +869,24 @@ object Dedup extends QueryModule {
     "q_minhash_incremental" -> QueryDef(minhashIncremental, Some("""
       WITH cand AS (SELECT doc_id, dup_of
                     FROM read_parquet('/tmp/graft_oracle_aux/minhash_inc_candidates/*.parquet')),
+      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+      v AS (
+        SELECT c.doc_id, c.dup_of,
+               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
+                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_id
+        JOIN w wb ON wb.doc_id = c.dup_of)
+      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
+      ORDER BY doc_id, dup_of""")),
+    // Partial oracle (same boundary as q_minhash_incremental): the
+    // banded candidates of the post-stream probe — including pairs whose
+    // index side ARRIVED THROUGH THE STREAM — are tapped; DuckDB
+    // recomputes the Jaccard verification, threshold, and order.
+    "s_minhash_ingest" -> QueryDef(minhashIngest, Some("""
+      WITH cand AS (SELECT doc_id, dup_of
+                    FROM read_parquet('/tmp/graft_oracle_aux/s_minhash_ingest_candidates/*.parquet')),
       w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
             FROM documents),
       v AS (

@@ -324,6 +324,61 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       s"append postings carry non-representative docs: ${postingDocs(dir) -- postingDocs(rebuilt)}")
   }
 
+  test("minhash streaming ingest: streamed micro-batches are probe-visible; a replayed ingestKey is a committed no-op, surviving compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val base = (0L until 10L).map(i => (i, docText(i.toInt)))
+    val arriving = (200L until 205L).map(i => (i, docText(i.toInt)))
+    val dir = graft.core.TempDirs.create("graft_minhash_stream")
+    graft.ext.Dedup.writeMinhashIndex(spark, dir, base.toDF("doc_id", "text"))
+    // Two source files + maxFilesPerTrigger=1 => TWO real micro-batches
+    // through foreachBatch, each committing via minhashIndexAppend keyed
+    // on its batchId.
+    val srcDir = graft.core.TempDirs.create("graft_minhash_stream_src")
+    arriving.take(2).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    arriving.drop(2).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) graft.ext.Dedup.minhashIndexAppend(spark, dir, b,
+          ingestKey = Some(s"stream-$batchId"))
+      }
+      .option("checkpointLocation", graft.core.TempDirs.create("graft_minhash_stream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // A probe doc that exactly copies a STREAMED doc's content must
+    // match it — only possible if the micro-batch was committed.
+    val probeDoc = Seq((300L, arriving(2)._2)).toDF("doc_id", "text")
+    val corpus = (base ++ arriving ++ Seq((300L, arriving(2)._2))).toDF("doc_id", "text")
+    def probe() = graft.ext.Dedup.probeMinhashIndex(spark, dir, probeDoc, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe() == Seq((300L, 202L)), s"streamed doc not probe-visible: ${probe()}")
+    assert(graft.ext.Dedup.readIngestKeys(dir).toSet == Set("stream-0", "stream-1"))
+    // At-least-once replay (crash between manifest commit and checkpoint
+    // offset): re-appending under a committed key is a no-op — no new
+    // batch, no postings growth.
+    val batchesBefore = graft.ext.Dedup.readBatchManifest(dir)
+    val postingsBefore = spark.read.parquet(s"$dir/postings").count()
+    graft.ext.Dedup.minhashIndexAppend(spark, dir,
+      arriving.take(2).toDF("doc_id", "text"), ingestKey = Some("stream-0"))
+    assert(graft.ext.Dedup.readBatchManifest(dir) == batchesBefore,
+      "replayed ingestKey committed a duplicate batch")
+    assert(spark.read.parquet(s"$dir/postings").count() == postingsBefore)
+    // The ledger survives compaction: a pre-compact micro-batch that
+    // replays AFTER the compact is still recognized as committed.
+    graft.ext.Dedup.minhashIndexCompact(spark, dir)
+    graft.ext.Dedup.minhashIndexAppend(spark, dir,
+      arriving.drop(2).toDF("doc_id", "text"), ingestKey = Some("stream-1"))
+    assert(spark.read.parquet(s"$dir/postings").count() == postingsBefore,
+      "post-compaction replay re-committed a published batch")
+    assert(probe() == Seq((300L, 202L)))
+  }
+
   test("minhashIndexDelete: tombstoned docs invisible pre- and post-compaction; ledger survives appends") {
     import spark.implicits._
     val base = (0L until 10L).map(i => (i, docText(i.toInt)))
