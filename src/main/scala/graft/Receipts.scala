@@ -347,6 +347,43 @@ object Receipts {
       println(s"[receipt] semdedupinc: decile batch=$batchRows rows, small=$smallRows, full=$fullRows rows")
       spark.stop()
 
+    case "semdedupdel" =>
+      // Takedown economics on the semdedup index at 100x: the delete is
+      // an O(delete-batch) id-list publish (never a members rewrite),
+      // the next ingest pays one extra anti-join against the ledger, and
+      // compaction materializes the drop at one partitioned rewrite.
+      val sfDir = args(1)
+      val spark = session()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.queryExecution.toRdd.count()
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId * 9 / 10
+      val dir = graft.core.TempDirs.create("graft_receipt_sdd")
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      timed("semdedup index seed (one-time, untimed in entries)") {
+        graft.ext.Similarity.writeSemdedupIndex(spark, dir, e.filter(col("vec_id") < cut), tau = 0.4)
+      }
+      timed("delete of a 2000-member takedown batch (id-list publish)") {
+        graft.ext.Similarity.semdedupIndexDelete(spark, dir,
+          e.filter(col("vec_id") < 2000).select(col("vec_id")))
+      }
+      timed("post-delete ingest of a 1000-vector batch (ledger anti-join riding the pruned read)") {
+        graft.ext.Similarity.semdedupIndexIngest(spark, dir,
+          e.filter(col("vec_id") >= cut).limit(1000), tau = 0.4).count()
+      }
+      val before = spark.read.parquet(s"$dir/members").count()
+      timed("compaction (materializes the drop, clears the ledger)") {
+        graft.ext.Similarity.semdedupIndexCompact(spark, dir)
+      }
+      val after = spark.read.parquet(s"$dir/members").count()
+      println(s"[receipt] semdedupdel: members $before -> $after " +
+        s"(tombstones left: ${graft.ext.Dedup.readTombstoneManifest(dir).size})")
+      spark.stop()
+
     case "semdedupjoin" =>
       // VERDICT r9 #2 receipt: the co-partitioned fine-centroid JOIN
       // assignment vs the closure-map path at scale. Run against a

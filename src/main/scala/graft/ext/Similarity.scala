@@ -727,12 +727,15 @@ object Similarity extends QueryModule {
       // out of the dominance join itself, and the pruned rows that
       // survive here but belong to untouched cells never match a pair.
       val touchedGrps = touched.map(c => math.floorMod(c, SemdedupCellGroups)).distinct
-      val members = spark.read
+      // Committed tombstones drop out of the member read BEFORE any
+      // dominance pair forms: a taken-down member must not dominate
+      // (suppress) newly arriving vectors.
+      val members = filterSemdedupTombstones(spark, dir, spark.read
         .parquet(new java.io.File(dir, "members").getPath)
         .where(col("batch_id").isin(committed: _*) &&
           col("cell_grp").isin(touchedGrps: _*))
         .join(broadcast(assigned.select(col("cell")).distinct()), Seq("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell")))
       // Same-rounded-cosine contract as semdedupPruneCells: both engines
       // compare the 4-decimal value against tau.
       def dominated(lower: DataFrame, upper: DataFrame): DataFrame =
@@ -769,11 +772,98 @@ object Similarity extends QueryModule {
       java.nio.file.Files.move(staging.toPath,
         new java.io.File(root, s"batch_id=$newId").toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Dedup.writeBatchManifest(dir, committed :+ newId)
+      // Preserve the tombstone + ingest-key ledgers — a publish must not
+      // resurrect taken-down members (the .copy-don't-rewrite manifest
+      // discipline every index here follows).
+      Dedup.writeBatchManifest(dir, committed :+ newId,
+        Dedup.readTombstoneManifest(dir), Dedup.readIngestKeys(dir))
       out.select(col("vec_id"), col("cell").cast(LongType), col("removed"))
         .orderBy("vec_id")
         .localCheckpoint(true)
     } finally { assigned.unpersist(); () }
+  }
+
+  /** Anti-join members against the committed vec-id tombstones — the
+    * minhash/IVF probe discipline applied to the dedup-state index.
+    */
+  private def filterSemdedupTombstones(spark: SparkSession, dir: String,
+      members: DataFrame): DataFrame = {
+    val tombs = Dedup.readTombstoneManifest(dir)
+    if (tombs.isEmpty) members
+    else members.join(
+      spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+        .where(col("batch_id").isin(tombs: _*)).select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Takedown on the semdedup index: publish a vec-id tombstone batch
+    * under `tombstones/batch_id=N` (staged rename + manifest-ledger
+    * commit — the IVF/minhash delete protocol, O(delete batch), never a
+    * members rewrite). Ingests anti-join committed members against the
+    * ledger, so a deleted member stops dominating new arrivals;
+    * HISTORICAL removed flags stay frozen (the same monotone-ingest
+    * invariant the index already documents — a full rebuild recomputes
+    * them). Compaction materializes the drop physically.
+    */
+  private[graft] def semdedupIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val batches = Dedup.readBatchManifest(dir)
+    val tombs = Dedup.readTombstoneManifest(dir)
+    val root = new java.io.File(dir, "tombstones")
+    root.mkdirs()
+    val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".tombstone_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    ids.select(col("vec_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(root, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Dedup.writeBatchManifest(dir, batches, tombs :+ newId,
+      Dedup.readIngestKeys(dir))
+  }
+
+  /** Compact the semdedup index: rewrite all committed member batches
+    * into ONE batch (cell_grp-partitioned like every batch), physically
+    * dropping tombstoned members, swap the manifest (ledger cleared),
+    * GC the replaced dirs — the minhash/IVF compaction protocol on the
+    * members layout. Ingests are dominance-identical before/after
+    * (same surviving member set; SemDedupSpec pins it).
+    */
+  private[graft] def semdedupIndexCompact(spark: SparkSession, dir: String): Unit = {
+    val committed = Dedup.readBatchManifest(dir)
+    val tombs = Dedup.readTombstoneManifest(dir)
+    if (committed.size <= 1 && tombs.isEmpty) return
+    val root = new java.io.File(dir, "members")
+    val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName.stripPrefix("batch_id=").toLong)
+    val newId = (onDisk :+ 0L).max + 1
+    val staging = new java.io.File(dir, s".compact_batch_$newId")
+    graft.core.Warehouse.deleteRecursively(staging)
+    filterSemdedupTombstones(spark, dir,
+      spark.read.parquet(root.getPath)
+        .where(col("batch_id").isin(committed: _*)))
+      .drop("batch_id")
+      .repartition(col("cell_grp"))
+      .write.mode("overwrite").partitionBy("cell_grp")
+      .parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(root, s"batch_id=$newId").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Dedup.writeBatchManifest(dir, Seq(newId),
+      ingestKeys = Dedup.readIngestKeys(dir))
+    committed.foreach { id =>
+      graft.core.Warehouse.deleteRecursively(
+        new java.io.File(root, s"batch_id=$id"))
+    }
+    tombs.foreach { id =>
+      graft.core.Warehouse.deleteRecursively(
+        new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
+    }
   }
 
   private val SemdedupRoot = "/tmp/graft_semdedup"
@@ -805,6 +895,39 @@ object Similarity extends QueryModule {
     new java.io.File(dir, "_SEEDED").delete()
     semdedupIndexIngest(spark, dir, e.filter(col("vec_id") >= cut), tau = 0.4,
       tap = Some("semdedup_inc_cells"))
+  }
+
+  private def scratchSemdedupCopy(seedDir: String, prefix: String): String = {
+    val dir = graft.core.TempDirs.create(prefix)
+    graft.core.Warehouse.copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
+    new java.io.File(dir, "_SEEDED").delete()
+    dir
+  }
+
+  /** Takedown on the semdedup index: a discovery ingest on a THROWAWAY
+    * scratch copy finds which cells suppressed batch rows; a fresh copy
+    * then deletes EVERY committed member of those cells (the
+    * contaminated-source takedown shape) and re-runs the same ingest.
+    * Batch rows that were dominated only by taken-down members must come
+    * back KEPT; in-batch dominance still applies. The tap (post-delete
+    * members + batch) lets DuckDB re-derive the entire dominance leg —
+    * the deleted members' absence flows through the hash-match.
+    */
+  private def semdedupDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
+    val batch = e.filter(col("vec_id") >= cut)
+    val dry = scratchSemdedupCopy(seedDir, "graft_semdedup_del_dry")
+    val purgeCells = semdedupIndexIngest(spark, dry, batch, tau = 0.4)
+      .filter(col("removed")).select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_del")
+    if (purgeCells.nonEmpty)
+      semdedupIndexDelete(spark, dir,
+        spark.read.parquet(new java.io.File(dir, "members").getPath)
+          .where(col("cell").isin(purgeCells: _*)).select(col("vec_id")))
+    semdedupIndexIngest(spark, dir, batch, tau = 0.4,
+      tap = Some("semdedup_del_cells"))
   }
 
   /** Above this many cells the flat Lloyd loop's ASSIGNMENT step (n·k
@@ -2831,6 +2954,30 @@ object Similarity extends QueryModule {
     "q_semdedup_incremental" -> QueryDef(semdedupIncremental, Some("""
       WITH t AS (SELECT vec_id, cell, is_batch
                  FROM read_parquet('/tmp/graft_oracle_aux/semdedup_inc_cells/*.parquet')),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM t a JOIN t b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
+      terms AS (SELECT p.va, p.vb,
+                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
+                             JOIN embeddings eb ON eb.vec_id = p.vb,
+                     range(1, 65) t2(i)),
+      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY va, vb),
+      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
+      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
+             (d.vec_id IS NOT NULL) AS removed
+      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
+      WHERE tb.is_batch
+      ORDER BY tb.vec_id""")),
+    // Partial oracle (the q_semdedup_incremental boundary): the tapped
+    // members are POST-DELETE — DuckDB re-derives dominance over the
+    // surviving set, so a taken-down member wrongly left in the read
+    // would hash-mismatch.
+    "q_semdedup_delete" -> QueryDef(semdedupDelete, Some("""
+      WITH t AS (SELECT vec_id, cell, is_batch
+                 FROM read_parquet('/tmp/graft_oracle_aux/semdedup_del_cells/*.parquet')),
       pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
                 FROM t a JOIN t b
                   ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),

@@ -118,6 +118,55 @@ class SemDedupSpec extends AnyFunSuite with SparkTest {
       "orphaned batches leaked into the member read (manifest gate broken)")
   }
 
+  test("semdedupIndexDelete: a taken-down member stops dominating; compaction materializes the drop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val a = corpus
+    val seedDir = graft.core.TempDirs.create("graft_semdedup_del_seed")
+    Similarity.writeSemdedupIndex(spark, seedDir, a.toDF("vec_id", "embedding"), tau = Tau)
+    def copyOf(prefix: String): String = {
+      val d = graft.core.TempDirs.create(prefix)
+      graft.core.Warehouse.copyRecursively(new java.io.File(seedDir), new java.io.File(d))
+      d
+    }
+    def ingest(dir: String, rows: Seq[(Long, Array[Float])]) =
+      Similarity.semdedupIndexIngest(spark, dir, rows.toDF("vec_id", "embedding"), tau = Tau)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val copy20 = Seq((5000L, a(20)._2.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 1e-4f)))
+    val copy21 = Seq((6000L, a(21)._2.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 1e-4f)))
+    // Control: with no delete, near-copies of members 20/21 are dominated.
+    val ctrl = copyOf("graft_semdedup_del_ctrl")
+    assert(ingest(ctrl, copy20)(5000L), "control: copy of member 20 must be suppressed")
+    assert(ingest(ctrl, copy21)(6000L), "control: copy of member 21 must be suppressed")
+    // Take down members 20 and 21: their copies must now SURVIVE — the
+    // tombstoned members no longer dominate.
+    val dir = copyOf("graft_semdedup_del_live")
+    Similarity.semdedupIndexDelete(spark, dir, Seq(20L, 21L).toDF("vec_id"))
+    assert(graft.ext.Dedup.readTombstoneManifest(dir).size == 1)
+    assert(!ingest(dir, copy20)(5000L),
+      "copy of the taken-down member 20 was still suppressed")
+    // The ingest's publish must PRESERVE the tombstone ledger (no
+    // resurrection via manifest rewrite).
+    assert(graft.ext.Dedup.readTombstoneManifest(dir).size == 1,
+      "ingest publish wiped the tombstone ledger")
+    // Compaction: members physically dropped, ledger cleared, batches
+    // merged — and a post-compaction ingest still sees the takedown.
+    val memBefore = spark.read.parquet(s"$dir/members").count()
+    Similarity.semdedupIndexCompact(spark, dir)
+    assert(graft.ext.Dedup.readBatchManifest(dir).size == 1)
+    assert(graft.ext.Dedup.readTombstoneManifest(dir).isEmpty, "ledger not cleared")
+    val mem = spark.read.parquet(s"$dir/members")
+    assert(mem.count() == memBefore - 2, "tombstoned members not dropped physically")
+    assert(mem.filter(col("vec_id").isin(20L, 21L)).count() == 0)
+    assert(!ingest(dir, copy21)(6000L),
+      "post-compaction ingest was still dominated by a dropped member")
+    // The earlier batch (5000, kept) is still a committed member after
+    // compaction: a later near-copy of IT must be dominated.
+    val copy5000 = Seq((7000L, copy20.head._2.map(v => v + 1e-4f)))
+    assert(ingest(dir, copy5000)(7000L),
+      "compaction lost a committed batch member")
+  }
+
   test("distributed prune matches the naive dominance rule on the same cells") {
     import spark.implicits._
     val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
