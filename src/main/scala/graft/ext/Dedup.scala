@@ -593,7 +593,8 @@ object Dedup extends QueryModule {
     * tombstoned postings physically and clears the ledger.
     */
   private[graft] def minhashIndexDelete(spark: SparkSession, dir: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame): Unit =
+    graft.core.WriterLease.withLease(dir, "minhash delete") {
     val batches = readBatchManifest(dir)
     val tombs = readTombstoneManifest(dir)
     val root = new java.io.File(dir, "tombstones")
@@ -610,7 +611,7 @@ object Dedup extends QueryModule {
       new java.io.File(root, s"batch_id=$newId").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeBatchManifest(dir, batches, tombs :+ newId, readIngestKeys(dir))
-  }
+    }
 
   /** Anti-join index-side rows (column `dup_of` = indexed doc id)
     * against the committed tombstones; no-op when none are committed.
@@ -673,13 +674,15 @@ object Dedup extends QueryModule {
     * postings rows without adding recall.
     */
   private[graft] def minhashIndexAppend(spark: SparkSession, dir: String,
-      newDocs: DataFrame, ingestKey: Option[String] = None): Unit = {
+      newDocs: DataFrame, ingestKey: Option[String] = None): Unit =
+    graft.core.WriterLease.withLease(dir, "minhash append") {
     // At-least-once callers (foreachBatch replays after a crash between
     // manifest commit and checkpoint) pass the micro-batch's batchId as
     // the key: a key already in the committed ledger means this batch's
-    // postings are already published — the replay is a no-op.
+    // postings are already published — the replay is a no-op. Read
+    // UNDER the lease, so the check is authoritative.
     val ledger = readIngestKeys(dir)
-    if (ingestKey.exists(ledger.contains)) return
+    if (!ingestKey.exists(ledger.contains)) {
     val committed = readBatchManifest(dir)
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
@@ -700,6 +703,7 @@ object Dedup extends QueryModule {
     // batch is a no-op.
     writeBatchManifest(dir, committed :+ newId, readTombstoneManifest(dir),
       ledger ++ ingestKey)
+    }
   }
 
   /** Compact the committed band-postings batches into one — the same
@@ -719,10 +723,11 @@ object Dedup extends QueryModule {
     * deleted, it just survives as the orphan the manifest gate already
     * ignores.
     */
-  private[graft] def minhashIndexCompact(spark: SparkSession, dir: String): Unit = {
+  private[graft] def minhashIndexCompact(spark: SparkSession, dir: String): Unit =
+    graft.core.WriterLease.withLease(dir, "minhash compact") {
     val committed = readBatchManifest(dir)
     val tombs = readTombstoneManifest(dir)
-    if (committed.size <= 1 && tombs.isEmpty) return
+    if (committed.size > 1 || tombs.nonEmpty) {
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -759,6 +764,7 @@ object Dedup extends QueryModule {
     tombs.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
+    }
     }
   }
 

@@ -714,7 +714,8 @@ object Similarity extends QueryModule {
     * entire dominance leg independently.
     */
   private[graft] def semdedupIndexIngest(spark: SparkSession, dir: String,
-      batch: DataFrame, tau: Double, tap: Option[String] = None): DataFrame = {
+      batch: DataFrame, tau: Double, tap: Option[String] = None): DataFrame =
+    graft.core.WriterLease.withLease(dir, "semdedup ingest") {
     val committed = Dedup.readBatchManifest(dir)
     val cents = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
       .orderBy("cell").collect()
@@ -781,7 +782,7 @@ object Similarity extends QueryModule {
         .orderBy("vec_id")
         .localCheckpoint(true)
     } finally { assigned.unpersist(); () }
-  }
+    }
 
   /** Anti-join members against the committed vec-id tombstones — the
     * minhash/IVF probe discipline applied to the dedup-state index.
@@ -806,7 +807,8 @@ object Similarity extends QueryModule {
     * them). Compaction materializes the drop physically.
     */
   private[graft] def semdedupIndexDelete(spark: SparkSession, dir: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame): Unit =
+    graft.core.WriterLease.withLease(dir, "semdedup delete") {
     val batches = Dedup.readBatchManifest(dir)
     val tombs = Dedup.readTombstoneManifest(dir)
     val root = new java.io.File(dir, "tombstones")
@@ -824,7 +826,7 @@ object Similarity extends QueryModule {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     Dedup.writeBatchManifest(dir, batches, tombs :+ newId,
       Dedup.readIngestKeys(dir))
-  }
+    }
 
   /** Compact the semdedup index: rewrite all committed member batches
     * into ONE batch (cell_grp-partitioned like every batch), physically
@@ -833,10 +835,11 @@ object Similarity extends QueryModule {
     * members layout. Ingests are dominance-identical before/after
     * (same surviving member set; SemDedupSpec pins it).
     */
-  private[graft] def semdedupIndexCompact(spark: SparkSession, dir: String): Unit = {
+  private[graft] def semdedupIndexCompact(spark: SparkSession, dir: String): Unit =
+    graft.core.WriterLease.withLease(dir, "semdedup compact") {
     val committed = Dedup.readBatchManifest(dir)
     val tombs = Dedup.readTombstoneManifest(dir)
-    if (committed.size <= 1 && tombs.isEmpty) return
+    if (committed.size > 1 || tombs.nonEmpty) {
     val root = new java.io.File(dir, "members")
     val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -863,6 +866,7 @@ object Similarity extends QueryModule {
     tombs.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
+    }
     }
   }
 
@@ -1677,9 +1681,10 @@ object Similarity extends QueryModule {
     * a crash-between-commit-and-checkpoint cannot publish twice.
     */
   private[graft] def ivfIndexAppend(spark: SparkSession, dir: String, batch: DataFrame,
-      ingestKey: Option[String] = None): Unit = {
+      ingestKey: Option[String] = None): Unit =
+    graft.core.WriterLease.withLease(dir, "IVF append") {
     val manifest = readIvfManifest(dir)
-    if (ingestKey.exists(manifest.ingestKeys.contains)) return
+    if (!ingestKey.exists(manifest.ingestKeys.contains)) {
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -1719,6 +1724,7 @@ object Similarity extends QueryModule {
     writeIvfManifest(dir, manifest.copy(batches = committed, imbalance = imb,
       rebuildNeeded = imb > IvfDriftThreshold, cellCounts = merged,
       ingestKeys = manifest.ingestKeys ++ ingestKey))
+    }
   }
 
   /** Record a DELETE batch — the takedown operation a real corpus needs
@@ -1733,7 +1739,8 @@ object Similarity extends QueryModule {
     * clears the ledger. A crashed delete leaves an orphan id list no
     * probe reads — the same crash story as appends.
     */
-  private[graft] def ivfIndexDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+  private[graft] def ivfIndexDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    graft.core.WriterLease.withLease(dir, "IVF delete") {
     val manifest = readIvfManifest(dir)
     val root = new java.io.File(dir, "tombstones")
     root.mkdirs()
@@ -1750,7 +1757,7 @@ object Similarity extends QueryModule {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeIvfManifest(dir, manifest.copy(
       tombstoneBatches = manifest.tombstoneBatches :+ newId))
-  }
+    }
 
   /** The committed tombstoned ids as a DataFrame (empty-schema-free:
     * None when no delete batch is committed, so the common no-deletes
@@ -1802,9 +1809,10 @@ object Similarity extends QueryModule {
     * merged postings are byte-wise the same rows, so probes are
     * row-identical before/after (spec-pinned).
     */
-  private[graft] def ivfIndexCompact(spark: SparkSession, dir: String): Unit = {
+  private[graft] def ivfIndexCompact(spark: SparkSession, dir: String): Unit =
+    graft.core.WriterLease.withLease(dir, "IVF compact") {
     val manifest = readIvfManifest(dir)
-    if (manifest.batches.size <= 1 && manifest.tombstoneBatches.isEmpty) return
+    if (manifest.batches.size > 1 || manifest.tombstoneBatches.nonEmpty) {
     val postingsRoot = new java.io.File(dir, "postings")
     val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -1841,6 +1849,7 @@ object Similarity extends QueryModule {
     manifest.tombstoneBatches.foreach { id =>
       graft.core.Warehouse.deleteRecursively(
         new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
+    }
     }
   }
 

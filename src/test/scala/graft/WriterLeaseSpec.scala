@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** Single-writer enforcement on the persisted index layouts: a live
+  * concurrent writer fails fast, a crashed writer's stale lock is
+  * reclaimed, and every mutation releases its lease on exit.
+  */
+class WriterLeaseSpec extends AnyFunSuite with SparkTest {
+
+  private def doc(i: Int): String =
+    (0 until 60).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+
+  private def lockOf(dir: String) = new java.io.File(dir, ".writer.lock")
+
+  test("a live concurrent writer fails fast; the lease releases after every mutation") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    val dir = graft.core.TempDirs.create("graft_lease_minhash")
+    Dedup.writeMinhashIndex(spark, dir, docs)
+    // Another writer holds the lease (fresh lock): every mutation must
+    // refuse rather than allocate a colliding batch id or GC its work.
+    java.nio.file.Files.write(lockOf(dir).toPath, "other 0".getBytes)
+    val batch = Seq((100L, doc(100))).toDF("doc_id", "text")
+    val eApp = intercept[IllegalStateException] {
+      Dedup.minhashIndexAppend(spark, dir, batch)
+    }
+    assert(eApp.getMessage.contains("single-writer"))
+    intercept[IllegalStateException] {
+      Dedup.minhashIndexDelete(spark, dir, Seq(0L).toDF("doc_id"))
+    }
+    intercept[IllegalStateException] { Dedup.minhashIndexCompact(spark, dir) }
+    java.nio.file.Files.delete(lockOf(dir).toPath)
+    // With the lease free, the append proceeds — and releases.
+    Dedup.minhashIndexAppend(spark, dir, batch)
+    assert(!lockOf(dir).exists(), "lease not released after append")
+    assert(Dedup.readBatchManifest(dir).size == 2)
+  }
+
+  test("a stale lock left by a crashed writer is reclaimed") {
+    import spark.implicits._
+    val docs = (0L until 8L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    val dir = graft.core.TempDirs.create("graft_lease_stale")
+    Dedup.writeMinhashIndex(spark, dir, docs)
+    val lock = lockOf(dir)
+    java.nio.file.Files.write(lock.toPath, "crashed 0".getBytes)
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    // Past the staleness bar the next writer takes over instead of
+    // wedging forever.
+    Dedup.minhashIndexAppend(spark, dir, Seq((100L, doc(100))).toDF("doc_id", "text"))
+    assert(!lock.exists())
+    assert(Dedup.readBatchManifest(dir).size == 2)
+  }
+
+  test("the IVF and semdedup mutators hold the same lease") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val ivfDir = graft.core.TempDirs.create("graft_lease_ivf")
+    Similarity.writeIvfIndex(spark, ivfDir, vecs.toDF("vec_id", "embedding"))
+    java.nio.file.Files.write(lockOf(ivfDir).toPath, "other 0".getBytes)
+    intercept[IllegalStateException] {
+      Similarity.ivfIndexDelete(spark, ivfDir, Seq(1L).toDF("vec_id"))
+    }
+    java.nio.file.Files.delete(lockOf(ivfDir).toPath)
+    Similarity.ivfIndexDelete(spark, ivfDir, Seq(1L).toDF("vec_id"))
+    assert(!lockOf(ivfDir).exists())
+
+    val sdDir = graft.core.TempDirs.create("graft_lease_semdedup")
+    Similarity.writeSemdedupIndex(spark, sdDir, vecs.toDF("vec_id", "embedding"), tau = 0.9)
+    java.nio.file.Files.write(lockOf(sdDir).toPath, "other 0".getBytes)
+    intercept[IllegalStateException] {
+      Similarity.semdedupIndexDelete(spark, sdDir, Seq(1L).toDF("vec_id"))
+    }
+    java.nio.file.Files.delete(lockOf(sdDir).toPath)
+    Similarity.semdedupIndexDelete(spark, sdDir, Seq(1L).toDF("vec_id"))
+    assert(!lockOf(sdDir).exists())
+  }
+}
