@@ -511,6 +511,11 @@ object Receipts {
       time(s"range tau=0.25 (nprobe=C=$cCount, exact)",
         graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,
           nprobe = cCount, tau = 0.25, exclude = Some(0L)))
+      // Batched: 64 anchors' radius sweeps in ONE job — candidate work
+      // Q·nprobe·(n/C), not Q full probes.
+      time("batched range tau=0.25 (Q=64, one job)",
+        graft.ext.Similarity.rangeIvfIndexBatch(spark, dir,
+          e.filter(col("vec_id") < 64), nprobe = 8, tau = 0.25))
       val narrow = graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,
         nprobe = 8, tau = 0.25, exclude = Some(0L)).count()
       val full = graft.ext.Similarity.rangeIvfIndex(spark, dir, anchor,

@@ -2177,6 +2177,51 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Batched range (radius) retrieval: Q anchors' threshold matches in
+    * ONE job — [[probeIvfIndexBatch]]'s pruning/broadcast shape with
+    * [[rangeIvfIndex]]'s acceptance predicate in place of the rank
+    * window. The per-anchor output is row-identical to rangeIvfIndex run
+    * per anchor (spec-pinned); cost scales with Q·nprobe·(n/C) candidate
+    * rows and the output follows the data — the batched takedown-sweep /
+    * near-dup-harvest shape.
+    */
+  private[graft] def rangeIvfIndexBatch(spark: SparkSession, dir: String,
+      anchors: DataFrame, nprobe: Int, tau: Double,
+      tap: Option[String] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val manifest = readIvfManifest(dir)
+    val np = math.min(nprobe, centroids.length)
+    val coarseIdx =
+      if (centroids.length >= CoarseScanLimit) Some(coarseIndexFor(centroids)) else None
+    val topCellsUdf = udf { (emb: Array[Float]) =>
+      chooseCells(centroids, emb, np, coarseIdx).toArray
+    }
+    val anchorCells = anchors
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell_id", explode(topCellsUdf(col("q_emb"))))
+    val probedCells: Seq[Int] = anchorCells.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val postings = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probedCells: _*)))
+    val scored = postings.join(broadcast(anchorCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        col("cell_id").cast("int").as("cell"),
+        round(cosineUdf(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored, single = false))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  private def annRangeBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val e = Tables(spark, sfDir, "embeddings")
+    rangeIvfIndexBatch(spark, dir, e.filter(col("vec_id") < 8),
+      nprobe = 8, tau = 0.25, tap = Some("ann_range_batch_scored"))
+  }
+
   private def annIvfBatch(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = ensureIvfIndex(spark, sfDir)
     // Query table: the 8 lowest vec_ids stand in for a retrieval batch.
@@ -2821,6 +2866,27 @@ object Similarity extends QueryModule {
       WHERE round(c, 4) >= $tau
       ORDER BY round(c, 4) DESC, vec_id"""
 
+  /** Batched range twin of [[annRangeOracle]]: per-anchor independent
+    * re-scoring of the tapped candidates, threshold predicate, total
+    * order — the ENTIRE declared output re-derived by DuckDB.
+    */
+  private def annRangeBatchOracle(tapName: String, tau: Double): String = s"""
+      WITH cand AS (SELECT query_id, vec_id, cell
+                    FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      terms AS (
+        SELECT c.query_id, c.vec_id, c.cell,
+               CAST(ev.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM cand c JOIN embeddings ev ON ev.vec_id = c.vec_id
+                    JOIN embeddings eq ON eq.vec_id = c.query_id,
+             range(1, 65) t(i)),
+      sims AS (SELECT query_id, vec_id, cell,
+                      sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY query_id, vec_id, cell)
+      SELECT query_id, vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      WHERE round(c, 4) >= $tau
+      ORDER BY query_id, round(c, 4) DESC, vec_id"""
+
   private def annScoredOracle(tapName: String, k: Int): String = s"""
       WITH cand AS (SELECT vec_id, cell
                     FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
@@ -2888,6 +2954,7 @@ object Similarity extends QueryModule {
   override val defs: Map[String, QueryDef] = Map(
     "q_ann_ivf_probe" -> QueryDef(annIvfProbe, Some(annScoredOracle("ann_ivf_probe_scored", 10))),
     "q_ann_range" -> QueryDef(annRange, Some(annRangeOracle("ann_range_scored", 0.25))),
+    "q_ann_range_batch" -> QueryDef(annRangeBatch, Some(annRangeBatchOracle("ann_range_batch_scored", 0.25))),
     "q_ann_ivf_batch" -> QueryDef(annIvfBatch, Some(annBatchScoredOracle("ann_ivf_batch_scored", 5))),
     "q_ann_ivfpq" -> QueryDef(annIvfPq, Some(annScoredOracle("ann_ivfpq_scored", 10))),
     "q_ann_ivfpq_probe" -> QueryDef(annIvfPqProbe, Some(annScoredOracle("ann_ivfpq_probe_scored", 10))),

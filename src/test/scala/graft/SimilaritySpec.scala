@@ -332,6 +332,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       s"narrow-probe range search missed the planted twin: $tight")
   }
 
+  test("rangeIvfIndexBatch equals per-anchor single range searches on the same persisted index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_range_batch")
+    Similarity.writeIvfIndex(spark, dir, df)
+    val nAnchors = 5
+    val tau = 0.25
+    val batchOut = Similarity
+      .rangeIvfIndexBatch(spark, dir, df.filter(col("vec_id") < nAnchors),
+        nprobe = 8, tau = tau)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+      }
+    val lookup = corpus.toMap
+    (0 until nAnchors).foreach { i =>
+      val single = Similarity
+        .rangeIvfIndex(spark, dir, lookup(i.toLong), nprobe = 8, tau = tau,
+          exclude = Some(i.toLong))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(batchOut.getOrElse(i.toLong, Seq.empty) == single,
+        s"batched range for anchor $i diverged:\n  batch: ${batchOut.get(i.toLong)}\n  single: $single")
+    }
+    // Non-vacuity: at least one anchor has a threshold match (anchor 0's
+    // planted twin sits at cos ~0.998).
+    assert(batchOut.nonEmpty && batchOut.values.exists(_.nonEmpty))
+  }
+
   test("q_ann_ivf_batch equals per-anchor single probes on the same persisted index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
