@@ -384,6 +384,48 @@ object Receipts {
         s"(tombstones left: ${graft.ext.Dedup.readTombstoneManifest(dir).size})")
       spark.stop()
 
+    case "semdedupstream" =>
+      // Streaming semdedup ingest at 100x: the foreachBatch commit cost
+      // for a 1000-vector micro-batch arriving over a stream — the
+      // incremental-ingest receipt's shape plus the streaming machinery.
+      val sfDir = args(1)
+      val spark = session()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      e.queryExecution.toRdd.count()
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId * 9 / 10
+      val dir = graft.core.TempDirs.create("graft_receipt_sds")
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      timed("semdedup index seed (one-time, untimed in entries)") {
+        graft.ext.Similarity.writeSemdedupIndex(spark, dir,
+          e.filter(col("vec_id") < cut), tau = 0.4)
+      }
+      val srcDir = graft.core.TempDirs.create("graft_receipt_sds_src")
+      e.filter(col("vec_id") >= cut).limit(1000)
+        .coalesce(1).write.mode("overwrite").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      timed("streamed 1000-vector micro-batch (foreachBatch dominance-check + commit)") {
+        val q = spark.readStream.schema(schema).parquet(srcDir)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (!b.isEmpty) {
+              graft.ext.Similarity.semdedupIndexIngest(spark, dir, b, tau = 0.4,
+                ingestKey = Some(s"stream-$batchId")).queryExecution.toRdd.count()
+              ()
+            }
+          }
+          .option("checkpointLocation", graft.core.TempDirs.create("graft_receipt_sds_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      println(s"[receipt] committed batches: ${graft.ext.Dedup.readBatchManifest(dir).size}")
+      spark.stop()
+
     case "semdedupjoin" =>
       // VERDICT r9 #2 receipt: the co-partitioned fine-centroid JOIN
       // assignment vs the closure-map path at scale. Run against a

@@ -714,8 +714,16 @@ object Similarity extends QueryModule {
     * entire dominance leg independently.
     */
   private[graft] def semdedupIndexIngest(spark: SparkSession, dir: String,
-      batch: DataFrame, tau: Double, tap: Option[String] = None): DataFrame =
+      batch: DataFrame, tau: Double, tap: Option[String] = None,
+      ingestKey: Option[String] = None): DataFrame =
     graft.core.WriterLease.withLease(dir, "semdedup ingest") {
+    // At-least-once replay (key already committed): recompute the flags
+    // but DO NOT publish again. The members read then contains this
+    // batch's own committed copy — a copy of row X never dominates X
+    // (strict id order) and lower-id copies dominate exactly like the
+    // in-batch pairs did, so the returned flags are identical to the
+    // first delivery's.
+    val replay = ingestKey.exists(Dedup.readIngestKeys(dir).contains)
     val committed = Dedup.readBatchManifest(dir)
     val cents = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
       .orderBy("cell").collect()
@@ -756,6 +764,7 @@ object Similarity extends QueryModule {
             lit(true).as("is_batch")))))
       // Publish the batch (all members, removed or not — dominance reads
       // every lower-id member, exactly like the full recompute).
+      if (!replay) {
       val root = new java.io.File(dir, "members")
       val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
@@ -773,11 +782,14 @@ object Similarity extends QueryModule {
       java.nio.file.Files.move(staging.toPath,
         new java.io.File(root, s"batch_id=$newId").toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // Preserve the tombstone + ingest-key ledgers — a publish must not
-      // resurrect taken-down members (the .copy-don't-rewrite manifest
-      // discipline every index here follows).
+      // Preserve the tombstone ledger — a publish must not resurrect
+      // taken-down members (the .copy-don't-rewrite manifest discipline
+      // every index here follows) — and extend the ingest-key ledger so
+      // a replay of THIS batch skips the publish.
       Dedup.writeBatchManifest(dir, committed :+ newId,
-        Dedup.readTombstoneManifest(dir), Dedup.readIngestKeys(dir))
+        Dedup.readTombstoneManifest(dir),
+        Dedup.readIngestKeys(dir) ++ ingestKey)
+      }
       out.select(col("vec_id"), col("cell").cast(LongType), col("removed"))
         .orderBy("vec_id")
         .localCheckpoint(true)
@@ -899,6 +911,52 @@ object Similarity extends QueryModule {
     new java.io.File(dir, "_SEEDED").delete()
     semdedupIndexIngest(spark, dir, e.filter(col("vec_id") >= cut), tau = 0.4,
       tap = Some("semdedup_inc_cells"))
+  }
+
+  /** Streaming semantic-dedup ingest — the third index family's
+    * streaming leg (IVF: `s_ann_ingest`, MinHash: `s_minhash_ingest`):
+    * embeddings arrive as a stream; each micro-batch dominance-checks
+    * against the committed members and publishes through
+    * [[semdedupIndexIngest]]'s staged-rename + manifest commit in
+    * `foreachBatch`, idempotent on the batchId (a replay recomputes
+    * identical flags and skips the publish). The declared output is the
+    * streamed batches' flags READ BACK from the index itself — the
+    * proof that the arrivals were committed — and the tap carries those
+    * rows plus the touched seed members, so DuckDB re-derives the whole
+    * dominance leg.
+    */
+  private def semdedupStreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
+    val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_stream")
+    val schema = spark.read.option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+      .filter(col("vec_id") >= cut)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) {
+          semdedupIndexIngest(spark, dir, b, tau = 0.4,
+            ingestKey = Some(s"stream-$batchId")).queryExecution.toRdd.count()
+          ()
+        }
+      }
+      .option("checkpointLocation", graft.core.TempDirs.create("graft_semdedup_stream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val members = spark.read.parquet(new java.io.File(dir, "members").getPath)
+    val streamed = Dedup.readBatchManifest(dir).filter(_ != 0L)
+    val batchRows = members.where(col("batch_id").isin(streamed: _*))
+    val touched = batchRows.select(col("cell")).distinct()
+    val seedMembers = members.where(col("batch_id") === 0L)
+      .join(broadcast(touched), Seq("cell"))
+    OracleTap(spark, "s_semdedup_ingest_cells",
+      batchRows.select(col("vec_id"), col("cell"), lit(true).as("is_batch"))
+        .unionByName(seedMembers.select(col("vec_id"), col("cell"),
+          lit(false).as("is_batch"))))
+    batchRows.select(col("vec_id"), col("cell").cast(LongType), col("removed"))
+      .orderBy("vec_id")
   }
 
   private def scratchSemdedupCopy(seedDir: String, prefix: String): String = {
@@ -3030,6 +3088,29 @@ object Similarity extends QueryModule {
     "q_semdedup_incremental" -> QueryDef(semdedupIncremental, Some("""
       WITH t AS (SELECT vec_id, cell, is_batch
                  FROM read_parquet('/tmp/graft_oracle_aux/semdedup_inc_cells/*.parquet')),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM t a JOIN t b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
+      terms AS (SELECT p.va, p.vb,
+                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
+                             JOIN embeddings eb ON eb.vec_id = p.vb,
+                     range(1, 65) t2(i)),
+      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY va, vb),
+      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
+      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
+             (d.vec_id IS NOT NULL) AS removed
+      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
+      WHERE tb.is_batch
+      ORDER BY tb.vec_id""")),
+    // Partial oracle (the q_semdedup_incremental boundary): the tap is
+    // read back FROM THE INDEX after the stream — flags only hash-match
+    // if the micro-batches actually committed.
+    "s_semdedup_ingest" -> QueryDef(semdedupStreamIngest, Some("""
+      WITH t AS (SELECT vec_id, cell, is_batch
+                 FROM read_parquet('/tmp/graft_oracle_aux/s_semdedup_ingest_cells/*.parquet')),
       pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
                 FROM t a JOIN t b
                   ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),

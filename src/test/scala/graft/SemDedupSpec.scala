@@ -167,6 +167,68 @@ class SemDedupSpec extends AnyFunSuite with SparkTest {
       "compaction lost a committed batch member")
   }
 
+  test("semdedup streaming ingest: micro-batches commit with correct flags; a replayed ingestKey recomputes identical flags without publishing") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(71)
+    val a = corpus
+    val dir = graft.core.TempDirs.create("graft_semdedup_stream_spec")
+    Similarity.writeSemdedupIndex(spark, dir, a.toDF("vec_id", "embedding"), tau = Tau)
+    // Two files + maxFilesPerTrigger=1 => two real micro-batches with
+    // MONOTONE ids (the documented ingest invariant): batch 1 carries a
+    // near-copy of member 30 (must be suppressed) and a fresh unique;
+    // batch 2 carries a near-copy of batch 1's fresh unique (must be
+    // suppressed BY A STREAMED member) and a fresh unique.
+    val fresh1 = Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val fresh2 = Array.fill(Dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val b1 = Seq((5000L, a(30)._2.map(v => v + 1e-4f)), (5001L, fresh1))
+    val b2 = Seq((6000L, fresh1.map(v => v + 1e-4f)), (6001L, fresh2))
+    val srcDir = graft.core.TempDirs.create("graft_semdedup_stream_src")
+    b1.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(srcDir)
+    b2.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) {
+          Similarity.semdedupIndexIngest(spark, dir, b, tau = Tau,
+            ingestKey = Some(s"stream-$batchId")).queryExecution.toRdd.count()
+          ()
+        }
+      }
+      .option("checkpointLocation", graft.core.TempDirs.create("graft_semdedup_stream_spec_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Flags read back from the index: the committed truth.
+    def flags(): Map[Long, Boolean] = {
+      val committed = graft.ext.Dedup.readBatchManifest(dir).filter(_ != 0L)
+      spark.read.parquet(s"$dir/members")
+        .where(col("batch_id").isin(committed: _*))
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("removed")).toMap
+    }
+    // File-source order follows the two appends; guard the assumption.
+    assert(graft.ext.Dedup.readIngestKeys(dir).toSet == Set("stream-0", "stream-1"))
+    val got = flags()
+    assert(got(5000L), "streamed near-copy of a seed member not suppressed")
+    assert(!got(5001L), "streamed fresh unique wrongly suppressed")
+    assert(got(6000L), "batch-2 near-copy of a STREAMED batch-1 member not suppressed")
+    assert(!got(6001L))
+    // Replay of micro-batch 0: identical flags returned, nothing
+    // re-published (no new batch dir, member count unchanged).
+    val batchesBefore = graft.ext.Dedup.readBatchManifest(dir)
+    val membersBefore = spark.read.parquet(s"$dir/members").count()
+    val replayed = Similarity.semdedupIndexIngest(spark, dir,
+        b1.toDF("vec_id", "embedding"), tau = Tau, ingestKey = Some("stream-0"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(replayed == Map(5000L -> true, 5001L -> false),
+      s"replay flags diverged: $replayed")
+    assert(graft.ext.Dedup.readBatchManifest(dir) == batchesBefore,
+      "replay published a duplicate batch")
+    assert(spark.read.parquet(s"$dir/members").count() == membersBefore)
+  }
+
   test("distributed prune matches the naive dominance rule on the same cells") {
     import spark.implicits._
     val cells = Similarity.semdedupCells(corpus.toDF("vec_id", "embedding"),
