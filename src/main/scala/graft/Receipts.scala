@@ -569,6 +569,52 @@ object Receipts {
         f"cell_recall=${if (full == 0) 1.0 else narrow.toDouble / full}%.3f")
       spark.stop()
 
+    case "rebuild" =>
+      // Drift-remedy economics at 100x: the skewed append that trips the
+      // sentinel, the O(batch) takedown, and the FULL retrain — the one
+      // deliberately corpus-sized op in the lifecycle, paid only when
+      // the sentinel says the quantizer no longer fits the data.
+      val sfDir = args(1)
+      val spark = session()
+      val canonical = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val dir = graft.core.TempDirs.create("graft_rebuild_receipt")
+      graft.core.Warehouse.copyRecursively(
+        new java.io.File(canonical), new java.io.File(dir))
+      new java.io.File(dir, "_SEEDED").delete()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val crowd = e.filter(col("vec_id") === 1)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      val rnd = new scala.util.Random(13)
+      val skewed = {
+        import spark.implicits._
+        (0 until 4000).map(i => (20000000L + i,
+          crowd.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.01f)))
+          .toDF("vec_id", "embedding")
+      }
+      def timed[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+      timed("skewed append (4000 copies into one cell)") {
+        graft.ext.Similarity.ivfIndexAppend(spark, dir, skewed)
+      }
+      println(s"[receipt] sentinel tripped: ${graft.ext.Similarity.readIvfManifest(dir).rebuildNeeded}")
+      timed("takedown of the poisoning batch (tombstone publish)") {
+        graft.ext.Similarity.ivfIndexDelete(spark, dir, skewed.select(col("vec_id")))
+      }
+      timed("full rebuild from surviving content (retrain + rewrite, the corpus-sized remedy)") {
+        graft.ext.Similarity.ivfIndexRebuild(spark, dir)
+      }
+      val m = graft.ext.Similarity.readIvfManifest(dir)
+      println(s"[receipt] post-rebuild: rebuild_needed=${m.rebuildNeeded} " +
+        s"batches=${m.batches.size} tombstones=${m.tombstoneBatches.size}")
+      val anchor = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+      time("probe on the rebuilt index",
+        graft.ext.Similarity.probeIvfIndex(spark, dir, anchor,
+          nprobe = 4, k = 10, exclude = Some(0L)))
+      spark.stop()
+
     case "filtered" =>
       // Filtered-ANN economics on the persisted index: the widened probe
       // (label predicate inside nprobe/s pruned cells) vs the pre-filter

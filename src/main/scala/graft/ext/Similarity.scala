@@ -1817,6 +1817,41 @@ object Similarity extends QueryModule {
       tombstoneBatches = manifest.tombstoneBatches :+ newId))
     }
 
+  /** Full quantizer retrain from the index's OWN committed content — the
+    * drift sentinel's documented remedy, self-contained: read the
+    * committed, tombstone-filtered postings (vec_id, embedding, meta),
+    * snapshot them (localCheckpoint — the rebuild must never lazily read
+    * what it is about to overwrite), and re-run [[writeIvfIndex]] in
+    * place: fresh centroids, fresh PQ codebook, single batch, clean
+    * sentinel. A rebuild is thereby also a materializing compaction
+    * (tombstoned ids drop out; the ledger resets with the manifest).
+    * In-place is the single-writer local form; a 100 TB deployment
+    * writes the rebuilt layout to a sibling directory and swaps a
+    * pointer, with this exact content contract.
+    */
+  private[graft] def ivfIndexRebuild(spark: SparkSession, dir: String): Unit =
+    graft.core.WriterLease.withLease(dir, "IVF rebuild") {
+      val manifest = readIvfManifest(dir)
+      val postings = spark.read
+        .parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*))
+      val keep = Seq("vec_id", "embedding") ++
+        IndexMetaCols.filter(postings.columns.contains)
+      val content = filterTombstones(spark, dir, manifest, postings)
+        .select(keep.map(col): _*)
+        .localCheckpoint(true)
+      writeIvfIndex(spark, dir, content)
+      // Postings were rewritten wholesale (overwrite mode) and the fresh
+      // manifest references batch 0 with an empty tombstone ledger; the
+      // materialized tombstone id lists are orphans now — GC them.
+      graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
+      // Preserve the ingest-key ledger across the retrain (the content
+      // already folds every committed micro-batch in — a pre-rebuild
+      // replay must stay a no-op, exactly as across compaction).
+      writeIvfManifest(dir,
+        readIvfManifest(dir).copy(ingestKeys = manifest.ingestKeys))
+    }
+
   /** The committed tombstoned ids as a DataFrame (empty-schema-free:
     * None when no delete batch is committed, so the common no-deletes
     * probe plan is untouched).
@@ -2013,6 +2048,42 @@ object Similarity extends QueryModule {
     annIngestPipeline(spark, sfDir, "embeddings.parquet", cut = cut,
       anchor, exclude = Some(0L), tap = Some("s_ann_ingest_scored"),
       seedFrom = Some(seed))
+  }
+
+  /** The full drift lifecycle in one entry: a skewed synthetic ingest
+    * (400 jittered copies of one corpus vector crowding a single cell)
+    * trips the drift sentinel; the poisoning load is taken down
+    * ([[ivfIndexDelete]] — an O(batch) tombstone publish); then
+    * [[ivfIndexRebuild]] retrains quantizer + codebook from the index's
+    * own SURVIVING content — dropping the tombstoned rows physically —
+    * and the sentinel clears deterministically (the cleaned content is
+    * the balanced seed corpus). The probe answers top-k over the
+    * re-balanced index; its tapped candidates let the oracle re-derive
+    * the ranking independently.
+    */
+  private def annIvfRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = embeddingsStats(spark, sfDir)._2
+    val (seed, _) = ensureIvfScratchSeed(spark, sfDir)
+    val dir = scratchIvfFromSeed(seed, "graft_ann_rebuild")
+    val crowd = e.filter(col("vec_id") === 1)
+      .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
+    val rnd = new scala.util.Random(13)
+    val skewIds = (0 until 400).map(10000000L + _)
+    val skewed = {
+      import spark.implicits._
+      skewIds.map(id =>
+        (id, crowd.map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.01f)))
+        .toDF("vec_id", "embedding")
+    }
+    ivfIndexAppend(spark, dir, skewed)
+    val tripped = readIvfManifest(dir).rebuildNeeded
+    ivfIndexDelete(spark, dir, skewed.select(col("vec_id")))
+    ivfIndexRebuild(spark, dir)
+    require(!readIvfManifest(dir).rebuildNeeded,
+      s"rebuild over the cleaned content did not clear the sentinel (tripped=$tripped)")
+    probeIvfIndex(spark, dir, anchor, nprobe = 4, k = 10, exclude = Some(0L),
+      tap = Some("ann_ivf_rebuild_scored"))
   }
 
   /** Probe the persisted index at `dir`: nearest-cell choice driver-side,
@@ -3012,6 +3083,7 @@ object Similarity extends QueryModule {
   override val defs: Map[String, QueryDef] = Map(
     "q_ann_ivf_probe" -> QueryDef(annIvfProbe, Some(annScoredOracle("ann_ivf_probe_scored", 10))),
     "q_ann_range" -> QueryDef(annRange, Some(annRangeOracle("ann_range_scored", 0.25))),
+    "q_ann_ivf_rebuild" -> QueryDef(annIvfRebuild, Some(annScoredOracle("ann_ivf_rebuild_scored", 10))),
     "q_ann_range_batch" -> QueryDef(annRangeBatch, Some(annRangeBatchOracle("ann_range_batch_scored", 0.25))),
     "q_ann_ivf_batch" -> QueryDef(annIvfBatch, Some(annBatchScoredOracle("ann_ivf_batch_scored", 5))),
     "q_ann_ivfpq" -> QueryDef(annIvfPq, Some(annScoredOracle("ann_ivfpq_scored", 10))),

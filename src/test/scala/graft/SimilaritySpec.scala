@@ -667,6 +667,46 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(hits.contains(0L), s"rebuilt index lost the planted neighbor of vec 1000: $hits")
   }
 
+  test("ivfIndexRebuild retrains from the index's own content: sentinel clears, tombstoned ids drop, ingest-key ledger survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivf_rebuild")
+    Similarity.writeIvfIndex(spark, dir, df.filter(col("vec_id") < 400))
+    Similarity.ivfIndexAppend(spark, dir, df.filter(col("vec_id") >= 400),
+      ingestKey = Some("k1"))
+    Similarity.ivfIndexDelete(spark, dir, Seq(7L).toDF("vec_id"))
+    val lookup = corpus.toMap
+    val rnd = new scala.util.Random(17)
+    val skew = (0 until 400).map { i =>
+      (300000L + i, lookup(3L).map(v => v + (rnd.nextDouble() * 2 - 1).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfIndexAppend(spark, dir, skew)
+    assert(Similarity.readIvfManifest(dir).rebuildNeeded,
+      "skewed append should have tripped the sentinel")
+    Similarity.ivfIndexRebuild(spark, dir)
+    val m = Similarity.readIvfManifest(dir)
+    assert(!m.rebuildNeeded, s"rebuild left the sentinel tripped: $m")
+    assert(m.batches == Seq(0L), s"rebuild should leave one batch: ${m.batches}")
+    assert(m.tombstoneBatches.isEmpty, "rebuild should clear the tombstone ledger")
+    assert(m.ingestKeys == Seq("k1"), s"ingest-key ledger lost: ${m.ingestKeys}")
+    // The tombstoned id dropped PHYSICALLY (rebuild == materializing
+    // compaction), and the postings carry exactly corpus∪skew minus it.
+    val ids = spark.read.parquet(s"$dir/postings").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(7L), "tombstoned id survived the rebuild")
+    assert(ids.size == corpus.size + 400 - 1)
+    // A pre-rebuild micro-batch replay stays a no-op.
+    Similarity.ivfIndexAppend(spark, dir, df.filter(col("vec_id") >= 400),
+      ingestKey = Some("k1"))
+    assert(Similarity.readIvfManifest(dir).batches == Seq(0L),
+      "replayed ingestKey re-appended after rebuild")
+    // Planted recall preserved by the retrained quantizer.
+    val hits = Similarity.probeIvfIndex(spark, dir, lookup(1000L), nprobe = 4, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(0L), s"rebuilt index lost the planted neighbor: $hits")
+  }
+
   test("ivfIndexAppend: incremental batch ingest equals a full rebuild with the same quantizer") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
