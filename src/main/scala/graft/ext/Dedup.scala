@@ -831,6 +831,26 @@ object Dedup extends QueryModule {
       tap = Some("minhash_del_candidates"))
   }
 
+  /** The near-dup index's compaction lifecycle as an entry (the MinHash
+    * twin of `q_ann_ivf_compact`): scratch from the seed template,
+    * append an ingest batch (a second batch_id dir), COMPACT — one
+    * merged batch via the staged-rename + manifest-swap protocol — and
+    * probe. The probe must be row-identical to the pre-compact index
+    * (same postings rows, one directory), which the tapped candidates +
+    * DuckDB Jaccard re-verification certify.
+    */
+  private def minhashCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = ensureMinhashIndex(spark, sfDir)
+    val dir = graft.core.TempDirs.create("graft_minhash_compact")
+    graft.core.Warehouse.copyRecursively(new java.io.File(seed), new java.io.File(dir))
+    new java.io.File(dir, "_SEEDED").delete()
+    val docs = Tables(spark, sfDir, "documents")
+    minhashIndexAppend(spark, dir, docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    minhashIndexCompact(spark, dir)
+    probeMinhashIndex(spark, dir, docs.filter(col("doc_id") >= 450), docs,
+      tap = Some("minhash_compact_candidates"))
+  }
+
   /** Streaming ingest into the persisted near-dup index — the MinHash
     * twin of `s_ann_ingest`: documents arrive as a stream, each
     * micro-batch publishes its band postings through
@@ -893,6 +913,23 @@ object Dedup extends QueryModule {
     "s_minhash_ingest" -> QueryDef(minhashIngest, Some("""
       WITH cand AS (SELECT doc_id, dup_of
                     FROM read_parquet('/tmp/graft_oracle_aux/s_minhash_ingest_candidates/*.parquet')),
+      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+      v AS (
+        SELECT c.doc_id, c.dup_of,
+               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
+                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_id
+        JOIN w wb ON wb.doc_id = c.dup_of)
+      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
+      ORDER BY doc_id, dup_of""")),
+    // Partial oracle: the POST-COMPACTION banded candidates are tapped;
+    // DuckDB recomputes the Jaccard verify leg — compaction must not
+    // change a single pair.
+    "q_minhash_compact" -> QueryDef(minhashCompact, Some("""
+      WITH cand AS (SELECT doc_id, dup_of
+                    FROM read_parquet('/tmp/graft_oracle_aux/minhash_compact_candidates/*.parquet')),
       w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
             FROM documents),
       v AS (

@@ -966,6 +966,28 @@ object Similarity extends QueryModule {
     dir
   }
 
+  /** The semdedup index's compaction lifecycle as an entry: scratch from
+    * the seed, ingest the arriving decile (a second batch_id dir),
+    * COMPACT the members into one batch, then ingest a SECOND small
+    * batch against the compacted index — its dominance flags are the
+    * declared output, and they only hash-match if compaction preserved
+    * every surviving member (the second ingest dominance-checks against
+    * the compacted read). The usual tap lets DuckDB re-derive the leg.
+    */
+  private def semdedupCompactEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
+    val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_compact")
+    // First arriving slice: the lower half of the top decile.
+    val mid = cut + (embeddingsStats(spark, sfDir)._1 - cut) / 2
+    semdedupIndexIngest(spark, dir,
+      e.filter(col("vec_id") >= cut && col("vec_id") < mid), tau = 0.4)
+      .queryExecution.toRdd.count()
+    semdedupIndexCompact(spark, dir)
+    semdedupIndexIngest(spark, dir, e.filter(col("vec_id") >= mid), tau = 0.4,
+      tap = Some("semdedup_compact_cells"))
+  }
+
   /** Takedown on the semdedup index: a discovery ingest on a THROWAWAY
     * scratch copy finds which cells suppressed batch rows; a fresh copy
     * then deletes EVERY committed member of those cells (the
@@ -3183,6 +3205,30 @@ object Similarity extends QueryModule {
     "s_semdedup_ingest" -> QueryDef(semdedupStreamIngest, Some("""
       WITH t AS (SELECT vec_id, cell, is_batch
                  FROM read_parquet('/tmp/graft_oracle_aux/s_semdedup_ingest_cells/*.parquet')),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM t a JOIN t b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
+      terms AS (SELECT p.va, p.vb,
+                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
+                             JOIN embeddings eb ON eb.vec_id = p.vb,
+                     range(1, 65) t2(i)),
+      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY va, vb),
+      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
+      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
+             (d.vec_id IS NOT NULL) AS removed
+      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
+      WHERE tb.is_batch
+      ORDER BY tb.vec_id""")),
+    // Partial oracle (the q_semdedup_incremental boundary): the tapped
+    // members were read FROM THE COMPACTED layout — a member lost or
+    // duplicated by compaction would change the dominance flags and
+    // hash-mismatch.
+    "q_semdedup_compact" -> QueryDef(semdedupCompactEntry, Some("""
+      WITH t AS (SELECT vec_id, cell, is_batch
+                 FROM read_parquet('/tmp/graft_oracle_aux/semdedup_compact_cells/*.parquet')),
       pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
                 FROM t a JOIN t b
                   ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
