@@ -569,6 +569,50 @@ object Receipts {
         f"cell_recall=${if (full == 0) 1.0 else narrow.toDouble / full}%.3f")
       spark.stop()
 
+    case "leases" =>
+      // Writer-lease economics: the lease serializes writers PER INDEX
+      // DIRECTORY, not fleet-wide — four concurrent appends to four
+      // separate scratch indexes must run at parallel wall-clock, while
+      // a second writer on the SAME directory fails fast instead of
+      // corrupting batch-id allocation.
+      val sfDir = args(1)
+      val spark = session()
+      val canonical = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val batch = e.limit(2000)
+        .select((col("vec_id") + lit(30000000L)).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      def scratch(): String = {
+        val d = graft.core.TempDirs.create("graft_lease_receipt")
+        graft.core.Warehouse.copyRecursively(
+          new java.io.File(canonical), new java.io.File(d))
+        new java.io.File(d, "_SEEDED").delete()
+        d
+      }
+      val dirs = (0 until 4).map(_ => scratch())
+      val t0 = System.nanoTime()
+      dirs.foreach(d => graft.ext.Similarity.ivfIndexAppend(spark, d, batch))
+      val serial = (System.nanoTime() - t0) / 1e9
+      val dirs2 = (0 until 4).map(_ => scratch())
+      val t1 = System.nanoTime()
+      val threads = dirs2.map { d =>
+        val t = new Thread(() =>
+          graft.ext.Similarity.ivfIndexAppend(spark, d, batch))
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      val par = (System.nanoTime() - t1) / 1e9
+      println(f"[receipt] 4 appends to 4 indexes: serial ${serial}%.2f s, concurrent ${par}%.2f s (${serial / par}%.2fx)")
+      // Same-directory contention: the second writer must fail fast.
+      val d0 = dirs2.head
+      java.nio.file.Files.write(
+        new java.io.File(d0, ".writer.lock").toPath, "other 0".getBytes)
+      val refused =
+        try { graft.ext.Similarity.ivfIndexAppend(spark, d0, batch); false }
+        catch { case e: IllegalStateException => e.getMessage.contains("single-writer") }
+      println(s"[receipt] same-dir second writer refused fast: $refused")
+      spark.stop()
+
     case "rebuild" =>
       // Drift-remedy economics at 100x: the skewed append that trips the
       // sentinel, the O(batch) takedown, and the FULL retrain — the one
