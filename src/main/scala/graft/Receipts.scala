@@ -592,10 +592,7 @@ object Receipts {
         .select((col("vec_id") + lit(30000000L)).as("vec_id"), col("embedding"))
         .localCheckpoint(true)
       def scratch(): String = {
-        val d = graft.core.TempDirs.create("graft_lease_receipt")
-        graft.core.Warehouse.copyRecursively(
-          new java.io.File(canonical), new java.io.File(d))
-        new java.io.File(d, "_SEEDED").delete()
+        val d = graft.core.Warehouse.scratchFromSeed(canonical, "graft_lease_receipt")
         d
       }
       val dirs = (0 until 4).map(_ => scratch())
@@ -630,10 +627,7 @@ object Receipts {
       val sfDir = args(1)
       val spark = session()
       val canonical = graft.ext.Similarity.ensureIvfIndex(spark, sfDir)
-      val dir = graft.core.TempDirs.create("graft_rebuild_receipt")
-      graft.core.Warehouse.copyRecursively(
-        new java.io.File(canonical), new java.io.File(dir))
-      new java.io.File(dir, "_SEEDED").delete()
+      val dir = graft.core.Warehouse.scratchFromSeed(canonical, "graft_rebuild_receipt")
       val e = graft.core.Tables(spark, sfDir, "embeddings")
       val crowd = e.filter(col("vec_id") === 1)
         .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
@@ -738,10 +732,7 @@ object Receipts {
       val sfDir = args(1)
       val spark = session()
       val seed = graft.ext.Dedup.ensureMinhashIndex(spark, sfDir)
-      val dir = graft.core.TempDirs.create("graft_minhash_ingest_rcpt")
-      graft.core.Warehouse.copyRecursively(
-        new java.io.File(seed), new java.io.File(dir))
-      new java.io.File(dir, "_SEEDED").delete()
+      val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_minhash_ingest_rcpt")
       val docs = graft.core.Tables(spark, sfDir, "documents")
       docs.queryExecution.toRdd.count()
       val docsPath = new java.io.File(sfDir, "documents.parquet").getPath

@@ -22,6 +22,19 @@ object Warehouse {
       if (wh.getScheme == null) wh.toString else wh.getPath, table))
   }
 
+  /** Copy an immutable marker-gated seed template into a fresh scratch
+    * dir for one run's mutations, dropping the `_SEEDED` marker so the
+    * copy is never mistaken for a template. File copy only — no Spark
+    * jobs. The one shared definition of the template-scratch idiom
+    * every index family and receipt uses.
+    */
+  def scratchFromSeed(seedDir: String, prefix: String): String = {
+    val dir = TempDirs.create(prefix)
+    copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
+    new java.io.File(dir, "_SEEDED").delete()
+    dir
+  }
+
   /** Shared recursive delete (also used by the Derby seed dir). */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {

@@ -30,11 +30,14 @@ object WriterLease {
 
   private def lockFile(dir: String) = new java.io.File(dir, ".writer.lock")
 
-  private def tryTake(lock: java.io.File): Boolean =
+  private def freshToken(): String =
+    s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
+      java.util.UUID.randomUUID().toString
+
+  private def tryTake(lock: java.io.File, token: String): Boolean =
     try {
       java.nio.file.Files.write(lock.toPath,
-        s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE_NEW)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -44,21 +47,35 @@ object WriterLease {
     */
   def withLease[T](dir: String, op: String)(f: => T): T = {
     val lock = lockFile(dir)
-    var acquired = tryTake(lock)
+    val token = freshToken()
+    var acquired = tryTake(lock, token)
     if (!acquired && lock.lastModified() > 0 &&
         System.currentTimeMillis() - lock.lastModified() > StaleMs) {
-      // Abandoned by a crashed writer: reclaim. The delete+create pair
-      // is not atomic, but both racers are past the staleness bar — the
-      // one that wins CREATE_NEW proceeds, the other fails fast below.
-      java.nio.file.Files.deleteIfExists(lock.toPath)
-      acquired = tryTake(lock)
+      // Abandoned by a crashed writer: reclaim by ATOMICALLY moving the
+      // stale lock aside — exactly one racer wins the move (the loser's
+      // move throws), so a reclaimer can never delete a FRESH lock a
+      // faster reclaimer just created (the delete+create TOCTOU).
+      val claimed = new java.io.File(dir,
+        s".writer.lock.reclaimed.${java.util.UUID.randomUUID()}")
+      try {
+        java.nio.file.Files.move(lock.toPath, claimed.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        java.nio.file.Files.deleteIfExists(claimed.toPath)
+      } catch { case _: java.io.IOException => () }
+      acquired = tryTake(lock, token)
     }
     if (!acquired)
       throw new IllegalStateException(
         s"index writer lease busy: $lock held by [${holder(lock)}] — " +
           s"the $op protocol is single-writer per index directory; " +
           "serialize writers (or remove a crashed writer's stale lock)")
-    try f finally { java.nio.file.Files.deleteIfExists(lock.toPath); () }
+    try f finally {
+      // Release ONLY if the lock is still ours: a writer that outlived
+      // StaleMs may have been reclaimed — deleting unconditionally would
+      // free the reclaimer's lease mid-mutation for a third writer.
+      if (holder(lock) == token) java.nio.file.Files.deleteIfExists(lock.toPath)
+      ()
+    }
   }
 
   private def holder(lock: java.io.File): String =

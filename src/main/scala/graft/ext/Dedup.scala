@@ -818,9 +818,7 @@ object Dedup extends QueryModule {
   private def minhashDelete(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val seed = ensureMinhashIndex(spark, sfDir)
-    val dir = graft.core.TempDirs.create("graft_minhash_del")
-    graft.core.Warehouse.copyRecursively(new java.io.File(seed), new java.io.File(dir))
-    new java.io.File(dir, "_SEEDED").delete()
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_minhash_del")
     val docs = Tables(spark, sfDir, "documents")
     val batch = docs.filter(col("doc_id") >= 400)
     val victimRow = probeMinhashIndex(spark, dir, batch, docs)
@@ -841,9 +839,7 @@ object Dedup extends QueryModule {
     */
   private def minhashCompact(spark: SparkSession, sfDir: String): DataFrame = {
     val seed = ensureMinhashIndex(spark, sfDir)
-    val dir = graft.core.TempDirs.create("graft_minhash_compact")
-    graft.core.Warehouse.copyRecursively(new java.io.File(seed), new java.io.File(dir))
-    new java.io.File(dir, "_SEEDED").delete()
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_minhash_compact")
     val docs = Tables(spark, sfDir, "documents")
     minhashIndexAppend(spark, dir, docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
     minhashIndexCompact(spark, dir)
@@ -866,9 +862,7 @@ object Dedup extends QueryModule {
     */
   private def minhashIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val seed = ensureMinhashIndex(spark, sfDir)
-    val dir = graft.core.TempDirs.create("graft_minhash_ingest")
-    graft.core.Warehouse.copyRecursively(new java.io.File(seed), new java.io.File(dir))
-    new java.io.File(dir, "_SEEDED").delete()
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_minhash_ingest")
     val schema = spark.read.option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir).schema
     val stream = spark.readStream.schema(schema)
@@ -888,77 +882,46 @@ object Dedup extends QueryModule {
       tap = Some("s_minhash_ingest_candidates"))
   }
 
+  /** The shared MinHash verification oracle over a (doc_id, dup_of)
+    * candidate tap: DuckDB recomputes the word-set Jaccard verify leg,
+    * threshold, and order — one definition for every tap-producing
+    * minhash entry, so the recomputed semantics can never silently
+    * diverge between them.
+    */
+  private def minhashTapOracle(tapName: String): String = s"""
+      WITH cand AS (SELECT doc_id, dup_of
+                    FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+            FROM documents),
+      v AS (
+        SELECT c.doc_id, c.dup_of,
+               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
+                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_id
+        JOIN w wb ON wb.doc_id = c.dup_of)
+      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
+      ORDER BY doc_id, dup_of"""
+
   override val defs: Map[String, QueryDef] = Map(
     // Partial oracle: the banded candidate stage (batch × index-rep) is
     // tapped; DuckDB recomputes the word-set Jaccard verification,
     // threshold, and ordering from the tap + documents.
-    "q_minhash_incremental" -> QueryDef(minhashIncremental, Some("""
-      WITH cand AS (SELECT doc_id, dup_of
-                    FROM read_parquet('/tmp/graft_oracle_aux/minhash_inc_candidates/*.parquet')),
-      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
-            FROM documents),
-      v AS (
-        SELECT c.doc_id, c.dup_of,
-               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
-                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
-        FROM cand c
-        JOIN w wa ON wa.doc_id = c.doc_id
-        JOIN w wb ON wb.doc_id = c.dup_of)
-      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
-      ORDER BY doc_id, dup_of""")),
+    "q_minhash_incremental" -> QueryDef(minhashIncremental, Some(minhashTapOracle("minhash_inc_candidates"))),
     // Partial oracle (same boundary as q_minhash_incremental): the
     // banded candidates of the post-stream probe — including pairs whose
     // index side ARRIVED THROUGH THE STREAM — are tapped; DuckDB
     // recomputes the Jaccard verification, threshold, and order.
-    "s_minhash_ingest" -> QueryDef(minhashIngest, Some("""
-      WITH cand AS (SELECT doc_id, dup_of
-                    FROM read_parquet('/tmp/graft_oracle_aux/s_minhash_ingest_candidates/*.parquet')),
-      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
-            FROM documents),
-      v AS (
-        SELECT c.doc_id, c.dup_of,
-               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
-                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
-        FROM cand c
-        JOIN w wa ON wa.doc_id = c.doc_id
-        JOIN w wb ON wb.doc_id = c.dup_of)
-      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
-      ORDER BY doc_id, dup_of""")),
+    "s_minhash_ingest" -> QueryDef(minhashIngest, Some(minhashTapOracle("s_minhash_ingest_candidates"))),
     // Partial oracle: the POST-COMPACTION banded candidates are tapped;
     // DuckDB recomputes the Jaccard verify leg — compaction must not
     // change a single pair.
-    "q_minhash_compact" -> QueryDef(minhashCompact, Some("""
-      WITH cand AS (SELECT doc_id, dup_of
-                    FROM read_parquet('/tmp/graft_oracle_aux/minhash_compact_candidates/*.parquet')),
-      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
-            FROM documents),
-      v AS (
-        SELECT c.doc_id, c.dup_of,
-               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
-                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
-        FROM cand c
-        JOIN w wa ON wa.doc_id = c.doc_id
-        JOIN w wb ON wb.doc_id = c.dup_of)
-      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
-      ORDER BY doc_id, dup_of""")),
+    "q_minhash_compact" -> QueryDef(minhashCompact, Some(minhashTapOracle("minhash_compact_candidates"))),
     // Partial oracle: the POST-DELETE banded candidates are tapped;
     // DuckDB re-verifies the Jaccard leg wholesale — the tombstoned
     // doc's absence flows through the hash-match, and its probe-level
     // invisibility (pre/post compaction) is DedupSpec-pinned.
-    "q_minhash_delete" -> QueryDef(minhashDelete, Some("""
-      WITH cand AS (SELECT doc_id, dup_of
-                    FROM read_parquet('/tmp/graft_oracle_aux/minhash_del_candidates/*.parquet')),
-      w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
-            FROM documents),
-      v AS (
-        SELECT c.doc_id, c.dup_of,
-               round(CAST(len(list_filter(list_distinct(wa.w), x -> list_contains(wb.w, x))) AS DOUBLE)
-                     / len(list_distinct(wa.w || wb.w)), 4) AS jaccard
-        FROM cand c
-        JOIN w wa ON wa.doc_id = c.doc_id
-        JOIN w wb ON wb.doc_id = c.dup_of)
-      SELECT doc_id, dup_of, jaccard FROM v WHERE jaccard >= 0.8
-      ORDER BY doc_id, dup_of""")),
+    "q_minhash_delete" -> QueryDef(minhashDelete, Some(minhashTapOracle("minhash_del_candidates"))),
     "q_dedup_clusters" -> QueryDef(dedupClusters, Some("""
       SELECT doc_id,
              min(doc_id) OVER (PARTITION BY ck) AS cluster_id,

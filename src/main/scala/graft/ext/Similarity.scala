@@ -713,17 +713,29 @@ object Similarity extends QueryModule {
     * for the batch AND the touched members, so DuckDB re-derives the
     * entire dominance leg independently.
     */
+  /** `dryRun = true` computes the dominance flags WITHOUT publishing
+    * (and without a lease-relevant mutation) — the discovery pass a
+    * takedown planner needs, at zero write cost.
+    *
+    * Replay contract (`ingestKey` already committed): flags are
+    * recomputed against the CURRENT surviving members and the publish
+    * is skipped. Absent intervening takedowns this is bit-identical to
+    * the first delivery (a committed copy of row X never dominates X —
+    * strict id order — and lower-id copies dominate exactly like the
+    * in-batch pairs did). If a takedown landed between delivery and
+    * replay, the replay reflects the post-takedown dominance while the
+    * COMMITTED flags stay frozen — the index's documented
+    * historical-flags-frozen invariant, resolved by a full rebuild.
+    */
   private[graft] def semdedupIndexIngest(spark: SparkSession, dir: String,
       batch: DataFrame, tau: Double, tap: Option[String] = None,
-      ingestKey: Option[String] = None): DataFrame =
-    graft.core.WriterLease.withLease(dir, "semdedup ingest") {
-    // At-least-once replay (key already committed): recompute the flags
-    // but DO NOT publish again. The members read then contains this
-    // batch's own committed copy — a copy of row X never dominates X
-    // (strict id order) and lower-id copies dominate exactly like the
-    // in-batch pairs did, so the returned flags are identical to the
-    // first delivery's.
-    val replay = ingestKey.exists(Dedup.readIngestKeys(dir).contains)
+      ingestKey: Option[String] = None, dryRun: Boolean = false): DataFrame = {
+    // A dry run mutates nothing — no lease (it must be runnable against
+    // the immutable marker-gated seed templates without ever writing).
+    def leased[T](f: => T): T =
+      if (dryRun) f else graft.core.WriterLease.withLease(dir, "semdedup ingest")(f)
+    leased {
+    val replay = dryRun || ingestKey.exists(Dedup.readIngestKeys(dir).contains)
     val committed = Dedup.readBatchManifest(dir)
     val cents = spark.read.parquet(new java.io.File(dir, "centroids").getPath)
       .orderBy("cell").collect()
@@ -795,6 +807,7 @@ object Similarity extends QueryModule {
         .localCheckpoint(true)
     } finally { assigned.unpersist(); () }
     }
+  }
 
   /** Anti-join members against the committed vec-id tombstones — the
     * minhash/IVF probe discipline applied to the dedup-state index.
@@ -959,12 +972,8 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
-  private def scratchSemdedupCopy(seedDir: String, prefix: String): String = {
-    val dir = graft.core.TempDirs.create(prefix)
-    graft.core.Warehouse.copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
-    new java.io.File(dir, "_SEEDED").delete()
-    dir
-  }
+  private def scratchSemdedupCopy(seedDir: String, prefix: String): String =
+    graft.core.Warehouse.scratchFromSeed(seedDir, prefix)
 
   /** The semdedup index's compaction lifecycle as an entry: scratch from
     * the seed, ingest the arriving decile (a second batch_id dir),
@@ -1001,8 +1010,11 @@ object Similarity extends QueryModule {
     val e = Tables(spark, sfDir, "embeddings")
     val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
     val batch = e.filter(col("vec_id") >= cut)
-    val dry = scratchSemdedupCopy(seedDir, "graft_semdedup_del_dry")
-    val purgeCells = semdedupIndexIngest(spark, dry, batch, tau = 0.4)
+    // Discovery is a DRY RUN straight against the immutable seed — no
+    // scratch copy, no publish: the flags are computed before the
+    // publish stage, so the planner pass costs one dominance check.
+    val purgeCells = semdedupIndexIngest(spark, seedDir, batch, tau = 0.4,
+        dryRun = true)
       .filter(col("removed")).select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_del")
@@ -1640,9 +1652,7 @@ object Similarity extends QueryModule {
     * jobs, no quantizer retrain.
     */
   private[graft] def scratchIvfFromSeed(seedDir: String, prefix: String): String = {
-    val dir = graft.core.TempDirs.create(prefix)
-    graft.core.Warehouse.copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
-    new java.io.File(dir, "_SEEDED").delete()
+    val dir = graft.core.Warehouse.scratchFromSeed(seedDir, prefix)
     scratchOrigin(dir) = seedDir
     dir
   }
@@ -1660,7 +1670,8 @@ object Similarity extends QueryModule {
   private val IndexMetaCols = Seq("label")
 
   private[graft] def writeIvfIndex(spark: SparkSession, dir: String, e: DataFrame,
-      train: Option[DataFrame] = None): Unit = {
+      train: Option[DataFrame] = None,
+      keepIngestKeys: Seq[String] = Seq.empty): Unit = {
     // A retrain in place invalidates any template-shared quantizer: this
     // dir no longer mirrors its origin, so reads must hit disk again.
     scratchOrigin.remove(dir)
@@ -1689,7 +1700,8 @@ object Similarity extends QueryModule {
       .parquet(new java.io.File(dir, "centroids").getPath)
     writeIvfCodebook(spark, dir, cb)
     val imb = cellImbalance(counts.values)
-    writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold, counts))
+    writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold,
+      counts, ingestKeys = keepIngestKeys))
   }
 
   private def writeIvfCodebook(spark: SparkSession, dir: String, cb: PqCodebook): Unit = {
@@ -1862,16 +1874,16 @@ object Similarity extends QueryModule {
       val content = filterTombstones(spark, dir, manifest, postings)
         .select(keep.map(col): _*)
         .localCheckpoint(true)
-      writeIvfIndex(spark, dir, content)
+      // Preserve the ingest-key ledger IN the rebuild's single manifest
+      // commit (the content already folds every committed micro-batch
+      // in — a pre-rebuild replay must stay a no-op, exactly as across
+      // compaction; a second manifest write would open a crash window
+      // that silently drops the ledger).
+      writeIvfIndex(spark, dir, content, keepIngestKeys = manifest.ingestKeys)
       // Postings were rewritten wholesale (overwrite mode) and the fresh
       // manifest references batch 0 with an empty tombstone ledger; the
       // materialized tombstone id lists are orphans now — GC them.
       graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
-      // Preserve the ingest-key ledger across the retrain (the content
-      // already folds every committed micro-batch in — a pre-rebuild
-      // replay must stay a no-op, exactly as across compaction).
-      writeIvfManifest(dir,
-        readIvfManifest(dir).copy(ingestKeys = manifest.ingestKeys))
     }
 
   /** The committed tombstoned ids as a DataFrame (empty-schema-free:
@@ -2693,6 +2705,12 @@ object Similarity extends QueryModule {
     */
   private[graft] val AdcRangeMargin = 0.3
 
+  /** Survivor-count ceiling for the driver-side isin path in
+    * [[rangeIvfPqIndex]]: under it, point pushdown; over it, the
+    * distributed semi-join.
+    */
+  private[graft] val RangeIsinCap = 65536
+
   /** ADC range search — faiss's IVFPQ `range_search` shape: the
     * candidate scan reads CODES only (8 B/row — the same 32× IO cut as
     * [[probeIvfPqIndex]]) and pre-filters at `tau - AdcRangeMargin`;
@@ -2718,14 +2736,22 @@ object Similarity extends QueryModule {
         .where(col("batch_id").isin(manifest.batches: _*) &&
           col("cell_id").isin(probed: _*)))
     val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
-    // Codes-only pre-filter; the collected survivor ids are bounded by
-    // |result| + margin spillover, not the cell population.
-    val cand = base
+    // Codes-only pre-filter. Survivor ids are usually bounded by
+    // |result| + margin spillover — a driver-side id list gives the
+    // second scan row-group point pushdown, like the ADC top-k's
+    // shortlist. But the spillover is data-sized at LOW tau, so the
+    // collect is capped: past the cap, fall back to a distributed
+    // semi-join (survivors broadcast when small, shuffled when not) —
+    // never a driver list that scales with the cell population.
+    val passed = base
       .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
       .filter(col("adc") >= lit(tau - AdcRangeMargin))
-      .collect().map(_.getLong(0))
-    val scored = base
-      .filter(col("vec_id").isin(cand: _*))
+      .select(col("vec_id"))
+    val headIds = passed.limit(RangeIsinCap + 1).collect().map(_.getLong(0))
+    val candidates =
+      if (headIds.length <= RangeIsinCap) base.filter(col("vec_id").isin(headIds: _*))
+      else base.join(passed, Seq("vec_id"), "left_semi")
+    val scored = candidates
       .select(col("vec_id"), col("cell_id").cast("int").as("cell"),
         round(cosineUdf(typedLit(anchor), col("embedding")), 4).as("cos_sim"))
     tap.fold(scored)(n => OracleTap(spark, n, scored))
@@ -3055,6 +3081,34 @@ object Similarity extends QueryModule {
       SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
 
+  /** The shared semdedup dominance oracle over a (vec_id, cell,
+    * is_batch) tap: DuckDB re-derives the ENTIRE incremental dominance
+    * leg (lower-id same-cell pairs against batch rows, independent
+    * cosine from embeddings, removed = dominated) — one definition for
+    * every tap-producing semdedup entry, so the recomputed semantics
+    * can never silently diverge between them.
+    */
+  private def semdedupTapOracle(tapName: String): String = s"""
+      WITH t AS (SELECT vec_id, cell, is_batch
+                 FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet')),
+      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                FROM t a JOIN t b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
+      terms AS (SELECT p.va, p.vb,
+                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
+                             JOIN embeddings eb ON eb.vec_id = p.vb,
+                     range(1, 65) t2(i)),
+      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
+               FROM terms GROUP BY va, vb),
+      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
+      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
+             (d.vec_id IS NOT NULL) AS removed
+      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
+      WHERE tb.is_batch
+      ORDER BY tb.vec_id"""
+
   /** Range-search twin of [[annScoredOracle]]: same independent cosine
     * recomputation over the tapped candidates, but the acceptance leg is
     * the threshold predicate, not a rank limit — DuckDB re-derives the
@@ -3240,97 +3294,21 @@ object Similarity extends QueryModule {
     // the k-means leg; DuckDB re-derives the entire incremental
     // dominance check (lower-id same-cell pairs against batch rows,
     // independent cosine, removed flags) from the tap + embeddings.
-    "q_semdedup_incremental" -> QueryDef(semdedupIncremental, Some("""
-      WITH t AS (SELECT vec_id, cell, is_batch
-                 FROM read_parquet('/tmp/graft_oracle_aux/semdedup_inc_cells/*.parquet')),
-      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-                FROM t a JOIN t b
-                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
-      terms AS (SELECT p.va, p.vb,
-                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
-                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
-                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
-                             JOIN embeddings eb ON eb.vec_id = p.vb,
-                     range(1, 65) t2(i)),
-      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
-               FROM terms GROUP BY va, vb),
-      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
-      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
-             (d.vec_id IS NOT NULL) AS removed
-      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
-      WHERE tb.is_batch
-      ORDER BY tb.vec_id""")),
+    "q_semdedup_incremental" -> QueryDef(semdedupIncremental, Some(semdedupTapOracle("semdedup_inc_cells"))),
     // Partial oracle (the q_semdedup_incremental boundary): the tap is
     // read back FROM THE INDEX after the stream — flags only hash-match
     // if the micro-batches actually committed.
-    "s_semdedup_ingest" -> QueryDef(semdedupStreamIngest, Some("""
-      WITH t AS (SELECT vec_id, cell, is_batch
-                 FROM read_parquet('/tmp/graft_oracle_aux/s_semdedup_ingest_cells/*.parquet')),
-      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-                FROM t a JOIN t b
-                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
-      terms AS (SELECT p.va, p.vb,
-                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
-                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
-                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
-                             JOIN embeddings eb ON eb.vec_id = p.vb,
-                     range(1, 65) t2(i)),
-      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
-               FROM terms GROUP BY va, vb),
-      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
-      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
-             (d.vec_id IS NOT NULL) AS removed
-      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
-      WHERE tb.is_batch
-      ORDER BY tb.vec_id""")),
+    "s_semdedup_ingest" -> QueryDef(semdedupStreamIngest, Some(semdedupTapOracle("s_semdedup_ingest_cells"))),
     // Partial oracle (the q_semdedup_incremental boundary): the tapped
     // members were read FROM THE COMPACTED layout — a member lost or
     // duplicated by compaction would change the dominance flags and
     // hash-mismatch.
-    "q_semdedup_compact" -> QueryDef(semdedupCompactEntry, Some("""
-      WITH t AS (SELECT vec_id, cell, is_batch
-                 FROM read_parquet('/tmp/graft_oracle_aux/semdedup_compact_cells/*.parquet')),
-      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-                FROM t a JOIN t b
-                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
-      terms AS (SELECT p.va, p.vb,
-                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
-                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
-                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
-                             JOIN embeddings eb ON eb.vec_id = p.vb,
-                     range(1, 65) t2(i)),
-      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
-               FROM terms GROUP BY va, vb),
-      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
-      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
-             (d.vec_id IS NOT NULL) AS removed
-      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
-      WHERE tb.is_batch
-      ORDER BY tb.vec_id""")),
+    "q_semdedup_compact" -> QueryDef(semdedupCompactEntry, Some(semdedupTapOracle("semdedup_compact_cells"))),
     // Partial oracle (the q_semdedup_incremental boundary): the tapped
     // members are POST-DELETE — DuckDB re-derives dominance over the
     // surviving set, so a taken-down member wrongly left in the read
     // would hash-mismatch.
-    "q_semdedup_delete" -> QueryDef(semdedupDelete, Some("""
-      WITH t AS (SELECT vec_id, cell, is_batch
-                 FROM read_parquet('/tmp/graft_oracle_aux/semdedup_del_cells/*.parquet')),
-      pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
-                FROM t a JOIN t b
-                  ON a.cell = b.cell AND a.vec_id < b.vec_id AND b.is_batch),
-      terms AS (SELECT p.va, p.vb,
-                       CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
-                       CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
-                FROM pairs p JOIN embeddings ea ON ea.vec_id = p.va
-                             JOIN embeddings eb ON eb.vec_id = p.vb,
-                     range(1, 65) t2(i)),
-      sims AS (SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
-               FROM terms GROUP BY va, vb),
-      dup AS (SELECT DISTINCT vb AS vec_id FROM sims WHERE round(c, 4) >= 0.4)
-      SELECT tb.vec_id, CAST(tb.cell AS BIGINT) AS cell,
-             (d.vec_id IS NOT NULL) AS removed
-      FROM t tb LEFT JOIN dup d ON d.vec_id = tb.vec_id
-      WHERE tb.is_batch
-      ORDER BY tb.vec_id""")),
+    "q_semdedup_delete" -> QueryDef(semdedupDelete, Some(semdedupTapOracle("semdedup_del_cells"))),
     "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

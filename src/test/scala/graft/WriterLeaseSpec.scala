@@ -54,6 +54,22 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.readBatchManifest(dir).size == 2)
   }
 
+  test("release refuses to delete a lock it no longer owns (reclaimed mid-mutation)") {
+    val dir = graft.core.TempDirs.create("graft_lease_own")
+    val lock = lockOf(dir)
+    graft.core.WriterLease.withLease(dir, "test") {
+      // Simulate a reclaim while this writer overran its lease: the lock
+      // now carries ANOTHER writer's token.
+      java.nio.file.Files.write(lock.toPath, "reclaimer token".getBytes)
+    }
+    assert(lock.exists(),
+      "an overrunning writer's release deleted the reclaiming writer's lock")
+    java.nio.file.Files.delete(lock.toPath)
+    // Normal case: an untouched lease releases cleanly.
+    graft.core.WriterLease.withLease(dir, "test") { () }
+    assert(!lock.exists())
+  }
+
   test("the IVF and semdedup mutators hold the same lease") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
