@@ -631,17 +631,55 @@ object Dedup extends QueryModule {
     * row per band per REPRESENTATIVE (exact-duplicate groups collapse to
     * their min-id member first — identical text hashes to identical
     * signatures, so extra members add postings without adding recall).
+    * `keepIngestKeys` rides in the single manifest commit so a rebuild
+    * preserves the idempotency ledger (the IVF `writeIvfIndex` contract).
     */
   private[graft] def writeMinhashIndex(spark: SparkSession, dir: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame, keepIngestKeys: Seq[String] = Seq.empty): Unit = {
     val d = docs.select(col("doc_id"), col("text"))
     val reps = StagedDedup.representatives(d, StagedDedup.exactGroups(d))
     bandBuckets(minhashSignatures(reps))
       .withColumn("batch_id", lit(0L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(new java.io.File(dir, "postings").getPath)
-    writeBatchManifest(dir, Seq(0L))
+    writeBatchManifest(dir, Seq(0L), ingestKeys = keepIngestKeys)
   }
+
+  /** Full re-band of the index from the doc store — the lifecycle op a
+    * banding-parameter change or accumulated takedown debt eventually
+    * forces (the MinHash twin of `ivfIndexRebuild`). The band postings
+    * are one-way hashes, so unlike the IVF index the content cannot be
+    * re-derived from the index itself: the SURVIVING doc ids (committed
+    * postings anti-joined against the tombstone ledger) are point-looked-
+    * up in `corpus` — the same by-id doc-store contract
+    * [[probeMinhashIndex]]'s verification leg already uses — and
+    * [[writeMinhashIndex]] re-bands them in place. A rebuild is thereby
+    * also a materializing compaction (tombstoned docs drop physically,
+    * ledger resets with the single manifest commit, ingest keys
+    * preserved so a pre-rebuild micro-batch replay stays a no-op), and
+    * it collapses CROSS-BATCH exact duplicates that per-batch appends
+    * could not see. In-place is the single-writer local form; a 100 TB
+    * deployment stages a sibling directory and swaps a pointer, with
+    * this exact content contract.
+    */
+  private[graft] def minhashIndexRebuild(spark: SparkSession, dir: String,
+      corpus: DataFrame): Unit =
+    graft.core.WriterLease.withLease(dir, "minhash rebuild") {
+      val committed = readBatchManifest(dir)
+      val surviving = filterMinhashTombstones(spark, dir, spark.read
+        .parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(committed: _*))
+        .select(col("doc_id").as("dup_of")))
+        .select(col("dup_of").as("doc_id")).distinct()
+      // Snapshot BEFORE the overwrite below — the rebuild must never
+      // lazily read the postings it is about to replace.
+      val content = corpus.join(surviving, Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      writeMinhashIndex(spark, dir, content,
+        keepIngestKeys = readIngestKeys(dir))
+      graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
+    }
 
   /** One-time seed of the persisted index over the sub-400 corpus slice
     * (marker-gated, untimed economics like the Derby/IVF seeds).
@@ -847,6 +885,34 @@ object Dedup extends QueryModule {
       tap = Some("minhash_compact_candidates"))
   }
 
+  /** The near-dup index's full-rebuild lifecycle as an entry (the
+    * MinHash twin of `q_ann_ivf_rebuild`): scratch from the seed
+    * template, append an ingest batch (a second batch_id dir), take down
+    * the smallest matched index doc (tombstone ledger), then REBUILD —
+    * re-band the surviving ids from the doc store in place, dropping the
+    * tombstoned doc physically, folding the appended batch into the
+    * single rebuilt batch, preserving the ingest-key ledger. The final
+    * probe answers near-dups over the rebuilt index — its tapped
+    * candidates let DuckDB re-verify the Jaccard leg wholesale, and
+    * DedupSpec pins rebuild == (compacted) append content minus the
+    * tombstoned doc.
+    */
+  private def minhashRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = ensureMinhashIndex(spark, sfDir)
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_minhash_rebuild")
+    val docs = Tables(spark, sfDir, "documents")
+    minhashIndexAppend(spark, dir, docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    val probeBatch = docs.filter(col("doc_id") >= 450)
+    val victimRow = probeMinhashIndex(spark, dir, probeBatch, docs)
+      .agg(min(col("dup_of"))).head()
+    if (!victimRow.isNullAt(0))
+      minhashIndexDelete(spark, dir, Seq(victimRow.getLong(0)).toDF("doc_id"))
+    minhashIndexRebuild(spark, dir, docs)
+    probeMinhashIndex(spark, dir, probeBatch, docs,
+      tap = Some("minhash_rebuild_candidates"))
+  }
+
   /** Streaming ingest into the persisted near-dup index — the MinHash
     * twin of `s_ann_ingest`: documents arrive as a stream, each
     * micro-batch publishes its band postings through
@@ -922,6 +988,12 @@ object Dedup extends QueryModule {
     // doc's absence flows through the hash-match, and its probe-level
     // invisibility (pre/post compaction) is DedupSpec-pinned.
     "q_minhash_delete" -> QueryDef(minhashDelete, Some(minhashTapOracle("minhash_del_candidates"))),
+    // Partial oracle: the POST-REBUILD banded candidates are tapped;
+    // DuckDB re-verifies the Jaccard leg wholesale — the re-banded
+    // index must still surface every surviving pair (appended docs
+    // folded in, the tombstoned doc physically gone; DedupSpec pins the
+    // content identity).
+    "q_minhash_rebuild" -> QueryDef(minhashRebuild, Some(minhashTapOracle("minhash_rebuild_candidates"))),
     "q_dedup_clusters" -> QueryDef(dedupClusters, Some("""
       SELECT doc_id,
              min(doc_id) OVER (PARTITION BY ck) AS cluster_id,

@@ -661,7 +661,8 @@ object Similarity extends QueryModule {
     * batches).
     */
   private[graft] def writeSemdedupIndex(spark: SparkSession, dir: String,
-      e: DataFrame, tau: Double, targetCell: Int = 64): Unit = {
+      e: DataFrame, tau: Double, targetCell: Int = 64,
+      keepIngestKeys: Seq[String] = Seq.empty): Unit = {
     import spark.implicits._
     val ec = e.select(col("vec_id"), col("embedding")).persist()
     try {
@@ -699,7 +700,7 @@ object Similarity extends QueryModule {
           .toDF("cell", "centroid")
           .coalesce(1).write.mode("overwrite")
           .parquet(new java.io.File(dir, "centroids").getPath)
-        Dedup.writeBatchManifest(dir, Seq(0L))
+        Dedup.writeBatchManifest(dir, Seq(0L), ingestKeys = keepIngestKeys)
       } finally { cells.unpersist(); () }
     } finally { ec.unpersist(); () }
   }
@@ -895,6 +896,35 @@ object Similarity extends QueryModule {
     }
   }
 
+  /** Full retrain of the semdedup index from its own surviving content —
+    * the remedy the ingest/delete docstrings promise for the frozen-
+    * historical-flags invariant: read the committed, tombstone-filtered
+    * members, snapshot them (localCheckpoint — the rebuild must never
+    * lazily read what it is about to overwrite), and re-run
+    * [[writeSemdedupIndex]] in place: fresh quantizer, dominance flags
+    * RECOMPUTED from scratch over the surviving set — a member that was
+    * suppressed only by a since-deleted dominator comes back kept —
+    * single batch, tombstone ledger reset with the ingest keys preserved
+    * in the one manifest commit (a pre-rebuild micro-batch replay must
+    * stay a no-op). A rebuild is thereby also a materializing
+    * compaction. In-place is the single-writer local form; a 100 TB
+    * deployment stages a sibling directory and swaps a pointer, with
+    * this exact content contract.
+    */
+  private[graft] def semdedupIndexRebuild(spark: SparkSession, dir: String,
+      tau: Double): Unit =
+    graft.core.WriterLease.withLease(dir, "semdedup rebuild") {
+      val committed = Dedup.readBatchManifest(dir)
+      val content = filterSemdedupTombstones(spark, dir, spark.read
+        .parquet(new java.io.File(dir, "members").getPath)
+        .where(col("batch_id").isin(committed: _*)))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      writeSemdedupIndex(spark, dir, content, tau,
+        keepIngestKeys = Dedup.readIngestKeys(dir))
+      graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
+    }
+
   private val SemdedupRoot = "/tmp/graft_semdedup"
 
   private[graft] def ensureSemdedupIndex(spark: SparkSession, sfDir: String): (String, Long) = {
@@ -1024,6 +1054,46 @@ object Similarity extends QueryModule {
           .where(col("cell").isin(purgeCells: _*)).select(col("vec_id")))
     semdedupIndexIngest(spark, dir, batch, tau = 0.4,
       tap = Some("semdedup_del_cells"))
+  }
+
+  /** The frozen-flags remedy as an entry (the semdedup twin of
+    * `q_ann_ivf_rebuild`): scratch from the seed, take down the smallest
+    * KEEPER of every cell that suppressed at least one member (the
+    * dominators a contaminated-source takedown would remove), then
+    * REBUILD — fresh quantizer, dominance flags recomputed from scratch
+    * over the surviving members, tombstones materialized, ledger reset.
+    * The declared output is the recomputed (vec_id, cell, removed) for
+    * every member of the rebuilt cells that contain a previously-
+    * suppressed id — exactly where resurrection can happen — and the tap
+    * (all rows, `is_batch=true`) lets DuckDB re-derive every within-cell
+    * dominance pair independently; the deleted dominators' absence flows
+    * through the hash-match. SemDedupSpec pins the resurrection
+    * semantics on a controlled corpus.
+    */
+  private def semdedupRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    val (seedDir, _) = ensureSemdedupIndex(spark, sfDir)
+    val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_rebuild")
+    val members = spark.read.parquet(new java.io.File(dir, "members").getPath)
+    // Snapshot both BEFORE any mutation — `members` is lazy and the
+    // rebuild overwrites the directory it reads.
+    val prevRemoved = members.filter(col("removed"))
+      .select(col("vec_id")).localCheckpoint(true)
+    val victims = members.filter(!col("removed"))
+      .join(broadcast(members.filter(col("removed"))
+        .select(col("cell")).distinct()), Seq("cell"))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id")).localCheckpoint(true)
+    semdedupIndexDelete(spark, dir, victims)
+    semdedupIndexRebuild(spark, dir, tau = 0.4)
+    val rebuilt = spark.read.parquet(new java.io.File(dir, "members").getPath)
+    val outCells = rebuilt.join(prevRemoved, Seq("vec_id"))
+      .select(col("cell")).distinct()
+    val out = rebuilt.join(broadcast(outCells), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("removed"))
+    OracleTap(spark, "semdedup_rebuild_cells",
+      out.select(col("vec_id"), col("cell"), lit(true).as("is_batch")))
+    out.select(col("vec_id"), col("cell").cast(LongType), col("removed"))
+      .orderBy("vec_id")
   }
 
   /** Above this many cells the flat Lloyd loop's ASSIGNMENT step (n·k
@@ -3309,6 +3379,12 @@ object Similarity extends QueryModule {
     // surviving set, so a taken-down member wrongly left in the read
     // would hash-mismatch.
     "q_semdedup_delete" -> QueryDef(semdedupDelete, Some(semdedupTapOracle("semdedup_del_cells"))),
+    // Partial oracle (the q_semdedup_incremental boundary): the tapped
+    // members are POST-REBUILD, all is_batch=true, so DuckDB re-derives
+    // EVERY within-cell dominance pair — the recomputed-from-scratch
+    // flags (including resurrections) must match the independent
+    // recomputation, and the deleted dominators' absence flows through.
+    "q_semdedup_rebuild" -> QueryDef(semdedupRebuild, Some(semdedupTapOracle("semdedup_rebuild_cells"))),
     "q_edit_similarity" -> QueryDef(editSimilarity, Some("""
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
