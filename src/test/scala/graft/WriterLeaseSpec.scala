@@ -70,6 +70,58 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
     assert(!lock.exists())
   }
 
+  test("an mtime-stale lock whose holder pid is still ALIVE is never reclaimed") {
+    val dir = graft.core.TempDirs.create("graft_lease_alivepid")
+    val lock = lockOf(dir)
+    // A lock naming THIS live process, aged past the staleness bar:
+    // reclaim must refuse (the writer may be mid-mutation with a starved
+    // heartbeat) — stealing it would run two writers concurrently.
+    java.nio.file.Files.write(lock.toPath,
+      s"${ProcessHandle.current().pid()} 0 overrunning".getBytes)
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    val e = intercept[IllegalStateException] {
+      graft.core.WriterLease.withLease(dir, "test") { () }
+    }
+    assert(e.getMessage.contains("single-writer"))
+    assert(lock.exists())
+    java.nio.file.Files.delete(lock.toPath)
+  }
+
+  test("heartbeat refreshes the lock mtime only while the token is ours") {
+    val dir = graft.core.TempDirs.create("graft_lease_beat")
+    val lock = lockOf(dir)
+    java.nio.file.Files.write(lock.toPath, "42 0 mytoken".getBytes)
+    val old = System.currentTimeMillis() - 11L * 60 * 1000
+    assert(lock.setLastModified(old))
+    // Wrong token: the tick is a no-op (a starved writer must not
+    // freshen a lock a reclaimer took over).
+    graft.core.WriterLease.heartbeatOnce(lock, "someone else")
+    assert(math.abs(lock.lastModified() - old) < 2000)
+    // Our token: the tick refreshes mtime, keeping a long mutation's
+    // lock visibly live.
+    graft.core.WriterLease.heartbeatOnce(lock, "42 0 mytoken")
+    assert(System.currentTimeMillis() - lock.lastModified() < 60L * 1000)
+    java.nio.file.Files.delete(lock.toPath)
+  }
+
+  test("tomb release deletes an owned lock and restores a non-owned one atomically") {
+    val dir = graft.core.TempDirs.create("graft_lease_tomb")
+    val lock = lockOf(dir)
+    // Owned: released (deleted), no tomb debris left behind.
+    java.nio.file.Files.write(lock.toPath, "7 0 tok-a".getBytes)
+    graft.core.WriterLease.release(dir, "7 0 tok-a")
+    assert(!lock.exists())
+    assert(new java.io.File(dir).listFiles().forall(f => !f.getName.contains("tomb")),
+      "release left a tomb file behind")
+    // Not owned (reclaimed mid-overrun): the lock is moved back intact.
+    java.nio.file.Files.write(lock.toPath, "8 0 reclaimer".getBytes)
+    graft.core.WriterLease.release(dir, "7 0 tok-a")
+    assert(lock.exists(), "release dropped a lock it did not own")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath)) == "8 0 reclaimer")
+    assert(new java.io.File(dir).listFiles().forall(f => !f.getName.contains("tomb")))
+    java.nio.file.Files.delete(lock.toPath)
+  }
+
   test("the IVF and semdedup mutators hold the same lease") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
