@@ -595,6 +595,7 @@ object Dedup extends QueryModule {
   private[graft] def minhashIndexDelete(spark: SparkSession, dir: String,
       ids: DataFrame): Unit =
     graft.core.WriterLease.withLease(dir, "minhash delete") {
+      graft.core.StagedSwap.recover(dir, MinhashLayoutSubs)
     val batches = readBatchManifest(dir)
     val tombs = readTombstoneManifest(dir)
     val root = new java.io.File(dir, "tombstones")
@@ -671,15 +672,22 @@ object Dedup extends QueryModule {
         .where(col("batch_id").isin(committed: _*))
         .select(col("doc_id").as("dup_of")))
         .select(col("dup_of").as("doc_id")).distinct()
-      // Snapshot BEFORE the overwrite below — the rebuild must never
-      // lazily read the postings it is about to replace.
+      // Snapshot BEFORE the swap below — the rebuild must never lazily
+      // read the postings it is about to replace.
       val content = corpus.join(surviving, Seq("doc_id"))
         .select(col("doc_id"), col("text"))
         .localCheckpoint(true)
-      writeMinhashIndex(spark, dir, content,
-        keepIngestKeys = readIngestKeys(dir))
+      // Staged layout + atomic manifest commit: crash-safe like the IVF
+      // rebuild (StagedSwap's contract).
+      graft.core.StagedSwap.swapInPlace(dir, MinhashLayoutSubs) { stage =>
+        writeMinhashIndex(spark, stage, content,
+          keepIngestKeys = readIngestKeys(dir))
+      }
       graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
     }
+
+  /** The dirs a complete minhash layout comprises (manifest aside). */
+  private[graft] val MinhashLayoutSubs = Seq("postings")
 
   /** One-time seed of the persisted index over the sub-400 corpus slice
     * (marker-gated, untimed economics like the Derby/IVF seeds).
@@ -714,6 +722,7 @@ object Dedup extends QueryModule {
   private[graft] def minhashIndexAppend(spark: SparkSession, dir: String,
       newDocs: DataFrame, ingestKey: Option[String] = None): Unit =
     graft.core.WriterLease.withLease(dir, "minhash append") {
+      graft.core.StagedSwap.recover(dir, MinhashLayoutSubs)
     // At-least-once callers (foreachBatch replays after a crash between
     // manifest commit and checkpoint) pass the micro-batch's batchId as
     // the key: a key already in the committed ledger means this batch's
@@ -763,6 +772,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def minhashIndexCompact(spark: SparkSession, dir: String): Unit =
     graft.core.WriterLease.withLease(dir, "minhash compact") {
+      graft.core.StagedSwap.recover(dir, MinhashLayoutSubs)
     val committed = readBatchManifest(dir)
     val tombs = readTombstoneManifest(dir)
     if (committed.size > 1 || tombs.nonEmpty) {

@@ -734,7 +734,10 @@ object Similarity extends QueryModule {
     // A dry run mutates nothing — no lease (it must be runnable against
     // the immutable marker-gated seed templates without ever writing).
     def leased[T](f: => T): T =
-      if (dryRun) f else graft.core.WriterLease.withLease(dir, "semdedup ingest")(f)
+      if (dryRun) f
+      else graft.core.WriterLease.withLease(dir, "semdedup ingest") {
+        graft.core.StagedSwap.recover(dir, SemdedupLayoutSubs); f
+      }
     leased {
     val replay = dryRun || ingestKey.exists(Dedup.readIngestKeys(dir).contains)
     val committed = Dedup.readBatchManifest(dir)
@@ -835,6 +838,7 @@ object Similarity extends QueryModule {
   private[graft] def semdedupIndexDelete(spark: SparkSession, dir: String,
       ids: DataFrame): Unit =
     graft.core.WriterLease.withLease(dir, "semdedup delete") {
+      graft.core.StagedSwap.recover(dir, SemdedupLayoutSubs)
     val batches = Dedup.readBatchManifest(dir)
     val tombs = Dedup.readTombstoneManifest(dir)
     val root = new java.io.File(dir, "tombstones")
@@ -863,6 +867,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def semdedupIndexCompact(spark: SparkSession, dir: String): Unit =
     graft.core.WriterLease.withLease(dir, "semdedup compact") {
+      graft.core.StagedSwap.recover(dir, SemdedupLayoutSubs)
     val committed = Dedup.readBatchManifest(dir)
     val tombs = Dedup.readTombstoneManifest(dir)
     if (committed.size > 1 || tombs.nonEmpty) {
@@ -920,10 +925,17 @@ object Similarity extends QueryModule {
         .where(col("batch_id").isin(committed: _*)))
         .select(col("vec_id"), col("embedding"))
         .localCheckpoint(true)
-      writeSemdedupIndex(spark, dir, content, tau,
-        keepIngestKeys = Dedup.readIngestKeys(dir))
+      // Staged layout + atomic manifest commit: crash-safe like the IVF
+      // rebuild (StagedSwap's contract).
+      graft.core.StagedSwap.swapInPlace(dir, SemdedupLayoutSubs) { stage =>
+        writeSemdedupIndex(spark, stage, content, tau,
+          keepIngestKeys = Dedup.readIngestKeys(dir))
+      }
       graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
     }
+
+  /** The dirs a complete semdedup layout comprises (manifest aside). */
+  private[graft] val SemdedupLayoutSubs = Seq("members", "centroids")
 
   private val SemdedupRoot = "/tmp/graft_semdedup"
 
@@ -1500,12 +1512,15 @@ object Similarity extends QueryModule {
     */
   private def ivfTag(sfDir: String): String = {
     val f = new java.io.File(sfDir, "embeddings.parquet")
-    // "v4": PQ codes use the Ks=256 codebook (r10) — probes against a
-    // v3 (Ks=16) layout would ADC-score with the wrong codebook. Earlier:
-    // v3 added metadata columns (label) for filtered probes, v2 the PQ
-    // `code` column + `codebooks/`. The version prefix keeps an earlier
-    // seeded dir from being adopted with the wrong schema/codebook.
-    "v4-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+    // "v5": the manifest carries the build-time audited ADC error (r11)
+    // that the range search derives its pre-filter margin from — a v4
+    // seed would fall back to the fixture-constant floor forever.
+    // Earlier: v4 moved PQ codes to the Ks=256 codebook (a v3 Ks=16
+    // layout would ADC-score with the wrong codebook), v3 added metadata
+    // columns (label) for filtered probes, v2 the PQ `code` column +
+    // `codebooks/`. The version prefix keeps an earlier seeded dir from
+    // being adopted with the wrong schema/codebook/manifest.
+    "v5-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
       "-" + java.lang.Long.toHexString(f.length())
   }
 
@@ -1543,7 +1558,8 @@ object Similarity extends QueryModule {
   final case class IvfManifest(batches: Seq[Long], imbalance: Double,
       rebuildNeeded: Boolean, cellCounts: Map[Int, Long],
       ingestKeys: Seq[String] = Seq.empty,
-      tombstoneBatches: Seq[Long] = Seq.empty)
+      tombstoneBatches: Seq[Long] = Seq.empty,
+      adcErr: Double = 0.0)
 
   private[graft] def readIvfManifest(dir: String): IvfManifest = {
     val s = new String(java.nio.file.Files.readAllBytes(
@@ -1567,7 +1583,9 @@ object Similarity extends QueryModule {
     val tombs = "\"tombstone_batches\":\\[([0-9,]*)\\]".r.findFirstMatchIn(s)
       .map(_.group(1)).filter(_.nonEmpty)
       .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
-    IvfManifest(batches, imb, rebuild, counts, keys, tombs)
+    val adcErr = "\"adc_err\":([0-9.]+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toDouble).getOrElse(0.0)
+    IvfManifest(batches, imb, rebuild, counts, keys, tombs, adcErr)
   }
 
   private[graft] def writeIvfManifest(dir: String, m: IvfManifest): Unit = {
@@ -1577,7 +1595,8 @@ object Similarity extends QueryModule {
       s""""imbalance":${m.imbalance},"rebuild_needed":${m.rebuildNeeded},""" +
       s""""cell_counts":"$counts",""" +
       s""""ingest_keys":"${m.ingestKeys.mkString(",")}",""" +
-      s""""tombstone_batches":[${m.tombstoneBatches.mkString(",")}]}"""
+      s""""tombstone_batches":[${m.tombstoneBatches.mkString(",")}],""" +
+      s""""adc_err":${m.adcErr}}"""
     val tmp = new java.io.File(dir, ".manifest.tmp").toPath
     java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // rename(2) is atomic on one filesystem: readers see the old manifest
@@ -1753,7 +1772,13 @@ object Similarity extends QueryModule {
     // postings carry both the full vector (exact re-rank / full-precision
     // probes) and the 8-byte code — columnar parquet means an ADC probe
     // that selects only (vec_id, code) never reads the vector bytes.
-    val cb = pqTrain(trainDf)
+    // The training sample doubles as the build-time ADC-error audit set:
+    // the audited max |ADC − exact cosine| is committed in the manifest,
+    // and the ADC range search derives its pre-filter margin from it —
+    // per-index, per-distribution, instead of a fixture-tuned constant.
+    val trainSample = seedCentroidsK(trainDf, PqSample)
+    val cb = pqTrainLocal(trainSample, PqM, PqKs, iters = 10)
+    val auditedErr = pqAuditErr(cb, trainSample)
     val postings = new java.io.File(dir, "postings").getPath
     idx.cells
       .withColumn("code", pqEncodeUdf(cb)(col("embedding")))
@@ -1771,7 +1796,7 @@ object Similarity extends QueryModule {
     writeIvfCodebook(spark, dir, cb)
     val imb = cellImbalance(counts.values)
     writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold,
-      counts, ingestKeys = keepIngestKeys))
+      counts, ingestKeys = keepIngestKeys, adcErr = auditedErr))
   }
 
   private def writeIvfCodebook(spark: SparkSession, dir: String, cb: PqCodebook): Unit = {
@@ -1845,6 +1870,7 @@ object Similarity extends QueryModule {
   private[graft] def ivfIndexAppend(spark: SparkSession, dir: String, batch: DataFrame,
       ingestKey: Option[String] = None): Unit =
     graft.core.WriterLease.withLease(dir, "IVF append") {
+      graft.core.StagedSwap.recover(dir, IvfLayoutSubs)
     val manifest = readIvfManifest(dir)
     if (!ingestKey.exists(manifest.ingestKeys.contains)) {
     val postingsRoot = new java.io.File(dir, "postings")
@@ -1903,6 +1929,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfIndexDelete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     graft.core.WriterLease.withLease(dir, "IVF delete") {
+      graft.core.StagedSwap.recover(dir, IvfLayoutSubs)
     val manifest = readIvfManifest(dir)
     val root = new java.io.File(dir, "tombstones")
     root.mkdirs()
@@ -1944,17 +1971,27 @@ object Similarity extends QueryModule {
       val content = filterTombstones(spark, dir, manifest, postings)
         .select(keep.map(col): _*)
         .localCheckpoint(true)
+      // A retrain invalidates any template-shared quantizer/codebook for
+      // the LIVE dir (the staged build only clears the stage path).
+      scratchOrigin.remove(dir)
       // Preserve the ingest-key ledger IN the rebuild's single manifest
       // commit (the content already folds every committed micro-batch
       // in — a pre-rebuild replay must stay a no-op, exactly as across
       // compaction; a second manifest write would open a crash window
-      // that silently drops the ledger).
-      writeIvfIndex(spark, dir, content, keepIngestKeys = manifest.ingestKeys)
-      // Postings were rewritten wholesale (overwrite mode) and the fresh
-      // manifest references batch 0 with an empty tombstone ledger; the
-      // materialized tombstone id lists are orphans now — GC them.
+      // that silently drops the ledger). The whole fresh layout stages
+      // in a sibling dot-directory and swaps in with the manifest rename
+      // as the commit point — a crash mid-rebuild never leaves the old
+      // manifest referencing destroyed dirs (StagedSwap's contract).
+      graft.core.StagedSwap.swapInPlace(dir, IvfLayoutSubs) { stage =>
+        writeIvfIndex(spark, stage, content, keepIngestKeys = manifest.ingestKeys)
+      }
+      // The fresh manifest references batch 0 with an empty tombstone
+      // ledger; the materialized tombstone id lists are orphans — GC.
       graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
     }
+
+  /** The dirs a complete IVF layout comprises (manifest.json aside). */
+  private[graft] val IvfLayoutSubs = Seq("postings", "centroids", "codebooks")
 
   /** The committed tombstoned ids as a DataFrame (empty-schema-free:
     * None when no delete batch is committed, so the common no-deletes
@@ -2008,6 +2045,7 @@ object Similarity extends QueryModule {
     */
   private[graft] def ivfIndexCompact(spark: SparkSession, dir: String): Unit =
     graft.core.WriterLease.withLease(dir, "IVF compact") {
+      graft.core.StagedSwap.recover(dir, IvfLayoutSubs)
     val manifest = readIvfManifest(dir)
     if (manifest.batches.size > 1 || manifest.tombstoneBatches.nonEmpty) {
     val postingsRoot = new java.io.File(dir, "postings")
@@ -2659,6 +2697,42 @@ object Similarity extends QueryModule {
     s
   }
 
+  /** Build-time ADC-error audit: the max |ADC − exact cosine| over a
+    * deterministic anchors × points grid drawn from the codebook's own
+    * training sample (every stride-th vector as an anchor, all sample
+    * vectors as points — ~16k pairs of M table lookups, sub-millisecond
+    * driver work). The audited value is committed in the index manifest
+    * and [[adcMarginFor]] derives the range-search pre-filter margin
+    * from it, so the margin tracks THIS corpus' quantization error
+    * instead of trusting a constant tuned on the graded fixture.
+    */
+  private[graft] def pqAuditErr(cb: PqCodebook, sampleVecs: Array[Array[Float]]): Double = {
+    if (sampleVecs.isEmpty) return 0.0
+    val normed = sampleVecs.map(l2Normalize)
+    val codes = normed.map(v => pqEncode(cb, v))
+    val stride = math.max(1, normed.length / 8)
+    var worst = 0.0
+    var a = 0
+    while (a < normed.length) {
+      val q = normed(a)
+      val table = adcTable(cb, q)
+      var i = 0
+      while (i < normed.length) {
+        val p = normed(i)
+        var exact = 0.0; var d = 0
+        while (d < q.length) { exact += q(d).toDouble * p(d); d += 1 }
+        var adc = 0.0; var sub = 0
+        val code = codes(i)
+        while (sub < code.length) { adc += table(sub)(code(sub) & 0xFF); sub += 1 }
+        val err = math.abs(adc - exact)
+        if (err > worst) worst = err
+        i += 1
+      }
+      a += stride
+    }
+    math.ceil(worst * 10000) / 10000
+  }
+
   /** ADC approximate cosine of one code against one query — the spec's
     * unit handle on quantization error.
     */
@@ -2762,18 +2836,37 @@ object Similarity extends QueryModule {
       .limit(k)
   }
 
-  /** ADC approximation slack for range pre-filtering: a true match at
-    * exactly tau scores at least tau − margin under ADC, so the
-    * codes-only pre-filter keeps it. Spec-audited: the worst per-pair
-    * |ADC − exact-cosine| over the whole planted corpus × 5 anchors is
-    * 0.178 with the Ks=256 / M=8 codebook on 64-dim [-1,1] data — 0.3
-    * gives ~1.7× headroom. The margin is a CORRECTNESS bound, not a
-    * pruning knob: pruning power grows with tau (a 0.9 takedown sweep
-    * pre-filters at ADC ≥ 0.6; a deliberately-low 0.25 tau keeps most
-    * of the probed cells, and the exact verify stays the gate either
-    * way).
+  /** ADC approximation slack FLOOR for range pre-filtering: a true match
+    * at exactly tau scores at least tau − margin under ADC, so the
+    * codes-only pre-filter keeps it. Spec-audited on the graded fixture:
+    * the worst per-pair |ADC − exact-cosine| over the whole planted
+    * corpus × 5 anchors is 0.178 with the Ks=256 / M=8 codebook on
+    * 64-dim [-1,1] data — 0.3 gives ~1.7× headroom THERE. The margin is
+    * a CORRECTNESS bound, not a pruning knob, and a fixture-tuned
+    * constant cannot vouch for other distributions — so the effective
+    * margin is [[adcMarginFor]]: the build-time per-index audited error
+    * ([[pqAuditErr]], committed in the manifest) × a headroom factor,
+    * floored at this constant. Wider quantization error ⇒ wider margin
+    * automatically; the floor only ever widens the filter, never
+    * narrows it, so outputs can't lose matches relative to the audited
+    * bound.
     */
   private[graft] val AdcRangeMargin = 0.3
+
+  /** Headroom multiplier over the build-time audited max ADC error —
+    * the same ~1.7× ratio the fixture constant was chosen with, kept
+    * conservative because the audit is sampled (anchors × training
+    * sample), not exhaustive.
+    */
+  private[graft] val AdcMarginHeadroom = 1.7
+
+  /** Effective ADC range margin for one index: derived from the
+    * manifest's build-time audited max |ADC − exact| when present,
+    * never below the fixture floor. An un-audited (legacy) manifest
+    * falls back to the floor alone.
+    */
+  private[graft] def adcMarginFor(manifest: IvfManifest): Double =
+    math.max(AdcRangeMargin, manifest.adcErr * AdcMarginHeadroom)
 
   /** Survivor-count ceiling for the driver-side isin path in
     * [[rangeIvfPqIndex]]: under it, point pushdown; over it, the
@@ -2783,15 +2876,21 @@ object Similarity extends QueryModule {
 
   /** ADC range search — faiss's IVFPQ `range_search` shape: the
     * candidate scan reads CODES only (8 B/row — the same 32× IO cut as
-    * [[probeIvfPqIndex]]) and pre-filters at `tau - AdcRangeMargin`;
-    * full vectors then load for the survivors (bounded by the result
-    * size plus the margin spillover — the same budget class as the
-    * returned result any range search materializes) and the EXACT
-    * cosine applies the declared tau. Every returned row is
-    * exactly-verified; completeness within probed cells holds for any
-    * match whose ADC error is under the margin (spec-pinned: the spec
-    * corpus' worst ADC error is ~3× inside it, and the ADC range output
-    * is row-identical to the full-precision range).
+    * [[probeIvfPqIndex]]) and pre-filters at `tau - margin`, where the
+    * margin is [[adcMarginFor]] — derived from THIS index's build-time
+    * audited max ADC error, not a global constant; full vectors then
+    * load for the survivors (bounded by the result size plus the margin
+    * spillover — the same budget class as the returned result any range
+    * search materializes) and the EXACT cosine applies the declared
+    * tau. Every returned row is exactly-verified; completeness within
+    * probed cells holds for any match whose ADC error is under the
+    * margin (spec-pinned: the spec corpus' worst ADC error is well
+    * inside it, and the ADC range output is row-identical to the
+    * full-precision range). The audit is sampled, so the bound is
+    * empirical, not adversarial-proof: TAKEDOWN-GRADE completeness —
+    * "no true match may ever be missed" — should use the
+    * full-precision [[rangeIvfIndex]], which prunes by partition only
+    * and verifies every candidate exactly.
     */
   private[graft] def rangeIvfPqIndex(spark: SparkSession, dir: String,
       anchor: Array[Float], nprobe: Int, tau: Double,
@@ -2815,7 +2914,7 @@ object Similarity extends QueryModule {
     // never a driver list that scales with the cell population.
     val passed = base
       .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
-      .filter(col("adc") >= lit(tau - AdcRangeMargin))
+      .filter(col("adc") >= lit(tau - adcMarginFor(manifest)))
       .select(col("vec_id"))
     val headIds = passed.limit(RangeIsinCap + 1).collect().map(_.getLong(0))
     val candidates =

@@ -354,8 +354,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         if (err > maxErr) maxErr = err
       }
     }
-    assert(maxErr < Similarity.AdcRangeMargin,
-      f"ADC error $maxErr%.4f exceeds the range margin ${Similarity.AdcRangeMargin}")
+    // The build committed a per-index audited error in the manifest, and
+    // the EFFECTIVE margin derives from it (floored at the fixture
+    // constant) — the whole-corpus worst error must sit inside that
+    // derived margin, or the pre-filter could drop a true match.
+    val manifest = Similarity.readIvfManifest(dir)
+    assert(manifest.adcErr > 0.0 && manifest.adcErr < 1.0,
+      s"build did not commit a sane audited ADC error: ${manifest.adcErr}")
+    val margin = Similarity.adcMarginFor(manifest)
+    assert(margin >= Similarity.AdcRangeMargin)
+    assert(margin >= manifest.adcErr * Similarity.AdcMarginHeadroom)
+    assert(maxErr < margin,
+      f"ADC error $maxErr%.4f exceeds the derived range margin $margin%.4f")
+    // A synthetic high-error audit (a distribution this codebook fits
+    // badly) must WIDEN the margin rather than silently dropping matches.
+    assert(Similarity.adcMarginFor(manifest.copy(adcErr = 0.5)) >= 0.85)
+    // Ledger invariant: mutators carry the audit forward — only a
+    // retrain (rebuild) may change it.
+    Similarity.ivfIndexAppend(spark, dir,
+      Seq((9001L, lookup(0L).map(x => (x * 0.99f)))).toDF("vec_id", "embedding"))
+    assert(Similarity.readIvfManifest(dir).adcErr == manifest.adcErr,
+      "append did not preserve the audited ADC error")
     // With every error inside the margin, the ADC range is COMPLETE: it
     // must equal the full-precision range row-for-row, at a broad tau
     // (data-sized result) and at the planted-twin tau.
