@@ -40,28 +40,21 @@ object Aggregates extends QueryModule {
     // HLL++ sketch: one pass, fixed memory, merges across partitions —
     // the scale path where exact distinct would shuffle every key.
     //
-    // Partial-oracle shape (r10, the ANN tap pattern): the sketch
-    // ESTIMATE — the one leg DuckDB cannot recompute — is tapped; the
-    // output joins it against the exact distinct count and declares the
-    // relative error + an error-envelope verdict (5%, generous vs the
-    // lgConfigK=12 rsd of ~1.6%). DuckDB recomputes exact/rel_err/
-    // within_bound wholesale from the tap + lineitem, so the exact side
-    // and the envelope arithmetic are hash-matched; the estimate's own
-    // merge/error properties are SketchSpec's (the same split as the
-    // MinHash signature kernel). Error truncation (floor) keeps the
-    // boundary off Spark-vs-DuckDB HALF_UP divergence.
+    // Partial-oracle shape (r11): the entry runs the SKETCH ALONE — the
+    // timed cost is sketch economics, the very thing the operator exists
+    // to demonstrate — and the 5% error envelope (generous vs the
+    // lgConfigK=12 rsd of ~1.6%) is enforced entirely oracle-side: DuckDB
+    // recomputes the exact distinct counts and its WHERE keeps a group
+    // only if the tapped estimate sits inside the envelope, so a breach
+    // drops rows and fails the row/hash compare. (The r10 form computed
+    // the exact countDistinct INSIDE the timed entry to emit the verdict
+    // columns — the entry's cost was dominated by the exact path the
+    // sketch exists to avoid.) The estimate's own merge/error properties
+    // are SketchSpec's, same split as the MinHash signature kernel.
     val est = Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
-    val tapped = graft.ext.OracleTap(spark, "approx_distinct_est", est)
-    val exact = Tables(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    val err = floor(abs(col("approx_parts").cast("double") - col("exact_parts")) /
-      col("exact_parts") * 10000) / 10000
-    tapped.join(exact, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
-        err.as("rel_err"), (err <= 0.05).as("within_bound"))
+    graft.ext.OracleTap(spark, "approx_distinct_est", est)
       .orderBy("l_returnflag")
   }
 
@@ -368,19 +361,19 @@ object Aggregates extends QueryModule {
              count(DISTINCT l_suppkey) AS n_supps,
              count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
-    // Partial oracle (r10): estimate tapped; DuckDB recomputes the exact
-    // distinct counts, relative error, and envelope verdict wholesale.
+    // Partial oracle (r11): the estimate is tapped; DuckDB recomputes the
+    // exact distinct counts and ENFORCES the 5% envelope in its WHERE —
+    // an out-of-envelope group vanishes from the oracle output and the
+    // row/hash compare fails. The timed entry never runs the exact path.
     "q_agg_approx_distinct" -> QueryDef(aggApproxDistinct, Some("""
       WITH est AS (SELECT l_returnflag, approx_parts
                    FROM read_parquet('/tmp/graft_oracle_aux/approx_distinct_est/*.parquet')),
       exact AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
                 FROM lineitem GROUP BY l_returnflag)
-      SELECT e.l_returnflag, e.approx_parts, x.exact_parts,
-             floor(abs(CAST(e.approx_parts AS DOUBLE) - x.exact_parts)
-                   / x.exact_parts * 10000) / 10000 AS rel_err,
-             floor(abs(CAST(e.approx_parts AS DOUBLE) - x.exact_parts)
-                   / x.exact_parts * 10000) / 10000 <= 0.05 AS within_bound
+      SELECT e.l_returnflag, e.approx_parts
       FROM est e JOIN exact x USING (l_returnflag)
+      WHERE abs(CAST(e.approx_parts AS DOUBLE) - x.exact_parts)
+            / x.exact_parts <= 0.05
       ORDER BY e.l_returnflag""")),
     "q_udaf_stats" -> QueryDef(udafStats, Some("""
       SELECT l_returnflag,

@@ -101,14 +101,16 @@ object Reshape extends QueryModule {
     // The sketch path (KLL-style, fixed memory, mergeable) — what actually
     // runs at 100 TB; q_percentiles above is its exact audit twin.
     //
-    // Partial-oracle shape (r10): the sketch estimates are tapped; the
-    // output joins them against the EXACT per-group percentiles and
-    // declares per-percentile relative errors + an envelope verdict
-    // (1% on value — generous vs the accuracy=10000 rank bound on these
-    // distributions). DuckDB recomputes exact (quantile_cont — the
-    // hash-green twin q_percentiles already proves the exact sides
-    // agree), the errors, and the verdict wholesale from the tap;
-    // floor-truncation keeps the boundaries off HALF_UP divergence.
+    // Partial-oracle shape (r11): the entry runs the SKETCH ALONE, so its
+    // timed cost is sketch economics; the 1% error envelope (generous vs
+    // the accuracy=10000 rank bound on these distributions) is enforced
+    // entirely oracle-side — DuckDB recomputes the exact per-group
+    // percentiles (quantile_cont — the hash-green twin q_percentiles
+    // already proves the exact sides agree) and its WHERE keeps a group
+    // only if every tapped estimate sits inside the envelope, so a breach
+    // drops rows and fails the row/hash compare. (The r10 form ran the
+    // exact two-scan histogram INSIDE the timed entry to emit verdict
+    // columns — dominating the entry with the path the sketch avoids.)
     val est = Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
@@ -117,23 +119,7 @@ object Reshape extends QueryModule {
         round(element_at(col("pcts"), 1), 2).as("p50"),
         round(element_at(col("pcts"), 2), 2).as("p90"),
         round(element_at(col("pcts"), 3), 2).as("p99"))
-    val tapped = graft.ext.OracleTap(spark, "approx_pct_est", est)
-    val exact = exactPercentiles(Tables(spark, sfDir, "lineitem"),
-        "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(max(when(col("p") === 0.5, col("pct"))), 4).as("e50"),
-        round(max(when(col("p") === 0.9, col("pct"))), 4).as("e90"),
-        round(max(when(col("p") === 0.99, col("pct"))), 4).as("e99"))
-    def err(a: String, e: String) =
-      floor(abs(col(a) - col(e)) / col(e) * 10000) / 10000
-    tapped.join(exact, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
-        err("p50", "e50").as("err50"),
-        err("p90", "e90").as("err90"),
-        err("p99", "e99").as("err99"),
-        (err("p50", "e50") <= 0.01 && err("p90", "e90") <= 0.01 &&
-          err("p99", "e99") <= 0.01).as("within_bound"))
+    graft.ext.OracleTap(spark, "approx_pct_est", est)
       .orderBy("l_returnflag")
   }
 
@@ -288,9 +274,10 @@ object Reshape extends QueryModule {
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
              round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
-    // Partial oracle (r10): estimates tapped; DuckDB recomputes the exact
-    // percentiles (quantile_cont), per-percentile errors, and the
-    // envelope verdict wholesale.
+    // Partial oracle (r11): estimates tapped; DuckDB recomputes the exact
+    // percentiles and ENFORCES the 1% envelope in its WHERE — an
+    // out-of-envelope group vanishes from the oracle output and the
+    // row/hash compare fails. The timed entry never runs the exact path.
     "q_approx_percentiles" -> QueryDef(approxPercentiles, Some("""
       WITH est AS (SELECT l_returnflag, p50, p90, p99
                    FROM read_parquet('/tmp/graft_oracle_aux/approx_pct_est/*.parquet')),
@@ -299,14 +286,11 @@ object Reshape extends QueryModule {
                        round(quantile_cont(l_extendedprice, 0.9), 4) AS e90,
                        round(quantile_cont(l_extendedprice, 0.99), 4) AS e99
                 FROM lineitem GROUP BY l_returnflag)
-      SELECT e.l_returnflag, e.p50, e.p90, e.p99,
-             floor(abs(e.p50 - x.e50) / x.e50 * 10000) / 10000 AS err50,
-             floor(abs(e.p90 - x.e90) / x.e90 * 10000) / 10000 AS err90,
-             floor(abs(e.p99 - x.e99) / x.e99 * 10000) / 10000 AS err99,
-             (floor(abs(e.p50 - x.e50) / x.e50 * 10000) / 10000 <= 0.01 AND
-              floor(abs(e.p90 - x.e90) / x.e90 * 10000) / 10000 <= 0.01 AND
-              floor(abs(e.p99 - x.e99) / x.e99 * 10000) / 10000 <= 0.01) AS within_bound
+      SELECT e.l_returnflag, e.p50, e.p90, e.p99
       FROM est e JOIN exact x USING (l_returnflag)
+      WHERE abs(e.p50 - x.e50) / x.e50 <= 0.01
+        AND abs(e.p90 - x.e90) / x.e90 <= 0.01
+        AND abs(e.p99 - x.e99) / x.e99 <= 0.01
       ORDER BY e.l_returnflag""")),
     "q_gap_fill" -> QueryDef(gapFill, Some("""
       WITH daily AS (
