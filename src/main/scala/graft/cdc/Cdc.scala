@@ -237,6 +237,85 @@ object Cdc extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Multi-version snapshot lineage + time travel — the history the
+    * reference's INSERT OVERWRITE snapshot (README.md:222) throws away,
+    * kept the lakehouse way: each snapshot version commits as an
+    * immutable `version=N` directory under an atomically-replaced
+    * versions manifest (staged-rename write, manifest LAST — the same
+    * crash-safe commit protocol as the ANN/minhash index batches, so a
+    * crashed writer's half-written version is invisible to readers and
+    * "AS OF v" resolves only committed versions). Three latest-state
+    * snapshots commit at growing ts cutoffs; the entry then time-travels
+    * — reads AS OF v2 and AS OF v3 through the manifest — and emits the
+    * per-entity CHANGES between them (first-appearing vs updated
+    * entities with both versions' state): the audit a reproducibility
+    * check ("what did training snapshot v2 contain, and what changed
+    * since?") actually runs. At 100 TB each version dir is partitioned/
+    * bucketed on the merge key and the diff is a co-partitioned join;
+    * storage dedup across versions (shared unchanged files) is the
+    * format-level concern the manifest pointer design leaves open.
+    */
+  private val ttCut1 = "2024-01-11 00:00:00"
+
+  private[graft] def writeVersionsManifest(dir: String, versions: Seq[Int]): Unit = {
+    val tmp = new java.io.File(dir, ".manifest.tmp").toPath
+    java.nio.file.Files.write(tmp,
+      s"""{"versions":[${versions.mkString(",")}]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, new java.io.File(dir, "manifest.json").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private[graft] def committedVersions(dir: String): Seq[Int] = {
+    val s = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "manifest.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\\[([0-9,]*)\\]".r.findFirstMatchIn(s).map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').map(_.toInt).toSeq).getOrElse(Seq.empty)
+  }
+
+  /** Manifest-gated as-of read: only committed versions resolve. */
+  private[graft] def readAsOf(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    require(committedVersions(dir).contains(version),
+      s"time travel to uncommitted version $version of $dir")
+    spark.read.parquet(new java.io.File(dir, s"version=$version").getPath)
+  }
+
+  /** Commit one snapshot version: staged write, atomic rename into
+    * `version=N`, manifest replaced LAST — the single commit point.
+    */
+  private[graft] def commitVersion(dir: String, version: Int, df: DataFrame): Unit = {
+    val staging = new java.io.File(dir, s".version_$version")
+    df.write.mode("overwrite").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath,
+      new java.io.File(dir, s"version=$version").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeVersionsManifest(dir, 1 to version)
+  }
+
+  def timeTravelDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = graft.core.TempDirs.create("graft_time_travel")
+    val ev = Tables(spark, sfDir, "events")
+    Seq(Some(ttCut1), Some(cutoff), None).zipWithIndex.foreach { case (cut, i) =>
+      val slice = cut.fold(ev)(c => ev.filter(col("ts") < lit(c).cast(TimestampType)))
+      commitVersion(dir, i + 1,
+        latestState(slice, "user_id", "ts", "event_id")
+          .select(col("user_id") +: mergeCols.map(col): _*))
+    }
+    val v2 = readAsOf(spark, dir, 2).alias("old")
+    val v3 = readAsOf(spark, dir, 3).alias("new")
+    v3.join(v2, col("new.user_id") === col("old.user_id"), "left")
+      .filter(col("old.user_id").isNull || col("old.event_id") =!= col("new.event_id"))
+      .select(col("new.user_id").as("user_id"),
+        when(col("old.user_id").isNull, lit("added")).otherwise(lit("updated")).as("change"),
+        col("old.event_id").as("event_id_v2"),
+        col("new.event_id").as("event_id_v3"),
+        round(col("old.value"), 2).as("value_v2"),
+        round(col("new.value"), 2).as("value_v3"))
+      .orderBy("user_id")
+  }
+
   private def scanPruneDt(spark: SparkSession, sfDir: String): DataFrame =
     // R10: partition-pruned scan. The `dt` derivation is the write-side
     // partition column (R4); filtering on it prunes partitions when the
@@ -265,6 +344,22 @@ object Cdc extends QueryModule {
              COALESCE(t2.ts, t1.ts) AS ts
       FROM snap t1 FULL OUTER JOIN delta t2 ON t1.user_id = t2.user_id
       ORDER BY user_id""")),
+    "q_time_travel" -> QueryDef(timeTravelDiff, Some(s"""
+      WITH v2 AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e WHERE ts < TIMESTAMP '$cutoff') WHERE rn = 1),
+      v3 AS (
+        SELECT * FROM (
+          SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events e) WHERE rn = 1)
+      SELECT v3.user_id,
+             CASE WHEN v2.user_id IS NULL THEN 'added' ELSE 'updated' END AS change,
+             v2.event_id AS event_id_v2, v3.event_id AS event_id_v3,
+             round(v2.value, 2) AS value_v2, round(v3.value, 2) AS value_v3
+      FROM v3 LEFT JOIN v2 ON v2.user_id = v3.user_id
+      WHERE v2.user_id IS NULL OR v2.event_id <> v3.event_id
+      ORDER BY v3.user_id""")),
     "q_scd2_intervals" -> QueryDef(scd2Intervals, Some("""
       SELECT user_id, event_id, event_type, round(value, 2) AS value,
              ts AS valid_from,

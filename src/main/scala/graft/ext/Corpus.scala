@@ -316,7 +316,41 @@ object Corpus extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-label mean embedding — the class-centroid / domain-embedding
+    * aggregate (the seed step of semantic mixing, clustering and
+    * drift monitoring over a 100 TB embedding corpus). Runs through the
+    * typed [[graft.functions.Udafs.CentroidAgg]] aggregator, so the
+    * group-by plans with map-side combine and only dim-length buffers
+    * cross the exchange — the naive posexplode + groupBy(label, pos)
+    * shape re-shuffles the corpus ×dim instead. Means are rounded to 4
+    * decimals in the PLAN (codegen'd transform), keeping summation-order
+    * float drift off the compare.
+    */
+  private def embedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroid = udaf(graft.functions.Udafs.CentroidAgg)
+    Tables(spark, sfDir, "embeddings")
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("raw"), count(lit(1)).as("n_vecs"))
+      // Long-format output (label, pos, mean_v): the EXPLODE runs on the
+      // label-sized RESULT (groups × dim rows), not the corpus — the
+      // aggregation itself shuffled only dim-length buffers.
+      .select(col("label"), col("n_vecs"), posexplode(col("raw")))
+      .select(col("label"), (col("pos") + 1).cast(LongType).as("pos"),
+        round(col("col"), 4).as("mean_v"), col("n_vecs"))
+      .orderBy("label", "pos")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_embed_centroids" -> QueryDef(embedCentroids, Some("""
+      WITH ex AS (
+        SELECT label, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings),
+      m AS (SELECT label, pos, round(avg(v), 4) AS mean_v
+            FROM ex GROUP BY label, pos),
+      n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+      SELECT m.label, m.pos, m.mean_v, n.n_vecs
+      FROM m JOIN n USING (label) ORDER BY label, pos""")),
     "q_chunk_tokens" -> QueryDef(chunkTokens, Some("""
       WITH t AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

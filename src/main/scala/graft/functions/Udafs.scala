@@ -30,4 +30,44 @@ object Udafs {
     override def bufferEncoder: Encoder[StatsBuf] = Encoders.product[StatsBuf]
     override def outputEncoder: Encoder[Stats] = Encoders.product[Stats]
   }
+
+  case class VecBuf(sum: Array[Double], n: Long)
+
+  /** Element-wise mean of an embedding column — the class-centroid /
+    * domain-embedding aggregate of a training pipeline. The buffer is a
+    * single dim-length double vector + count, so the group-by plans with
+    * MAP-SIDE COMBINE: each task folds its rows into one 512-byte buffer
+    * per group and only buffers cross the exchange — against the naive
+    * posexplode + groupBy(label, pos) shape, which amplifies every row
+    * ×dim BEFORE its shuffle. At 100 TB of embeddings that is the
+    * difference between shuffling ~groups·dim doubles and re-shuffling
+    * the corpus 64-fold.
+    */
+  object CentroidAgg extends Aggregator[Array[Float], VecBuf, Array[Double]] {
+    override def zero: VecBuf = VecBuf(Array.empty, 0L)
+    override def reduce(b: VecBuf, v: Array[Float]): VecBuf = {
+      if (b.n == 0L) {
+        val s = new Array[Double](v.length)
+        var i = 0; while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
+        VecBuf(s, 1L)
+      } else {
+        val s = b.sum
+        var i = 0; while (i < v.length) { s(i) += v(i); i += 1 }
+        VecBuf(s, b.n + 1)
+      }
+    }
+    override def merge(a: VecBuf, b: VecBuf): VecBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        val s = a.sum
+        var i = 0; while (i < s.length) { s(i) += b.sum(i); i += 1 }
+        VecBuf(s, a.n + b.n)
+      }
+    override def finish(b: VecBuf): Array[Double] =
+      if (b.n == 0L) Array.empty else b.sum.map(_ / b.n)
+    override def bufferEncoder: Encoder[VecBuf] = Encoders.product[VecBuf]
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Iterative graph analytics on DataFrames — the family a lineage /
+  * influence / link-analysis pass over a 100 TB corpus graph needs.
+  * The reference's engine has no graph operators; this is part of the
+  * declared large-scale-pipeline extension surface (SURVEY §2.2).
+  *
+  * Execution shape (the one that survives scale): the graph lives as an
+  * EDGE DataFrame; one iteration is contributions = edges ⋈ ranks on
+  * src, then groupBy(dst).sum — i.e. exactly one co-partitionable
+  * shuffle per iteration, with map-side partial aggregation folding each
+  * partition's contributions before the exchange. Ranks stay a
+  * node-sized DataFrame (never a driver structure); iterations
+  * localCheckpoint to truncate lineage, the standard Spark idiom for
+  * iterative jobs (plan growth, not data, is the iteration killer).
+  * At 100 TB the edge table is bucketed by src so the per-iteration join
+  * reuses one partitioning; AQE broadcast-picks the rank side while it
+  * fits and falls back to shuffle join when it doesn't.
+  */
+object Graph extends QueryModule {
+
+  private val Damping = 0.85
+  private val Iters = 3
+  /** Offset separating supplier node ids from part node ids in the
+    * bipartite projection (suppliers are 0-padded well below it).
+    */
+  private val SuppBase = 1000000L
+
+  /** PageRank over the part↔supplier bipartite graph projected from
+    * lineitem (both directions, so every node has out-degree ≥ 1 and no
+    * dangling-mass correction is needed). Fixed [[Iters]] power
+    * iterations from the uniform vector with damping [[Damping]];
+    * output is the top 100 nodes by rank, normalized to rank·N so the
+    * interesting digits survive a fixed 6-decimal rounding.
+    */
+  /** Power-iterate PageRank over a directed edge DataFrame (`src`,
+    * `dst`), every node assumed to have out-degree ≥ 1 (callers
+    * symmetrize or pre-handle dangling mass). Returns (node, r).
+    */
+  private[graft] def pagerankOn(edges0: DataFrame, iters: Int = Iters,
+      damping: Double = Damping): DataFrame = {
+    val edges = edges0.persist()
+    try {
+      val nodes = edges.select(col("src").as("node")).distinct().persist()
+      try {
+        val n = nodes.count().toDouble
+        // Out-degree rides ON the edge rows (joined once, outside the
+        // loop) so an iteration touches exactly edges + ranks.
+        val edgesDeg = edges
+          .join(edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
+          .persist()
+        try {
+          var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+          (1 to iters).foreach { _ =>
+            val inflow = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+              .select(col("dst"), (col("r") / col("outdeg")).as("c"))
+              .groupBy("dst").agg(sum(col("c")).as("inflow"))
+            ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+              .select(col("node"),
+                (lit((1.0 - damping) / n) +
+                  lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+              .localCheckpoint(true) // truncate lineage; node-sized, tiny
+          }
+          ranks
+        } finally { edgesDeg.unpersist(); () }
+      } finally { nodes.unpersist(); () }
+    } finally { edges.unpersist(); () }
+  }
+
+  /** The bipartite part↔supplier edge set projected from lineitem, both
+    * directions — so every node has out-degree ≥ 1 and no dangling-mass
+    * correction is needed.
+    */
+  private[graft] def bipartiteEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val bip = Tables(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    bip.select(col("p").as("src"), (col("s") + lit(SuppBase)).as("dst"))
+      .unionByName(bip.select((col("s") + lit(SuppBase)).as("src"), col("p").as("dst")))
+  }
+
+  private def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranks = pagerankOn(bipartiteEdges(spark, sfDir))
+    val n = ranks.count().toDouble // node-sized relation; count is exact and cheap
+    ranks.select(
+      when(col("node") >= SuppBase, lit("supplier")).otherwise(lit("part"))
+        .as("node_type"),
+      when(col("node") >= SuppBase, col("node") - SuppBase).otherwise(col("node"))
+        .as("node_id"),
+      round(col("r") * n, 6).as("norm_rank"))
+      .orderBy(col("norm_rank").desc, col("node_type"), col("node_id"))
+      .limit(100)
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_pagerank" -> QueryDef(pagerank, Some(s"""
+      WITH bip AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      edges AS (
+        SELECT p AS src, $SuppBase + s AS dst FROM bip
+        UNION ALL
+        SELECT $SuppBase + s AS src, p AS dst FROM bip),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+      deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+      r1 AS (SELECT nodes.node,
+                    0.15 / (SELECT n FROM nn) +
+                    0.85 * coalesce(sum(r0.r / deg.outdeg), 0) AS r
+             FROM nodes
+             LEFT JOIN edges ON edges.dst = nodes.node
+             LEFT JOIN r0 ON r0.node = edges.src
+             LEFT JOIN deg ON deg.src = edges.src
+             GROUP BY nodes.node),
+      r2 AS (SELECT nodes.node,
+                    0.15 / (SELECT n FROM nn) +
+                    0.85 * coalesce(sum(r1.r / deg.outdeg), 0) AS r
+             FROM nodes
+             LEFT JOIN edges ON edges.dst = nodes.node
+             LEFT JOIN r1 ON r1.node = edges.src
+             LEFT JOIN deg ON deg.src = edges.src
+             GROUP BY nodes.node),
+      r3 AS (SELECT nodes.node,
+                    0.15 / (SELECT n FROM nn) +
+                    0.85 * coalesce(sum(r2.r / deg.outdeg), 0) AS r
+             FROM nodes
+             LEFT JOIN edges ON edges.dst = nodes.node
+             LEFT JOIN r2 ON r2.node = edges.src
+             LEFT JOIN deg ON deg.src = edges.src
+             GROUP BY nodes.node)
+      SELECT CASE WHEN node >= $SuppBase THEN 'supplier' ELSE 'part' END AS node_type,
+             CASE WHEN node >= $SuppBase THEN node - $SuppBase ELSE node END AS node_id,
+             round(r * (SELECT n FROM nn), 6) AS norm_rank
+      FROM r3
+      ORDER BY norm_rank DESC, node_type, node_id
+      LIMIT 100""")))
+}
