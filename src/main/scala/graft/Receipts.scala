@@ -483,6 +483,64 @@ object Receipts {
       }
       spark.stop()
 
+    case "pagerank" =>
+      // Iterative-graph scale story: the data-sized cost is the edge
+      // projection (distinct over lineitem); the iterations themselves
+      // touch only node/edge-sized relations. Point at a ScaleGen dir to
+      // measure the data-sized leg at 20×/100×.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "lineitem").queryExecution.toRdd.count()
+      time("q_pagerank", SparkEntry.queries("q_pagerank")(spark, sfDir))
+      spark.stop()
+
+    case "centroids" =>
+      // Aggregation-shape A/B behind q_embed_centroids' design choice.
+      // BOTH shapes partial-aggregate before their exchange (the hash
+      // aggregate combines avg map-side too), so the candidate trade was
+      // hash-state width per group — dim scalar entries (posexplode) vs
+      // one array buffer (the typed CentroidAgg, kept here as the
+      // measurement twin, like Scalars.mathProjection) — against the
+      // aggregator's per-row object-encoder cost. Measured crossover:
+      // the typed path edges ahead at the few-label fixture, the
+      // codegen'd posexplode shape wins 3× at row-cardinality group
+      // counts — the regime where aggregation shape matters — so the
+      // registry entry uses the codegen shape.
+      val sfDir = args(1)
+      val spark = session()
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      e.queryExecution.toRdd.count()
+      val centroid = udaf(graft.functions.Udafs.CentroidAgg)
+      time("q_embed_centroids (posexplode codegen, label groups)",
+        SparkEntry.queries("q_embed_centroids")(spark, sfDir))
+      time("CentroidAgg twin (label groups)",
+        e.groupBy(col("label"))
+          .agg(centroid(col("embedding")).as("raw"))
+          .select(col("label"), posexplode(col("raw")))
+          .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+            round(col("col"), 4).as("mean_v"))
+          .orderBy("label", "pos"))
+      time("posexplode (row-cardinality groups)",
+        e.select(col("vec_id").as("g"), posexplode(col("embedding")))
+          .groupBy(col("g"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("m"))
+          .filter(col("pos") === 0).select(col("g"), col("m")))
+      time("CentroidAgg (row-cardinality groups)",
+        e.groupBy(col("vec_id").as("g"))
+          .agg(centroid(col("embedding")).as("raw"))
+          .select(col("g"), element_at(col("raw"), 1).as("m1")))
+      spark.stop()
+
+    case "timetravel" =>
+      // Versioned-snapshot economics: three latest-state commits (each
+      // one entity-key exchange + a staged-rename publish) plus the
+      // manifest-gated v2↔v3 diff join.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "events").queryExecution.toRdd.count()
+      time("q_time_travel", SparkEntry.queries("q_time_travel")(spark, sfDir))
+      spark.stop()
+
     case "ivfappend" =>
       // Incremental-ingest cost of the persisted ANN index: append a
       // 2000-vector batch against the existing quantizer. O(batch·C)

@@ -317,28 +317,26 @@ object Corpus extends QueryModule {
   }
 
   /** Per-label mean embedding — the class-centroid / domain-embedding
-    * aggregate (the seed step of semantic mixing, clustering and
-    * drift monitoring over a 100 TB embedding corpus). Runs through the
-    * typed [[graft.functions.Udafs.CentroidAgg]] aggregator, so the
-    * group-by plans with map-side combine and only dim-length buffers
-    * cross the exchange — the naive posexplode + groupBy(label, pos)
-    * shape re-shuffles the corpus ×dim instead. Means are rounded to 4
-    * decimals in the PLAN (codegen'd transform), keeping summation-order
-    * float drift off the compare.
+    * aggregate (the seed step of semantic mixing, clustering and drift
+    * monitoring over a 100 TB embedding corpus). Shape: posexplode +
+    * groupBy(label, pos) — fully inside whole-stage codegen, and the
+    * hash aggregate PARTIALLY aggregates map-side, so despite the ×dim
+    * row amplification only (tasks × labels × dim) scalar buffers ever
+    * cross the exchange. Measured against a typed Aggregator carrying a
+    * dim-length array buffer per group (`Receipts centroids`): the
+    * codegen'd explode shape won at every fixture scale, including
+    * row-cardinality group counts (0.54 s vs 1.30 s warm at 100×) —
+    * the per-row object encoder costs more than the wider hash state
+    * saves, so "functions, not UDFs" holds even for array-valued
+    * aggregation.
     */
-  private def embedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val centroid = udaf(graft.functions.Udafs.CentroidAgg)
+  private def embedCentroids(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "embeddings")
-      .groupBy(col("label"))
-      .agg(centroid(col("embedding")).as("raw"), count(lit(1)).as("n_vecs"))
-      // Long-format output (label, pos, mean_v): the EXPLODE runs on the
-      // label-sized RESULT (groups × dim rows), not the corpus — the
-      // aggregation itself shuffled only dim-length buffers.
-      .select(col("label"), col("n_vecs"), posexplode(col("raw")))
-      .select(col("label"), (col("pos") + 1).cast(LongType).as("pos"),
-        round(col("col"), 4).as("mean_v"), col("n_vecs"))
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast(LongType).as("pos"))
+      .agg(round(avg(col("col").cast(DoubleType)), 4).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
-  }
 
   override val defs: Map[String, QueryDef] = Map(
     "q_embed_centroids" -> QueryDef(embedCentroids, Some("""

@@ -33,15 +33,19 @@ object Udafs {
 
   case class VecBuf(sum: Array[Double], n: Long)
 
-  /** Element-wise mean of an embedding column — the class-centroid /
-    * domain-embedding aggregate of a training pipeline. The buffer is a
-    * single dim-length double vector + count, so the group-by plans with
-    * MAP-SIDE COMBINE: each task folds its rows into one 512-byte buffer
-    * per group and only buffers cross the exchange — against the naive
-    * posexplode + groupBy(label, pos) shape, which amplifies every row
-    * ×dim BEFORE its shuffle. At 100 TB of embeddings that is the
-    * difference between shuffling ~groups·dim doubles and re-shuffling
-    * the corpus 64-fold.
+  /** Element-wise mean of an embedding column as a typed Aggregator —
+    * kept as the measured ALTERNATIVE behind q_embed_centroids' design
+    * choice (`Receipts centroids`), not its implementation. The buffer
+    * is one dim-length double vector + count (map-side combine, narrow
+    * hash state: one entry per group vs posexplode's dim entries).
+    * Measured crossover: at FEW groups the typed path edges ahead
+    * (encoder cost amortizes, hash table narrow), but at row-cardinality
+    * group counts it loses 3× to the fully codegen'd posexplode +
+    * hash-partial-agg shape — per-group finish/encode grows with
+    * groups, and both shapes partial-aggregate anyway so the exchange
+    * was never the difference. The registry entry uses the codegen
+    * shape (the winner in the regime where shape matters); this
+    * Aggregator keeps the decision re-measurable.
     */
   object CentroidAgg extends Aggregator[Array[Float], VecBuf, Array[Double]] {
     override def zero: VecBuf = VecBuf(Array.empty, 0L)

@@ -40,36 +40,44 @@ object Graph extends QueryModule {
     */
   /** Power-iterate PageRank over a directed edge DataFrame (`src`,
     * `dst`), every node assumed to have out-degree ≥ 1 (callers
-    * symmetrize or pre-handle dangling mass). Returns (node, r).
+    * symmetrize or pre-handle dangling mass). Returns (node, r) and the
+    * node count.
+    *
+    * The iteration chain stays LAZY: a fixed small iteration count
+    * compiles into one declarative plan (Catalyst sees all three
+    * contribution joins at once, AQE sizes every exchange), so the whole
+    * rank computation is a single job instead of one materialization per
+    * iteration — the per-iteration scheduling floor was 4× the actual
+    * compute at fixture scale. Long-horizon iterative jobs are where
+    * lineage growth, not data, becomes the killer; `checkpointEvery`
+    * truncates the plan at that cadence (node-sized, tiny) without
+    * changing values.
     */
   private[graft] def pagerankOn(edges0: DataFrame, iters: Int = Iters,
-      damping: Double = Damping): DataFrame = {
+      damping: Double = Damping, checkpointEvery: Int = 8): (DataFrame, Double) = {
+    // Reused by the degree aggregate and all `iters` contribution joins
+    // inside ONE action — persist so the lineitem projection runs once.
     val edges = edges0.persist()
-    try {
-      val nodes = edges.select(col("src").as("node")).distinct().persist()
-      try {
-        val n = nodes.count().toDouble
-        // Out-degree rides ON the edge rows (joined once, outside the
-        // loop) so an iteration touches exactly edges + ranks.
-        val edgesDeg = edges
-          .join(edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
-          .persist()
-        try {
-          var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
-          (1 to iters).foreach { _ =>
-            val inflow = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
-              .select(col("dst"), (col("r") / col("outdeg")).as("c"))
-              .groupBy("dst").agg(sum(col("c")).as("inflow"))
-            ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-              .select(col("node"),
-                (lit((1.0 - damping) / n) +
-                  lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
-              .localCheckpoint(true) // truncate lineage; node-sized, tiny
-          }
-          ranks
-        } finally { edgesDeg.unpersist(); () }
-      } finally { nodes.unpersist(); () }
-    } finally { edges.unpersist(); () }
+    val nodes = edges.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count().toDouble
+    // Out-degree rides ON the edge rows (joined once, outside the loop)
+    // so an iteration touches exactly edges + ranks.
+    val edgesDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
+      .persist()
+    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    (1 to iters).foreach { i =>
+      val inflow = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), (col("r") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    (ranks, n)
   }
 
   /** The bipartite part↔supplier edge set projected from lineitem, both
@@ -85,8 +93,7 @@ object Graph extends QueryModule {
   }
 
   private def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val ranks = pagerankOn(bipartiteEdges(spark, sfDir))
-    val n = ranks.count().toDouble // node-sized relation; count is exact and cheap
+    val (ranks, n) = pagerankOn(bipartiteEdges(spark, sfDir))
     ranks.select(
       when(col("node") >= SuppBase, lit("supplier")).otherwise(lit("part"))
         .as("node_type"),

@@ -45,22 +45,28 @@ class CentroidSpec extends AnyFunSuite with SparkTest {
     assert(CentroidAgg.finish(again).toSeq == Seq(5.5, 6.0))
   }
 
-  test("the registry entry aggregates with map-side combine (partial aggregation)") {
+  test("the registry entry is codegen'd hash aggregation with map-side combine") {
     val df = SparkEntry.queries("q_embed_centroids")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    // Typed Aggregator → ObjectHashAggregate pair (partial + final): the
-    // buffer crosses the exchange, not the rows.
-    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
-    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
-    // And it agrees with the naive posexplode twin.
+    // Partial + final HashAggregate pair: despite the ×dim explode, only
+    // per-task (label, pos) buffers cross the exchange — and the whole
+    // pipeline stays inside whole-stage codegen (no typed serialization).
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(plan.contains("partial_avg"), plan.take(2000))
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(2000))
+    // And it agrees with the typed CentroidAgg twin (the measured
+    // alternative the receipt keeps) value-for-value.
     import org.apache.spark.sql.functions._
-    val naive = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
-      .agg(round(avg(col("col").cast("double")), 4).as("mean_v"))
+    val centroid = udaf(CentroidAgg)
+    val twin = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("raw"))
+      .select(col("label"), posexplode(col("raw")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col"), 4).as("mean_v"))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val got = df.collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(got == naive)
+    assert(got == twin)
   }
 }

@@ -28,7 +28,7 @@ class GraphSpec extends AnyFunSuite with SparkTest {
 
   private def runOn(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
     import spark.implicits._
-    Graph.pagerankOn(edges.toDF("src", "dst"), iters = iters)
+    Graph.pagerankOn(edges.toDF("src", "dst"), iters = iters)._1
       .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
   }
 
@@ -57,7 +57,7 @@ class GraphSpec extends AnyFunSuite with SparkTest {
   }
 
   test("probability mass is conserved on the fixture bipartite graph") {
-    val ranks = Graph.pagerankOn(Graph.bipartiteEdges(spark, "/root/testdata/sf0.001"))
+    val ranks = Graph.pagerankOn(Graph.bipartiteEdges(spark, "/root/testdata/sf0.001"))._1
     val mass = ranks.agg(org.apache.spark.sql.functions.sum("r")).head().getDouble(0)
     assert(math.abs(mass - 1.0) < 1e-9, s"rank mass drifted: $mass")
   }
@@ -65,10 +65,10 @@ class GraphSpec extends AnyFunSuite with SparkTest {
   test("one iteration is one aggregation exchange over the contribution join") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("src", "dst")
-    val one = Graph.pagerankOn(edges, iters = 1)
-    // The returned frame is checkpointed (lineage truncated) — pin the
-    // shape property the docstring claims instead: the full 1-iteration
-    // run executed, and its output is node-sized with finite ranks.
+    val one = Graph.pagerankOn(edges, iters = 1)._1
+    // Lazy chain: pin the one-shuffle-per-iteration shape — exactly one
+    // aggregation pair (partial+final) per iteration beyond the degree
+    // aggregate, and a node-sized output of finite ranks.
     val rows = one.collect()
     assert(rows.length == 50)
     assert(rows.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
