@@ -483,6 +483,43 @@ object Receipts {
       }
       spark.stop()
 
+    case "rangejoin" =>
+      // Binned-vs-naive band join. At fixture scale the O(n·m)
+      // BroadcastNestedLoopJoin is actually FINE (15M comparisons —
+      // measured ~0.5 s warm at sf0.1, on par with the rewrite): the
+      // rewrite is not a fixture optimization, it's the plan that
+      // SURVIVES scale, so the receipt also runs a deterministic
+      // synthetic pair sized where n·m explodes (args: nLeft nRight;
+      // comparisons = n·m for the naive vs ~matched-density candidate
+      // work for the binned plan).
+      val sfDir = args(1)
+      val (nL, nR) = if (args.length > 3) (args(2).toLong, args(3).toLong)
+        else (20000L, 500000L)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "supplier").queryExecution.toRdd.count()
+      graft.core.Tables(spark, sfDir, "customer").queryExecution.toRdd.count()
+      time("q_join_range_binned (fixture, bucket equi join)",
+        SparkEntry.queries("q_join_range_binned")(spark, sfDir))
+      time("naive theta twin (fixture, BroadcastNestedLoopJoin)",
+        graft.ops.Joins.joinRangeNaive(spark, sfDir))
+      def bal(c: org.apache.spark.sql.Column) =
+        (pmod(c * 2654435761L, lit(11000000L)).cast("double") / 1000.0) - lit(1000.0)
+      val sL = spark.range(nL).select(col("id").as("s_suppkey"), bal(col("id")).as("s_acctbal"))
+      val sR = spark.range(nR).select(col("id").as("c_custkey"), bal(col("id") + 7L).as("c_acctbal"))
+      val w = graft.ops.Joins.RangeBinW
+      time(f"binned synthetic (${nL}%d x ${nR}%d)", {
+        val l = sL.select(col("s_suppkey"), col("s_acctbal"), floor(col("s_acctbal") / w).as("b"))
+          .select(col("s_suppkey"), col("s_acctbal"),
+            explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bin"))
+        val r = sR.select(col("c_custkey"), col("c_acctbal"), floor(col("c_acctbal") / w).as("bin"))
+        l.join(r, "bin").filter(abs(col("s_acctbal") - col("c_acctbal")) < w)
+          .select(col("s_suppkey"), col("c_custkey"))
+      })
+      time(f"naive synthetic (${nL}%d x ${nR}%d = ${nL * nR}%d comparisons)",
+        sL.join(sR, abs(col("s_acctbal") - col("c_acctbal")) < w)
+          .select(col("s_suppkey"), col("c_custkey")))
+      spark.stop()
+
     case "pagerank" =>
       // Iterative-graph scale story: the data-sized cost is the edge
       // projection (distinct over lineitem); the iterations themselves

@@ -110,6 +110,51 @@ object Joins extends QueryModule {
       .orderBy("rk", "a_name", "b_name")
   }
 
+  /** Pure band (theta) join via BINNING — the scale path Spark's planner
+    * doesn't pick on its own: `|s_acctbal − c_acctbal| < W` has no equi
+    * key, so the naive plan is a BroadcastNestedLoopJoin that compares
+    * every pair (O(n·m) — receipted). Binning rewrites it as an EQUI
+    * join: each row buckets at floor(bal/W); any pair within W differs
+    * by at most one bucket, so exploding ONE side to its 3 adjacent
+    * buckets and hash-joining on the bucket finds every candidate with
+    * zero false dismissals and no duplicate pairs (the other side keeps
+    * a single bucket — a pair meets on exactly that bucket); the exact
+    * band predicate then filters residually. At 100 TB this is a plain
+    * co-partitioned shuffle join on the bucket key (AQE skew-splits hot
+    * buckets), with candidate work ∝ matched density instead of n·m —
+    * the same bucket-then-verify shape as the LSH/banding dedups.
+    */
+  private[graft] val RangeBinW = 10.0
+
+  private[graft] def joinRangeBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = RangeBinW
+    val s = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"),
+        floor(col("s_acctbal") / w).as("b"))
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bin"))
+    val c = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / w).as("bin"))
+    s.join(c, "bin")
+      .filter(abs(col("s_acctbal") - col("c_acctbal")) < w)
+      .select(col("s_suppkey"), col("c_custkey"),
+        round(abs(col("s_acctbal") - col("c_acctbal")), 2).as("gap"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** The naive pure-theta twin (BroadcastNestedLoopJoin) — receipt
+    * apparatus for q_join_range_binned's O(n·m) baseline, like
+    * Scalars.mathProjection.
+    */
+  private[graft] def joinRangeNaive(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_acctbal"))
+      .join(Tables(spark, sfDir, "customer").select(col("c_custkey"), col("c_acctbal")),
+        abs(col("s_acctbal") - col("c_acctbal")) < RangeBinW)
+      .select(col("s_suppkey"), col("c_custkey"),
+        round(abs(col("s_acctbal") - col("c_acctbal")), 2).as("gap"))
+      .orderBy("s_suppkey", "c_custkey")
+
   private def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
     // Dim tables pinned broadcast: no shuffle of the fact side at all.
     val c = Tables(spark, sfDir, "customer")
@@ -340,6 +385,11 @@ object Joins extends QueryModule {
       FROM nation n1 JOIN nation n2
         ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
       ORDER BY rk, a_name, b_name""")),
+    "q_join_range_binned" -> QueryDef(joinRangeBinned, Some("""
+      SELECT s_suppkey, c_custkey, round(abs(s_acctbal - c_acctbal), 2) AS gap
+      FROM supplier, customer
+      WHERE abs(s_acctbal - c_acctbal) < 10.0
+      ORDER BY s_suppkey, c_custkey""")),
     "q_join_broadcast" -> QueryDef(joinBroadcast, Some("""
       SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
       FROM customer
