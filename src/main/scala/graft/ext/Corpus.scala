@@ -249,6 +249,42 @@ object Corpus extends QueryModule {
       .orderBy("source", "rn")
   }
 
+  /** Weighted sampling without replacement, k per source — the mixture-
+    * weighting op a data-recipe pipeline runs ("sample longer/higher-
+    * quality docs proportionally more"): the Efraimidis–Spirakis
+    * exponential-key method, rank by key = u^(1/w) with u a
+    * hash-derived uniform and w the document's weight (here n_words),
+    * take top-k per group. One row-local projection + one per-group
+    * top-k window on a single source exchange — at 100 TB identical
+    * shape to q_sample_k_per_group, and the keys make the sample both
+    * DETERMINISTIC (no rand(); re-runs and engines agree) and provably
+    * weight-proportional (P(i in sample) follows w_i — the E-S result).
+    * Keys are floor-truncated to 6 dp before ranking with doc_id as the
+    * full tiebreak, keeping the order off cross-engine pow() ulp
+    * divergence.
+    */
+  /** Testable core of q_weighted_sample (CorpusSpec drives it with a
+    * controlled heavy-doc corpus to pin the E-S inclusion law).
+    */
+  private[graft] def weightedSampleOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("w", size(split(col("text"), " ")).cast(DoubleType))
+      // u in (0,1): a splitmix-ish integer hash of doc_id, never 0.
+      .withColumn("u",
+        (pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(2147483647L))
+          .cast(DoubleType) + lit(1.0)) / lit(2147483648.0))
+      .withColumn("key", floor(pow(col("u"), lit(1.0) / col("w")) * 1e6) / 1e6)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("key").desc, col("doc_id"))).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("w").cast(LongType).as("n_words"),
+        col("key"), col("rn"))
+      .orderBy("source", "rn")
+
+  private def weightedSample(spark: SparkSession, sfDir: String): DataFrame =
+    weightedSampleOf(Tables(spark, sfDir, "documents"), k = 25)
+
   /** Per-document token entropy — the information-density curation signal
     * (low entropy = repetitive/templated text): H = ln(n) - Σ c·ln(c) / n
     * over word counts c. Row-local, no explode, no shuffle — at 100 TB a
@@ -363,6 +399,23 @@ object Corpus extends QueryModule {
              chunk_id * 24 AS tok_start,
              least(32, n_tok - chunk_id * 24) AS tok_len
       FROM x ORDER BY doc_id, chunk_id""")),
+    "q_weighted_sample" -> QueryDef(weightedSample, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+               (CAST((doc_id * 2654435761 + 12345) % 2147483647 AS DOUBLE) + 1.0)
+                 / 2147483648.0 AS u
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, source, w,
+               floor(pow(u, 1.0 / w) * 1e6) / 1e6 AS key
+        FROM t),
+      r AS (
+        SELECT doc_id, source, CAST(w AS BIGINT) AS n_words, key,
+               row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+        FROM keyed)
+      SELECT doc_id, source, n_words, key, rn FROM r WHERE rn <= 25
+      ORDER BY source, rn""")),
     "q_sample_k_per_group" -> QueryDef(sampleKPerGroup, Some("""
       WITH h AS (
         SELECT doc_id, source, ((doc_id % 65536) * 40503) % 65536 AS bucket

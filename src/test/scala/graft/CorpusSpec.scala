@@ -70,4 +70,30 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     assert(kept.getOrElse("api/v2", 0L) > 0L, "hostile source must keep ~1/3, not 0 or crash")
     assert(kept("src2") > kept("api/v2"), "weight-3 source must keep more")
   }
+
+  test("weighted sample is deterministic and weight-proportional (E-S keys)") {
+    // Determinism: two runs are row-identical (no rand() anywhere).
+    val a = SparkEntry.queries("q_weighted_sample")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("q_weighted_sample")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).toSeq
+    assert(a.nonEmpty && a == b)
+    // Weight-proportionality: u^(1/w) → 1 as w grows, so across many
+    // independent groups a 50x-heavier doc must win its group's top slot
+    // far more often than the 1/11 a uniform sampler would give it.
+    // Exact expectation: P(heavy first) = w_h / (w_h + Σ w_light)
+    // = 500/(500+100) ≈ 0.83 per the E-S distribution.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 2000L).map { i =>
+      val grp = s"g${i / 20}" // 100 groups of 20 docs
+      val words = if (i % 20 == 0) 500 else 10 // one heavy doc per group
+      (i, grp, Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val winners = graft.ext.Corpus.weightedSampleOf(docs, k = 1)
+      .collect().map(r => r.getLong(0))
+    val heavyWins = winners.count(_ % 20 == 0)
+    assert(heavyWins > 60 && heavyWins < 100,
+      s"heavy doc won $heavyWins/100 groups; expected ~83 under E-S, ~5 under uniform")
+  }
 }
