@@ -35,6 +35,31 @@ object Warehouse {
     dir
   }
 
+  /** Marker-gated DERIVED seed: a base seed template plus a fixture-
+    * deterministic mutation sequence, applied ONCE and cached as a
+    * sibling template (`<base>-<suffix>`) — the same disclosed untimed
+    * seed economics as the base. Lifecycle entries whose operator under
+    * test comes AFTER a deterministic setup mutation (e.g. "append then
+    * COMPACT", "poison+takedown then REBUILD") copy this derived
+    * template per run, so the timed region is the operator itself, not
+    * the setup replayed identically every run. The base tag already
+    * carries fixture mtime+length, so staleness invalidates derived
+    * templates exactly as it invalidates bases.
+    */
+  def ensureDerivedSeed(baseSeedDir: String, suffix: String)(build: String => Unit): String = {
+    val dir = new java.io.File(baseSeedDir + "-" + suffix)
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (!marker.exists()) {
+      deleteRecursively(dir)
+      copyRecursively(new java.io.File(baseSeedDir), dir)
+      new java.io.File(dir, "_SEEDED").delete()
+      build(dir.getPath)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    dir.getPath
+  }
+
   /** Shared recursive delete (also used by the Derby seed dir). */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {
