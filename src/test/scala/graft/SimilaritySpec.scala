@@ -343,32 +343,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // Empirical margin audit: the codes-only pre-filter at tau - margin
     // keeps every true match iff per-pair |ADC - exact| < margin. Audit
     // the WHOLE corpus against 5 anchors.
+    val cents = Similarity.readIvfCentroids(spark, dir)
     val rows = spark.read.parquet(s"$dir/postings")
-      .select(col("vec_id"), col("embedding"), col("code")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getAs[Array[Byte]](2)))
+      .select(col("vec_id"), col("embedding"), col("code"),
+        col("cell_id").cast("int")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getAs[Array[Byte]](2), r.getInt(3)))
     var maxErr = 0.0
+    var maxErrQuarter = 0.0 // worst among pairs with exact >= 0.25
     (0L until 5L).foreach { aId =>
       val a = lookup(aId)
-      rows.foreach { case (_, emb, code) =>
-        val err = math.abs(Similarity.adcApprox(cb, a, code) - cos(a, emb))
+      rows.foreach { case (_, emb, code, cell) =>
+        val exact = cos(a, emb)
+        val err = math.abs(
+          Similarity.adcApproxResidual(cb, cents, cell, a, code) - exact)
         if (err > maxErr) maxErr = err
+        if (exact >= 0.25 && err > maxErrQuarter) maxErrQuarter = err
       }
     }
-    // The build committed a per-index audited error in the manifest, and
-    // the EFFECTIVE margin derives from it (floored at the fixture
-    // constant) — the whole-corpus worst error must sit inside that
-    // derived margin, or the pre-filter could drop a true match.
+    // The build committed per-index audited errors in the manifest: the
+    // all-pairs worst plus a LADDER of exact>=t-conditioned worsts — a
+    // tau>=t pre-filter can only wrongly drop pairs with exact >= tau,
+    // so the tightest applicable ladder bound governs. The whole-corpus
+    // worst TRUE-MATCH-side error must sit inside the derived margin,
+    // or the pre-filter could drop a true match.
     val manifest = Similarity.readIvfManifest(dir)
     assert(manifest.adcErr > 0.0 && manifest.adcErr < 1.0,
       s"build did not commit a sane audited ADC error: ${manifest.adcErr}")
-    val margin = Similarity.adcMarginFor(manifest)
+    assert(manifest.adcErrLadder.nonEmpty, "no conditioned ladder committed")
+    // Ladder sanity: monotone non-increasing in the threshold, each
+    // bucket inside the unconditional worst.
+    manifest.adcErrLadder.sliding(2).foreach {
+      case Seq((t1, e1), (t2, e2)) =>
+        assert(t1 < t2 && e1 >= e2, s"ladder not monotone: ${manifest.adcErrLadder}")
+      case _ =>
+    }
+    assert(manifest.adcErrLadder.forall(_._2 <= manifest.adcErr))
+    val margin = Similarity.adcMarginFor(manifest, tau = 0.25)
     assert(margin >= Similarity.AdcRangeMargin)
-    assert(margin >= manifest.adcErr * Similarity.AdcMarginHeadroom)
-    assert(maxErr < margin,
-      f"ADC error $maxErr%.4f exceeds the derived range margin $margin%.4f")
+    assert(maxErrQuarter < margin,
+      f"ADC error $maxErrQuarter%.4f (exact>=0.25 pairs) exceeds the derived margin $margin%.4f")
+    // A negative tau falls back to the unconditional (all-pairs) bound.
+    assert(Similarity.adcMarginFor(manifest, tau = -0.5) >=
+      manifest.adcErr * Similarity.AdcMarginHeadroom)
     // A synthetic high-error audit (a distribution this codebook fits
     // badly) must WIDEN the margin rather than silently dropping matches.
-    assert(Similarity.adcMarginFor(manifest.copy(adcErr = 0.5)) >= 0.85)
+    assert(Similarity.adcMarginFor(
+      manifest.copy(adcErrLadder = Seq(0.0 -> 0.5, 0.25 -> 0.5)), tau = 0.25) >= 0.85)
     // Ledger invariant: mutators carry the audit forward — only a
     // retrain (rebuild) may change it.
     Similarity.ivfIndexAppend(spark, dir,
