@@ -572,6 +572,44 @@ object Receipts {
           .select(col("s_suppkey"), col("c_custkey")))
       spark.stop()
 
+    case "audit" =>
+      // Round-11c batch-audit family at ScaleGen scale: the DQ rule
+      // suite (one conditional-agg scan + key-digest PK check + key-only
+      // FK anti join), last-touch attribution (one user-window pass),
+      // bounded BFS (per-hop frontier joins over the distinct edge
+      // projection), and the HLL union (per-day sketch partials). Point
+      // at a ScaleGen dir carrying lineitem, orders, events.
+      val sfDir = args(1)
+      val spark = session()
+      Seq("lineitem", "orders", "events").foreach(t =>
+        graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count())
+      time("q_dq_rules", SparkEntry.queries("q_dq_rules")(spark, sfDir))
+      time("q_attribution", SparkEntry.queries("q_attribution")(spark, sfDir))
+      time("q_graph_bfs", SparkEntry.queries("q_graph_bfs")(spark, sfDir))
+      time("q_hll_union", SparkEntry.queries("q_hll_union")(spark, sfDir))
+      spark.stop()
+
+    case "skyline" =>
+      // Skyline at adversarial cardinality: the fixture part table is
+      // dimension-sized (and ScaleGen copies it), so the receipt builds
+      // an n-point synthetic (price, size) cloud instead — prices on a
+      // 2-dp grid (≈100k distinct), sizes 1..50 — and times the staged
+      // plan: per-price hash agg (the only table-sized work), window
+      // over ≤100k reduced rows, broadcast join back. The O(n²)
+      // dominance definition is the oracle's job at fixture scale; at
+      // 10M points it would be 10^14 comparisons.
+      val n = args(1).toLong
+      val spark = session()
+      val pts = spark.range(n).select(
+        col("id").as("p_partkey"),
+        (round(pmod(col("id") * 48271L, lit(100000L)) / lit(100.0), 2) + lit(1.0)).as("p_retailprice"),
+        pmod(col("id") * 40503L, lit(50L)).cast("int").as("p_size"))
+        .persist()
+      pts.queryExecution.toRdd.count()
+      time(s"skyline staged ($n pts)", graft.ops.Windows.skylineOn(pts))
+      pts.unpersist()
+      spark.stop()
+
     case "pagerank" =>
       // Iterative-graph scale story: the data-sized cost is the edge
       // projection (distinct over lineitem); the iterations themselves

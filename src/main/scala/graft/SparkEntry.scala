@@ -17,7 +17,7 @@ object SparkEntry {
     cdc.Cdc,
     ops.Scans, ops.Joins, ops.Aggregates, ops.Windows, ops.SetOps, ops.Scalars,
     ops.AsofJoin, ops.Reshape, ops.Bucketed, ops.Formats, ops.Subqueries,
-    ops.Behavior, ops.Graph,
+    ops.Behavior, ops.Graph, ops.Quality,
     ext.Dedup, ext.Similarity, ext.TextAnalysis, ext.Multimodal, ext.Corpus,
     stream.Streaming)
 

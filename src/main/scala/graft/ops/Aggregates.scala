@@ -138,19 +138,26 @@ object Aggregates extends QueryModule {
     * distinct-count pattern — history is never re-scanned; a new day adds
     * one partial sketch and the union re-estimates in O(days * 2^lgK).
     * Approximate by nature (measured ~2% at the default lgConfigK=12,
-    * and NOT exact even at a few hundred items) → rows-only entry;
-    * SketchSpec pins the error envelope and the exact merge property
-    * (union of partial sketches == one global sketch, the reason this
-    * beats count(DISTINCT) at scale).
+    * and NOT exact even at a few hundred items), so the gate is the
+    * same tap+envelope oracle as q_agg_approx_distinct (r11): the entry
+    * runs the SKETCH ALONE and taps (n_days, est_users); DuckDB
+    * recomputes the exact day count and exact distinct users, and its
+    * WHERE keeps the row only if n_days matches exactly and the
+    * estimate sits inside a 5% envelope — a breach empties the oracle
+    * output and fails the row/hash compare. SketchSpec still pins the
+    * merge property (union of partial sketches == one global sketch,
+    * the reason this beats count(DISTINCT) at scale).
     */
-  private def hllUnion(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "events")
+  private def hllUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val est = Tables(spark, sfDir, "events")
       .withColumn("dt", date_format(col("ts"), "yyyyMMdd"))
       .groupBy("dt")
       .agg(expr("hll_sketch_agg(user_id)").as("sk"))
       .agg(
         count(lit(1)).as("n_days"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").as("est_users"))
+    graft.ext.OracleTap(spark, "hll_union_est", est).orderBy("n_days")
+  }
 
   /** Mergeable frequency sketches (Spark's count_min_sketch aggregate +
     * the spark-sketch CountMinSketch merge): one CMS per day over the
@@ -320,7 +327,22 @@ object Aggregates extends QueryModule {
       UNION ALL
       SELECT 'value', n_rows, value_nulls, value_nd, value_min, value_max FROM m
       ORDER BY col_name""")),
-    "q_hll_union" -> QueryDef(hllUnion, None),
+    // Partial oracle (r11): the union estimate is tapped; DuckDB
+    // recomputes the exact day count and exact distinct users and its
+    // WHERE enforces both the exact n_days and a 5% estimate envelope —
+    // a breach drops the row and fails the row/hash compare. The timed
+    // entry never runs the exact path.
+    "q_hll_union" -> QueryDef(hllUnion, Some("""
+      WITH est AS (SELECT n_days, est_users
+                   FROM read_parquet('/tmp/graft_oracle_aux/hll_union_est/*.parquet')),
+      exact AS (SELECT count(DISTINCT strftime(ts, '%Y%m%d')) AS exact_days,
+                       count(DISTINCT user_id) AS exact_users
+                FROM events)
+      SELECT e.n_days, e.est_users
+      FROM est e, exact x
+      WHERE e.n_days = x.exact_days
+        AND abs(e.est_users - x.exact_users) <= 0.05 * x.exact_users
+      ORDER BY n_days""")),
     "q_listagg" -> QueryDef(listaggNames, Some("""
       SELECT c_mktsegment, count(*) AS n,
              string_agg(c_name, ',' ORDER BY c_name) AS names

@@ -154,7 +154,55 @@ object Behavior extends QueryModule {
         UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
       ORDER BY step"""
 
+  /** Lookback window for a marketing touch to claim a purchase. */
+  private val AttributionWindowUs = 3L * 86400L * 1000000L
+
+  /** Last-touch revenue attribution: each `purchase` is credited to the
+    * user's most recent preceding marketing touch (`click` or `view`)
+    * within a 3-day lookback, else to `direct`. The channel-performance
+    * query every event warehouse runs against the CDC-landed stream.
+    *
+    * Plan shape: ONE user-partitioned window pass — the running "last
+    * touch" is `last(conditional, ignoreNulls).over(user, ts rows
+    * preceding)`, so no self-join against the touch subset and no
+    * per-user buffering (window sort only); the final rollup is a
+    * 4-group hash agg. Time math compares exact epoch MICROSECONDS
+    * (unix_micros both sides) — no truncation-direction hazard.
+    */
+  private def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    val touched = Tables(spark, sfDir, "events")
+      .withColumn("touch_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("touch_us", last(when(isTouch, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+    touched.filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_us").isNotNull &&
+            unix_micros(col("ts")) - col("touch_us") <= AttributionWindowUs,
+          col("touch_type")).otherwise(lit("direct")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_attribution" -> QueryDef(attribution, Some("""
+      WITH t AS (
+        SELECT event_type, value, ts,
+               last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+                          IGNORE NULLS) OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('click','view') THEN epoch_us(ts) END
+                          IGNORE NULLS) OVER w AS touch_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT CASE WHEN touch_us IS NOT NULL AND epoch_us(ts) - touch_us <= 259200000000
+                  THEN touch_type ELSE 'direct' END AS channel,
+             count(*) AS n_purchases, round(sum(value), 2) AS revenue
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY channel""")),
     "q_sessionize" -> QueryDef(sessionize, Some("""
       WITH flagged AS (
         SELECT user_id, ts, event_id, value,

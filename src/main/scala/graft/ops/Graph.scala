@@ -104,7 +104,81 @@ object Graph extends QueryModule {
       .limit(100)
   }
 
+  /** BFS depth bound: enough to cross the bipartite graph twice. */
+  private val MaxHops = 4
+
+  /** Single-source BFS / bounded shortest paths over the same bipartite
+    * part↔supplier graph as q_pagerank: min-hop distance from the
+    * lowest-numbered part present in lineitem, truncated at [[MaxHops]],
+    * reported as one row per distance level (count, supplier split,
+    * exact id checksum) plus a `-1` level for unreached nodes.
+    *
+    * Plan shape (the iterative-graph twin of pagerank's): iteration d is
+    * frontier ⋈ edges on src + a min-aggregate — one co-partitionable
+    * join shuffle and one digest-level agg shuffle per hop, frontier
+    * rows only (never per-path enumeration, so a cyclic graph costs
+    * |V| rows per level, not degree^d paths). The chain stays LAZY like
+    * pagerank's: 4 hops compile into one declarative plan and run as a
+    * single job. At 100 TB the edge table is bucketed by src so every
+    * hop reuses one partitioning.
+    *
+    * The oracle recomputes min-hop independently via DuckDB's recursive
+    * CTE with UNION-distinct semantics (level-set dedup, the same
+    * bounded-rows property), then aggregates identically.
+    */
+  /** Bounded-depth BFS min-hop distances from `source` (a 1-row
+    * (node BIGINT) frame) over a directed edge frame — returns
+    * (node, dist) for every node reached within `maxHops`.
+    */
+  private[graft] def bfsOn(edges: DataFrame, source: DataFrame, maxHops: Int): DataFrame = {
+    var reached: DataFrame = source.select(col("node"), lit(0).as("dist"))
+    (1 to maxHops).foreach { d =>
+      val frontier = reached.filter(col("dist") === d - 1).select(col("node"))
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"), lit(d).as("dist"))
+      reached = reached.unionByName(next).groupBy("node").agg(min(col("dist")).as("dist"))
+    }
+    reached
+  }
+
+  private[graft] def bfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = bipartiteEdges(spark, sfDir).persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val source = Tables(spark, sfDir, "lineitem")
+      .agg(min(col("l_partkey")).as("node"))
+    val reached = bfsOn(edges, source, MaxHops)
+    nodes.join(reached, Seq("node"), "left")
+      .select(col("node"), coalesce(col("dist"), lit(-1)).as("dist"))
+      .groupBy("dist")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("node") >= SuppBase, 1L).otherwise(0L)).as("n_suppliers"),
+        sum(col("node")).as("sum_node_id"))
+      .orderBy("dist")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_graph_bfs" -> QueryDef(bfsLevels, Some(s"""
+      WITH RECURSIVE bip AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      edges AS (
+        SELECT p AS src, $SuppBase + s AS dst FROM bip
+        UNION ALL
+        SELECT $SuppBase + s AS src, p AS dst FROM bip),
+      bfs(node, dist) AS (
+        SELECT (SELECT min(l_partkey) FROM lineitem), 0
+        UNION
+        SELECT e.dst, b.dist + 1
+        FROM bfs b JOIN edges e ON e.src = b.node
+        WHERE b.dist < $MaxHops),
+      md AS (SELECT node, min(dist) AS dist FROM bfs GROUP BY node),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      lv AS (SELECT n.node, coalesce(md.dist, -1) AS dist
+             FROM nodes n LEFT JOIN md ON md.node = n.node)
+      SELECT dist, count(*) AS n_nodes,
+             count(*) FILTER (node >= $SuppBase)::BIGINT AS n_suppliers,
+             sum(node)::BIGINT AS sum_node_id
+      FROM lv GROUP BY dist ORDER BY dist""")),
     "q_pagerank" -> QueryDef(pagerank, Some(s"""
       WITH bip AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

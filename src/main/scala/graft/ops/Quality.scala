@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QueryDef, QueryModule, Tables}
+
+/** Declarative data-quality rule suite (the Deequ/expectations shape) —
+  * the audit a 100 TB ingest runs before promoting a batch. The
+  * reference pipeline trusts its input; a production lake can't, so this
+  * is part of the declared large-scale extension surface (SURVEY §2.2).
+  *
+  * Execution shape — the only one that survives scale: ALL row-local
+  * rules (completeness, ranges, accepted sets) fold into ONE conditional
+  * aggregate over a single scan (each rule is a `sum(when(...))` column,
+  * so 5 rules cost exactly what 1 costs: one pass, one tiny partial-agg
+  * buffer per partition, no shuffle of rows). The two rules that are
+  * genuinely not row-local each ship only keys: primary-key uniqueness
+  * is a groupBy on the key columns (digest-level shuffle, map-side
+  * combined), and referential integrity is a key-only left-anti join
+  * whose orders side AQE broadcast-picks while it fits. The rule
+  * verdicts are assembled declaratively (crossJoin of three 1-row
+  * aggregates + posexplode), so the whole suite is one job with no
+  * driver-side loop.
+  *
+  * Determinism: `pass_ratio` is floor-truncated to 6 dp (both engines
+  * compute the same IEEE quotient, and floor is exact — no HALF_UP
+  * boundary risk); `n_violations` and `passed` are exact integers.
+  * Null semantics are airtight on both sides: a NULL in a range/set
+  * rule counts as a violation (Spark's `otherwise` leg; the oracle's
+  * `IS NOT TRUE`).
+  */
+object Quality extends QueryModule {
+
+  private def dqRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val orders = Tables(spark, sfDir, "orders")
+    // One scan: every row-local rule is a conditional-count column.
+    val local = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+      sum(when(col("l_quantity").between(1, 50), 0L).otherwise(1L)).as("v_qty"),
+      sum(when(col("l_discount").between(0.0, 0.1), 0L).otherwise(1L)).as("v_disc"),
+      sum(when(col("l_extendedprice") > 0, 0L).otherwise(1L)).as("v_price"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L)).as("v_flag"))
+    // Key-digest shuffle only: duplicate-PK violation rows = sum(c-1).
+    val dup = li.groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("v_dup"))
+    // Key-only anti join: rows referencing a missing order.
+    val fk = li.groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+      .join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("v_fk"))
+    def rule(name: String, viol: Column): Column =
+      struct(lit(name).as("rule"), viol.as("v"))
+    local.crossJoin(dup).crossJoin(fk)
+      .select(col("n"), explode(array(
+        rule("accepted_values:l_returnflag", col("v_flag")),
+        rule("completeness:l_shipdate", col("v_ship")),
+        rule("fk:l_orderkey->orders", col("v_fk")),
+        rule("positive:l_extendedprice", col("v_price")),
+        rule("range:l_discount[0,0.1]", col("v_disc")),
+        rule("range:l_quantity[1,50]", col("v_qty")),
+        rule("unique_pk:l_orderkey,l_linenumber", col("v_dup")))).as("r"))
+      .select(
+        col("r.rule").as("rule"),
+        col("r.v").as("n_violations"),
+        (floor((col("n") - col("r.v")) / col("n") * 1e6) / 1e6).as("pass_ratio"),
+        (col("r.v") === 0).as("passed"))
+      .orderBy("rule")
+  }
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_dq_rules" -> QueryDef(dqRules, Some("""
+      WITH n AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+      v AS (
+        SELECT 'accepted_values:l_returnflag' AS rule,
+               count(*) FILTER ((l_returnflag IN ('A','N','R')) IS NOT TRUE)::BIGINT AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 'completeness:l_shipdate',
+               count(*) FILTER (l_shipdate IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'fk:l_orderkey->orders',
+               (SELECT coalesce(sum(c), 0) FROM (
+                  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey) k
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = k.l_orderkey))::BIGINT
+        UNION ALL
+        SELECT 'positive:l_extendedprice',
+               count(*) FILTER ((l_extendedprice > 0) IS NOT TRUE) FROM lineitem
+        UNION ALL
+        SELECT 'range:l_discount[0,0.1]',
+               count(*) FILTER ((l_discount BETWEEN 0 AND 0.1) IS NOT TRUE) FROM lineitem
+        UNION ALL
+        SELECT 'range:l_quantity[1,50]',
+               count(*) FILTER ((l_quantity BETWEEN 1 AND 50) IS NOT TRUE) FROM lineitem
+        UNION ALL
+        SELECT 'unique_pk:l_orderkey,l_linenumber',
+               (SELECT coalesce(sum(c - 1), 0) FROM (
+                  SELECT count(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber) g)::BIGINT)
+      SELECT v.rule, v.v AS n_violations,
+             floor((n.n - v.v) / n.n * 1e6) / 1e6 AS pass_ratio,
+             v.v = 0 AS passed
+      FROM v, n ORDER BY rule""")))
+}

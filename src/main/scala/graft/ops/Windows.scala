@@ -112,7 +112,54 @@ object Windows extends QueryModule {
       .limit(100)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** 2-D skyline (Pareto frontier): the parts no other part dominates on
+    * (cheaper-or-equal price, larger-or-equal size, strict somewhere) —
+    * the multi-criteria shortlist query (best price/size tradeoffs).
+    *
+    * Scale shape — NOT the O(n²) dominance self-join the definition
+    * suggests: stage 1 reduces the table to one row per distinct price
+    * via a fully-parallel hash agg (per-price max size); stage 2 runs
+    * the strict-running-max window over that REDUCED set (≤ distinct
+    * prices rows — metadata-scale, so the unpartitioned window sort is
+    * over thousands of rows, not the table); stage 3 joins the surviving
+    * (price, best size) frontier back to recover member part ids —
+    * a broadcast-sized join. Equal (price, size) twins both survive
+    * (neither strictly dominates). The oracle is the independent
+    * NOT EXISTS dominance formulation, so the window rewrite is verified
+    * against the definition itself.
+    */
+  /** Staged skyline over any (p_partkey, p_retailprice, p_size) frame —
+    * shared by the registry entry and the at-scale receipt.
+    */
+  private[graft] def skylineOn(part: DataFrame): DataFrame = {
+    // Renamed columns break the self-join lineage ambiguity (frontier is
+    // derived from part and joined back against it).
+    val perPrice = part.select(col("p_retailprice").as("f_price"), col("p_size"))
+      .groupBy("f_price").agg(max(col("p_size")).as("best_size"))
+    // Distinct prices only — no partitionBy is deliberate: the windowed
+    // set is the reduced per-price frontier, bounded by price cardinality.
+    val w = Window.orderBy(col("f_price")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("cheaper_best", max(col("best_size")).over(w))
+      .filter(col("cheaper_best").isNull || col("best_size") > col("cheaper_best"))
+    part.join(frontier,
+        part("p_retailprice") === frontier("f_price") &&
+          part("p_size") === frontier("best_size"))
+      .select(part("p_partkey"), part("p_retailprice"), part("p_size"))
+      .orderBy("p_retailprice", "p_partkey")
+  }
+
+  private def skyline(spark: SparkSession, sfDir: String): DataFrame =
+    skylineOn(Tables(spark, sfDir, "part"))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_skyline" -> QueryDef(skyline, Some("""
+      SELECT p_partkey, p_retailprice, p_size FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p_retailprice, p_partkey""")),
     "q_win_rank" -> QueryDef(winRank, Some("""
       SELECT p_brand, p_partkey, p_retailprice,
              rank() OVER w AS rnk,

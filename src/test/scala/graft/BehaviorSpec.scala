@@ -159,6 +159,61 @@ class BehaviorSpec extends AnyFunSuite with SparkTest {
     assert(split.length == 2 && split.forall(_.getLong(4) == 1L))
   }
 
+  /** Naive last-touch attribution — preceding in (tsUs, event_id) order,
+    * 3-day lookback in exact microseconds, else 'direct'.
+    */
+  private def naiveAttribution(events: Seq[Ev]): Map[String, (Long, Double)] = {
+    val windowUs = 3L * 86400L * 1000000L
+    def tsUs(e: Ev) = e.ts / 1000L
+    val byUser = events.groupBy(_.user_id)
+    events.filter(_.event_type == "purchase").map { p =>
+      val touch = byUser(p.user_id)
+        .filter(e => (e.event_type == "click" || e.event_type == "view") &&
+          (tsUs(e) < tsUs(p) || (tsUs(e) == tsUs(p) && e.event_id < p.event_id)))
+        .sortBy(e => (tsUs(e), e.event_id)).lastOption
+      val channel = touch match {
+        case Some(t) if tsUs(p) - tsUs(t) <= windowUs => t.event_type
+        case _ => "direct"
+      }
+      (channel, p.value)
+    }.groupBy(_._1).map { case (c, xs) => c -> ((xs.size.toLong, xs.map(_._2).sum)) }
+  }
+
+  test("q_attribution planted scenarios: last touch wins, exact 3-day boundary in, 4 days out") {
+    val day = 86400L * 1000L
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, t: String, ms: Long, v: Double = 0.0) =
+      Ev(id, ms * 1000000L, u, t, v, "{}")
+    val events = Seq(
+      ev(1, 1, "click", base), ev(2, 1, "purchase", base + 2 * day, 1.0),      // → click
+      ev(3, 2, "view", base), ev(4, 2, "purchase", base + 4 * day, 8.0),       // 4d → direct
+      ev(5, 3, "purchase", base + day, 16.0),                                  // no touch → direct
+      ev(6, 4, "click", base), ev(7, 4, "view", base + day),
+      ev(8, 4, "purchase", base + 2 * day, 2.0),                               // last touch → view
+      ev(9, 5, "view", base), ev(10, 5, "purchase", base + 3 * day, 4.0),      // exactly 3d → view
+      ev(11, 6, "purchase", base, 32.0), ev(12, 6, "click", base + day))       // touch after → direct
+    val got = runOn(events, "q_attribution")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      "click" -> ((1L, 1.0)), "view" -> ((2L, 6.0)), "direct" -> ((3L, 56.0))))
+  }
+
+  test("q_attribution matches the naive per-purchase evaluation on random event sets") {
+    for (seed <- 1 to 5) {
+      val events = randomEvents(seed, 400)
+      val got = runOn(events, "q_attribution")
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val naive = naiveAttribution(events)
+      assert(got.keySet == naive.keySet, s"seed=$seed")
+      naive.foreach { case (c, (n, rev)) =>
+        assert(got(c)._1 == n, s"seed=$seed channel=$c count")
+        // The entry rounds to 2 dp; compare against the unrounded naive
+        // sum with a half-cent-plus-ulp tolerance.
+        assert(math.abs(got(c)._2 - rev) < 0.006, s"seed=$seed channel=$c revenue")
+      }
+    }
+  }
+
   test("q_event_transitions matches the naive lead-pair evaluation and rows sum to n - users") {
     for (seed <- 1 to 5) {
       val events = randomEvents(seed, 400)

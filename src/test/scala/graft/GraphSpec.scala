@@ -62,6 +62,62 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(mass - 1.0) < 1e-9, s"rank mass drifted: $mass")
   }
 
+  /** Independent local BFS — the spec twin for bfsOn. */
+  private def localBfs(edges: Seq[(Long, Long)], src: Long, maxHops: Int): Map[Long, Int] = {
+    var dist = Map(src -> 0)
+    var frontier = Set(src)
+    (1 to maxHops).foreach { d =>
+      frontier = edges.filter(e => frontier(e._1)).map(_._2)
+        .filterNot(dist.contains).toSet
+      dist ++= frontier.map(_ -> d)
+    }
+    dist
+  }
+
+  private def bfsRun(edges: Seq[(Long, Long)], src: Long, maxHops: Int): Map[Long, Int] = {
+    import spark.implicits._
+    Graph.bfsOn(edges.toDF("src", "dst"), Seq(src).toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("bfsOn: min-hop distances with a shortcut, directedness, and depth truncation") {
+    // Chain 1→2→3→4→5→6 with shortcut 1→4 (so 4 is at hop 1, 5 at 2,
+    // 6 at 3) and a back-edge 7→1 (7 is unreachable FROM 1 — direction
+    // matters).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 4L), (7L, 1L))
+    val got = bfsRun(edges, src = 1L, maxHops = 3)
+    val expected = Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2, 6L -> 3)
+    assert(got == expected)
+    assert(got == localBfs(edges, 1L, 3))
+    // Truncation: at maxHops=2 node 6 is not yet reached.
+    assert(bfsRun(edges, 1L, 2) == expected.filter(_._2 <= 2))
+  }
+
+  test("bfsOn on a cycle: level sets stay node-bounded, distances exact") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    // 4 hops on a 3-cycle revisits every node; min-dist must win.
+    assert(bfsRun(cycle, 1L, 4) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("q_graph_bfs levels match an independent local BFS of the fixture graph") {
+    import spark.implicits._
+    val pairs = graft.core.Tables(spark, sf, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val base = 1000000L
+    val edges = pairs.map { case (p, s) => (p, base + s) } ++
+      pairs.map { case (p, s) => (base + s, p) }
+    val src = pairs.map(_._1).min
+    val dist = localBfs(edges, src, 4)
+    val nodes = edges.map(_._1).distinct
+    val levels = nodes.groupBy(n => dist.getOrElse(n, -1)).map { case (d, ns) =>
+      (d, ns.size.toLong, ns.count(_ >= base).toLong, ns.sum)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == levels)
+  }
+
   test("one iteration is one aggregation exchange over the contribution join") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("src", "dst")

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q_dq_rules pins: every rule catches exactly its planted violations
+  * (including the NULL-counts-as-violation contract on range/set rules),
+  * a clean batch passes every rule, and the ratios are the exact
+  * floor-truncated quotients.
+  */
+case class QLine(l_orderkey: Long, l_linenumber: Long,
+    l_quantity: Option[Double], l_discount: Option[Double],
+    l_extendedprice: Double, l_returnflag: String,
+    l_shipdate: Option[java.sql.Date])
+
+class QualitySpec extends AnyFunSuite with SparkTest {
+
+  private val D = java.sql.Date.valueOf("1995-06-01")
+
+  private def runOn(lines: Seq[QLine], orderKeys: Seq[Long]): Map[String, (Long, Double, Boolean)] = {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_quality_spec")
+    lines.toDF().write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    orderKeys.toDF("o_orderkey").write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    SparkEntry.queries("q_dq_rules")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+  }
+
+  test("each rule counts exactly its planted violations; NULL is a violation in range rules") {
+    val lines = Seq(
+      QLine(1, 1, Some(10), Some(0.05), 100, "A", Some(D)),        // clean
+      QLine(1, 2, Some(10), Some(0.05), 100, "N", None),           // null shipdate
+      QLine(1, 3, Some(99), Some(0.05), 100, "R", Some(D)),        // qty out of range
+      QLine(1, 4, None, Some(0.05), 100, "A", Some(D)),            // NULL qty → range violation
+      QLine(2, 1, Some(10), Some(0.5), 100, "A", Some(D)),         // discount out of range
+      QLine(2, 2, Some(10), Some(0.05), -5, "A", Some(D)),         // non-positive price
+      QLine(2, 3, Some(10), Some(0.05), 100, "X", Some(D)),        // bad returnflag
+      QLine(1, 1, Some(10), Some(0.05), 100, "A", Some(D)),        // duplicate PK of row 1
+      QLine(999, 1, Some(10), Some(0.05), 100, "A", Some(D)),      // missing order (2 rows)
+      QLine(999, 2, Some(10), Some(0.05), 100, "A", Some(D)))
+    val got = runOn(lines, Seq(1L, 2L))
+    val expected = Map(
+      "accepted_values:l_returnflag" -> 1L,
+      "completeness:l_shipdate" -> 1L,
+      "fk:l_orderkey->orders" -> 2L,
+      "positive:l_extendedprice" -> 1L,
+      "range:l_discount[0,0.1]" -> 1L,
+      "range:l_quantity[1,50]" -> 2L,
+      "unique_pk:l_orderkey,l_linenumber" -> 1L)
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (rule, v) =>
+      val (nv, ratio, passed) = got(rule)
+      assert(nv == v, s"$rule violations")
+      assert(!passed, s"$rule must fail")
+      assert(ratio == math.floor((10.0 - v) / 10.0 * 1e6) / 1e6, s"$rule ratio")
+    }
+  }
+
+  test("a clean batch passes every rule with ratio exactly 1.0") {
+    val lines = Seq(
+      QLine(1, 1, Some(10), Some(0.05), 100, "A", Some(D)),
+      QLine(1, 2, Some(50), Some(0.0), 1, "N", Some(D)),
+      QLine(2, 1, Some(1), Some(0.1), 999, "R", Some(D)))
+    val got = runOn(lines, Seq(1L, 2L))
+    assert(got.size == 7)
+    got.foreach { case (rule, (nv, ratio, passed)) =>
+      assert(nv == 0L && ratio == 1.0 && passed, rule)
+    }
+  }
+}
