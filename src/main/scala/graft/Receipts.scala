@@ -589,6 +589,39 @@ object Receipts {
       time("q_hll_union", SparkEntry.queries("q_hll_union")(spark, sfDir))
       spark.stop()
 
+    case "audit2" =>
+      // Round-11d additions at ScaleGen scale: sketch-boundary decile
+      // binning (one approx_percentile pass + a row-local assignment
+      // scan) and linear multi-touch attribution (one RANGE-window pass
+      // + integer-exact credit assembly).
+      val sfDir = args(1)
+      val spark = session()
+      Seq("lineitem", "events").foreach(t =>
+        graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count())
+      time("q_quantile_bins", SparkEntry.queries("q_quantile_bins")(spark, sfDir))
+      time("q_attribution_linear", SparkEntry.queries("q_attribution_linear")(spark, sfDir))
+      spark.stop()
+
+    case "cc" =>
+      // Connected-components round economics: rounds to fixpoint and
+      // wall time for the registry subgraph at the given sfDir, plus a
+      // planted 2^14-node path graph (diameter 16383 — the worst case
+      // for plain propagation) to show the pointer-jump round count.
+      val sfDir = args(1)
+      val spark = session()
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.ops.Graph.ccOnSparse(spark, sfDir)
+      val n = labels.queryExecution.toRdd.count()
+      println(f"[receipt] cc fixture: $rounds rounds, ${(System.nanoTime() - t0) / 1e9}%.2f s ($n nodes)")
+      val chain = spark.range(16383).select(
+        col("id").as("src"), (col("id") + 1L).as("dst"))
+      val sym = chain.unionByName(chain.select(col("dst").as("src"), col("src").as("dst")))
+      val t1 = System.nanoTime()
+      val (labels2, rounds2) = graft.ops.Graph.ccOn(sym)
+      val n2 = labels2.queryExecution.toRdd.count()
+      println(f"[receipt] cc path-2^14 (diameter 16383): $rounds2 rounds, ${(System.nanoTime() - t1) / 1e9}%.2f s ($n2 nodes)")
+      spark.stop()
+
     case "skyline" =>
       // Skyline at adversarial cardinality: the fixture part table is
       // dimension-sized (and ScaleGen copies it), so the receipt builds

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -187,7 +187,87 @@ object Behavior extends QueryModule {
       .orderBy("channel")
   }
 
+  /** Linear (multi-touch) revenue attribution — the equal-credit twin of
+    * [[attribution]]'s last-touch rule: each purchase's value splits
+    * evenly across ALL click/view touches inside the 3-day lookback
+    * (no touch → `direct` keeps the full value).
+    *
+    * Plan shape: one user-partitioned RANGE window pass computes the
+    * per-purchase touch counts (`count(when(click))` /
+    * `count(when(view))` over [ts−3d, ts−1µs] in epoch µs — peers at
+    * the purchase's own microsecond are excluded by the frame bound on
+    * BOTH engines, no tiebreak column needed); credits then assemble
+    * row-locally (explode of three channel structs) into a 3-group
+    * hash agg.
+    *
+    * Determinism contract: credits are EXACT INTEGERS in millionths of
+    * the currency unit — value is exact cents (2-dp source), so
+    * `cents·10⁴·k DIV n_touch` is integer-truncated identically on
+    * both engines and the sums are exact. No floating point anywhere
+    * past the window, so no rounding-boundary hazard (the per-channel
+    * sums of fractional credits WOULD land on .xx5 halves).
+    */
+  private def attributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-AttributionWindowUs, -1)
+    val counted = Tables(spark, sfDir, "events")
+      .withColumn("n_click",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .withColumn("n_view",
+        count(when(col("event_type") === "view", 1)).over(w))
+    def channel(name: String, credit: Column, hit: Column): Column =
+      struct(lit(name).as("channel"), credit.as("credit"), hit.as("hit"))
+    counted.filter(col("event_type") === "purchase")
+      .select(
+        round(col("value") * 100).cast("long").as("vc"),
+        col("n_click"), col("n_view"),
+        (col("n_click") + col("n_view")).as("n_touch"))
+      .select(explode(array(
+        channel("click",
+          when(col("n_touch") > 0,
+            expr("vc * 10000 * n_click DIV n_touch")).otherwise(0L),
+          (col("n_click") > 0).cast("long")),
+        channel("direct",
+          when(col("n_touch") === 0, col("vc") * 10000L).otherwise(0L),
+          (col("n_touch") === 0).cast("long")),
+        channel("view",
+          when(col("n_touch") > 0,
+            expr("vc * 10000 * n_view DIV n_touch")).otherwise(0L),
+          (col("n_view") > 0).cast("long")))).as("c"))
+      .groupBy(col("c.channel").as("channel"))
+      .agg(
+        sum(col("c.hit")).as("n_purchases"),
+        sum(col("c.credit")).as("revenue_micro"))
+      .orderBy("channel")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_attribution_linear" -> QueryDef(attributionLinear, Some("""
+      WITH t AS (
+        SELECT event_type, value,
+               count(CASE WHEN event_type = 'click' THEN 1 END) OVER w AS n_click,
+               count(CASE WHEN event_type = 'view' THEN 1 END) OVER w AS n_view
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)),
+      p AS (SELECT round(value * 100)::BIGINT AS vc, n_click, n_view,
+                   n_click + n_view AS n_touch
+            FROM t WHERE event_type = 'purchase'),
+      c AS (
+        SELECT 'click' AS channel,
+               CASE WHEN n_touch > 0 THEN (vc * 10000 * n_click) // n_touch ELSE 0 END AS credit,
+               CASE WHEN n_click > 0 THEN 1 ELSE 0 END AS hit FROM p
+        UNION ALL
+        SELECT 'direct',
+               CASE WHEN n_touch = 0 THEN vc * 10000 ELSE 0 END,
+               CASE WHEN n_touch = 0 THEN 1 ELSE 0 END FROM p
+        UNION ALL
+        SELECT 'view',
+               CASE WHEN n_touch > 0 THEN (vc * 10000 * n_view) // n_touch ELSE 0 END,
+               CASE WHEN n_view > 0 THEN 1 ELSE 0 END FROM p)
+      SELECT channel, sum(hit)::BIGINT AS n_purchases,
+             sum(credit)::BIGINT AS revenue_micro
+      FROM c GROUP BY channel ORDER BY channel""")),
     "q_attribution" -> QueryDef(attribution, Some("""
       WITH t AS (
         SELECT event_type, value, ts,

@@ -166,7 +166,143 @@ object Graph extends QueryModule {
       .orderBy("dist")
   }
 
+  /** Quantity threshold carving the sparse co-supply subgraph for
+    * connected components (the full bipartite graph is one giant
+    * component — thresholding is exactly what a real entity-resolution
+    * / dedup-cluster graph does before labeling).
+    */
+  private val CcMaxQty = 2.0
+
+  /** Connected components by min-label propagation to FIXPOINT — the
+    * entity-resolution / cluster-labeling primitive (the general-graph
+    * big sibling of q_dedup_clusters' representative-only propagation).
+    *
+    * One round is label⋈edges + a min-aggregate — the same single
+    * co-partitionable shuffle shape as pagerank/BFS — iterated until
+    * the EXACT fixpoint, detected by the label-sum invariant: labels
+    * only ever decrease, so Σlbl is strictly decreasing until
+    * convergence and one O(1)-row aggregate action per round is a
+    * sound (and cheap) stopping rule. Rounds = component diameter.
+    *
+    * Each round's label frame localCheckpoints — NOT persist(): the
+    * round plan references the previous labels twice (union + the
+    * propagation join), so the LOGICAL plan doubles per round; persist
+    * dedupes execution but not analysis, and an unbounded fixpoint
+    * loop OOMs the driver on plan size alone (measured at sf0.1 before
+    * the fix). localCheckpoint truncates lineage to the materialized
+    * RDD each round, so plan cost stays constant — the third point on
+    * the lazy/persist/checkpoint ladder: lazy for single-reference
+    * bounded chains (pagerank), persist for double-reference bounded
+    * chains (BFS), checkpoint for unbounded loops. Since the stopping
+    * rule needs an action per round anyway, the eager checkpoint job
+    * IS that round's work; the sum rides on the materialized frame.
+    * The round count is the other lever: each round also POINTER-JUMPS
+    * (adopts the label of the current label via one node-sized
+    * self-join), so rounds = O(log diameter) instead of O(diameter) —
+    * `Receipts cc` pins it: a 2^14-node path (diameter 16383, plain
+    * propagation's worst case) converges in exactly 15 rounds. The
+    * label-frame shuffles are width-sized by [[ccPartitionsFor]]
+    * (node-sized frames under the session's fact-sized partition count
+    * are pure scheduling floor at fixture scale).
+    *
+    * Returns (labels (node, lbl=component min node id), rounds).
+    */
+  private[graft] def ccOn(edges0: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    val edges = edges0.persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    var prev = Long.MinValue
+    var cur = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var rounds = 0
+    while (cur != prev && rounds < maxRounds) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), col("lbl"))
+      val m = labels.unionByName(prop)
+        .groupBy("node").agg(min(col("lbl")).as("lbl"))
+      // Pointer jump: also adopt the label OF the current label (always a
+      // valid node — labels are mins over node ids). Doubles the
+      // compression distance per round, so rounds = O(log diameter)
+      // instead of O(diameter); a fixpoint of the combined operator is
+      // pointwise ≤ the plain propagation's, hence still the exact
+      // component minimum.
+      val m2 = m.select(col("node").as("jnode"), col("lbl").as("jlbl"))
+      labels = m.join(m2, m("lbl") === m2("jnode"))
+        .select(m("node"), least(m("lbl"), col("jlbl")).as("lbl"))
+        .localCheckpoint(true)
+      prev = cur
+      cur = labels.agg(sum(col("lbl"))).head().getLong(0)
+      rounds += 1
+    }
+    (labels, rounds)
+  }
+
+  /** Component-size histogram of the sparse (quantity ≤ [[CcMaxQty]])
+    * part↔supplier co-supply graph: one row per distinct component
+    * size with the component count and an exact min-label checksum —
+    * the bounded output contract (component COUNT can be huge at
+    * 100 TB; distinct sizes cannot).
+    */
+  /** Iteration shuffle width for the cc label frame. The frame is
+    * node-sized, so fixture-scale rounds under the session's 32
+    * shuffle partitions are pure scheduling floor (~0.7 s/round of
+    * near-empty tasks — measured 4.9 s warm for 7 rounds); sized from
+    * the fact footprint like Streaming.statePartitionsFor, and
+    * |V|-proportional on a real cluster. Scoped around the loop only —
+    * the loop runs every action the conf affects.
+    */
+  private def ccPartitionsFor(spark: SparkSession, sfDir: String): Int = {
+    val f = new java.io.File(s"$sfDir/lineitem.parquet")
+    val bytes =
+      if (f.isFile) f.length()
+      else if (f.isDirectory) f.listFiles().map(_.length()).sum
+      else 0L
+    if (bytes > 64L * 1024 * 1024) spark.sparkContext.defaultParallelism else 8
+  }
+
+  /** The sparse co-supply subgraph's components (labels, rounds). */
+  private[graft] def ccOnSparse(spark: SparkSession, sfDir: String): (DataFrame, Int) = {
+    val bip = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") <= CcMaxQty)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val edges = bip.select(col("p").as("src"), (col("s") + lit(SuppBase)).as("dst"))
+      .unionByName(bip.select((col("s") + lit(SuppBase)).as("src"), col("p").as("dst")))
+    graft.core.SessionConf.scoped(spark, "spark.sql.shuffle.partitions",
+      ccPartitionsFor(spark, sfDir).toString) {
+      ccOn(edges)
+    }
+  }
+
+  private[graft] def ccHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val (labels, _) = ccOnSparse(spark, sfDir)
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("component_size"))
+      .groupBy("component_size")
+      .agg(
+        count(lit(1)).as("n_components"),
+        sum(col("lbl")).as("sum_min_label"))
+      .orderBy("component_size")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_graph_cc" -> QueryDef(ccHistogram, Some(s"""
+      WITH RECURSIVE bip AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_quantity <= $CcMaxQty),
+      edges AS (
+        SELECT p AS src, $SuppBase + s AS dst FROM bip
+        UNION ALL
+        SELECT $SuppBase + s AS src, p AS dst FROM bip),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+      comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a),
+      sizes AS (SELECT lbl, count(*) AS component_size FROM comp GROUP BY lbl)
+      SELECT component_size, count(*) AS n_components,
+             sum(lbl)::BIGINT AS sum_min_label
+      FROM sizes GROUP BY component_size ORDER BY component_size""")),
     "q_graph_bfs" -> QueryDef(bfsLevels, Some(s"""
       WITH RECURSIVE bip AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

@@ -253,7 +253,76 @@ object Reshape extends QueryModule {
     spark.sql(sqlEntryText)
   }
 
+  /** Decile feature binning (quantile bucketization — the feature-
+    * engineering discretization step): global 10%..90% boundary values,
+    * every row assigned bin = #boundaries strictly below its value, and
+    * the per-bin rollup emitted.
+    *
+    * Scale shape — NOT `ntile` (a single-partition total sort), and
+    * deliberately not the exact histogram either: at 100 TB boundary
+    * selection is a SKETCH job, so the boundaries come from
+    * `approx_percentile` (one pass, fixed-memory mergeable summaries),
+    * collapse to ONE 9-element array row that broadcast-crossJoins to
+    * the assignment scan, and the binning is a row-local codegen'd
+    * `size(filter(...))` — fully parallel, no row ever shuffles. An
+    * exact-boundary run stays available via [[exactPercentiles]]
+    * (q_percentiles is its audit entry).
+    *
+    * Gate (the r11 sketch-entry pattern): the rounded boundary array is
+    * TAPPED and the binning provably derives from the tapped rows
+    * (read-back). The oracle (a) enforces a 1% envelope of each tapped
+    * boundary against DuckDB's exact quantile_cont — a breach empties
+    * its output and fails the compare — and (b) recomputes the entire
+    * per-bin rollup FROM THE TAPPED BOUNDARIES, so the assignment scan
+    * is verified exactly while the timed entry keeps sketch economics.
+    */
+  private def quantileBins(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val ps = (1 to 9).map(_ / 10.0)
+    val bounds = li
+      .agg(expr(s"approx_percentile(l_extendedprice, array(${ps.mkString(", ")}), 10000)")
+        .as("raw"))
+      .select(sort_array(transform(col("raw"), v => round(v, 4))).as("bnds"))
+    val tapped = graft.ext.OracleTap(spark, "quantile_bins_bnds", bounds)
+    li.crossJoin(broadcast(tapped))
+      .select(
+        size(filter(col("bnds"), b => col("l_extendedprice") > b)).as("bin"),
+        col("l_extendedprice"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy("bin")
+  }
+
+  /** The 9 per-decile 1%-envelope terms of q_quantile_bins' oracle. */
+  private val binsEnvelopeSql: String = (1 to 9)
+    .map(i => s"abs(b.bnds[$i] - x.e$i) <= 0.01 * x.e$i")
+    .mkString(" AND ")
+
   override val defs: Map[String, QueryDef] = Map(
+    // Partial oracle (r11 sketch pattern): boundaries tapped; DuckDB
+    // enforces the 1% envelope vs exact quantile_cont in chk's WHERE
+    // (breach ⇒ empty output ⇒ compare fails) and recomputes the whole
+    // per-bin rollup FROM the tapped boundaries.
+    "q_quantile_bins" -> QueryDef(quantileBins, Some(s"""
+      WITH b AS (
+        SELECT bnds
+        FROM read_parquet('/tmp/graft_oracle_aux/quantile_bins_bnds/*.parquet')),
+      x AS (
+        SELECT ${(1 to 9).map(i =>
+          s"quantile_cont(l_extendedprice, 0.${i}) AS e$i").mkString(", ")}
+        FROM lineitem),
+      chk AS (SELECT b.bnds FROM b, x WHERE $binsEnvelopeSql)
+      SELECT len(list_filter(chk.bnds, v -> l.l_extendedprice > v))::INT AS bin,
+             count(*) AS n,
+             round(min(l_extendedprice), 2) AS lo,
+             round(max(l_extendedprice), 2) AS hi,
+             round(sum(l_extendedprice), 2) AS sum_price
+      FROM lineitem l, chk
+      GROUP BY 1 ORDER BY bin""")),
     "q_pivot" -> QueryDef(pivot, Some("""
       SELECT o_orderpriority,
              round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",

@@ -214,6 +214,68 @@ class BehaviorSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  /** Naive linear attribution — integer micro-credits, RANGE-frame
+    * semantics (touches with p_us − t_us ∈ [1, 3 days] in µs).
+    */
+  private def naiveLinear(events: Seq[Ev]): Map[String, (Long, Long)] = {
+    val windowUs = 3L * 86400L * 1000000L
+    def tsUs(e: Ev) = e.ts / 1000L
+    val byUser = events.groupBy(_.user_id)
+    val credits = events.filter(_.event_type == "purchase").flatMap { p =>
+      val touches = byUser(p.user_id).filter { e =>
+        (e.event_type == "click" || e.event_type == "view") &&
+          tsUs(p) - tsUs(e) >= 1 && tsUs(p) - tsUs(e) <= windowUs
+      }
+      val (nc, nv) = (touches.count(_.event_type == "click").toLong,
+        touches.count(_.event_type == "view").toLong)
+      val nt = nc + nv
+      val vc = math.round(p.value * 100)
+      Seq(
+        ("click", if (nt > 0) vc * 10000 * nc / nt else 0L, if (nc > 0) 1L else 0L),
+        ("direct", if (nt == 0) vc * 10000 else 0L, if (nt == 0) 1L else 0L),
+        ("view", if (nt > 0) vc * 10000 * nv / nt else 0L, if (nv > 0) 1L else 0L))
+    }
+    credits.groupBy(_._1).map { case (c, xs) =>
+      c -> ((xs.map(_._3).sum, xs.map(_._2).sum))
+    }
+  }
+
+  test("q_attribution_linear planted: even split, remainder truncation, window edges, direct") {
+    val day = 86400L * 1000L
+    val base = 1700000000000L
+    def ev(id: Long, u: Long, t: String, ms: Long, v: Double = 0.0) =
+      Ev(id, ms * 1000000L, u, t, v, "{}")
+    val events = Seq(
+      // user 1: 2 clicks + 1 view in window → 10.00 splits 2:1 by count
+      ev(1, 1, "click", base), ev(2, 1, "click", base + day),
+      ev(3, 1, "view", base + day), ev(4, 1, "purchase", base + 2 * day, 10.0),
+      // user 2: one view exactly 3 days before → all credit to view
+      ev(5, 2, "view", base), ev(6, 2, "purchase", base + 3 * day, 8.0),
+      // user 3: one click 4 days before (out) → direct
+      ev(7, 3, "click", base), ev(8, 3, "purchase", base + 4 * day, 5.0),
+      // user 4: touch at the SAME µs as the purchase → excluded → direct
+      ev(9, 4, "click", base), ev(10, 4, "purchase", base, 3.0))
+    val got = runOn(events, "q_attribution_linear")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // user 1: vc=1000 → credit base 1000*10^4 = 10^7: click 2/3 → 6666666,
+    // view 1/3 → 3333333 (truncated); user 2: view 8*10^6... in micro: 8000000.
+    assert(got == Map(
+      "click" -> ((1L, 6666666L)),
+      "view" -> ((2L, 3333333L + 8000000L)),
+      "direct" -> ((2L, 5000000L + 3000000L))))
+    assert(got == naiveLinear(events).map { case (k, (n, c)) => k -> ((n, c)) })
+  }
+
+  test("q_attribution_linear matches the naive per-purchase evaluation on random event sets") {
+    for (seed <- 1 to 5) {
+      val events = randomEvents(seed, 400)
+      val got = runOn(events, "q_attribution_linear")
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val naive = naiveLinear(events)
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
   test("q_event_transitions matches the naive lead-pair evaluation and rows sum to n - users") {
     for (seed <- 1 to 5) {
       val events = randomEvents(seed, 400)

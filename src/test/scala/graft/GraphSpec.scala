@@ -118,6 +118,66 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(got == levels)
   }
 
+  /** Independent union-find — the cc spec twin. */
+  private def localCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+  }
+
+  private def ccRun(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    import spark.implicits._
+    val sym = edges.flatMap(e => Seq(e, e.swap)).distinct
+    val (labels, rounds) = Graph.ccOn(sym.toDF("src", "dst"))
+    (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  test("ccOn: planted components get exact min labels; isolated pairs stay separate") {
+    val edges = Seq(
+      (10L, 20L), (20L, 30L), (30L, 10L),   // triangle: comp 10
+      (40L, 50L),                            // pair: comp 40
+      (60L, 70L), (70L, 80L),                // chain: comp 60
+      (90L, 91L))                            // pair: comp 90
+    val (got, _) = ccRun(edges)
+    assert(got == localCc(edges.flatMap(e => Seq(e, e.swap))))
+    assert(got(30L) == 10L && got(50L) == 40L && got(80L) == 60L && got(91L) == 90L)
+  }
+
+  test("ccOn: pointer jumping converges in O(log d) rounds on a long path, to the exact fixpoint") {
+    val n = 200L
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val (got, rounds) = ccRun(edges)
+    assert(got.values.toSet == Set(0L), "single component labeled by min node")
+    assert(got.size == n)
+    // diameter 199; plain propagation would need ~199 rounds.
+    assert(rounds <= 12, s"pointer jumping should need ~log2(199)+slack rounds, took $rounds")
+  }
+
+  test("q_graph_cc histogram matches an independent union-find of the sparse fixture subgraph") {
+    import spark.implicits._
+    val base = 1000000L
+    val pairs = graft.core.Tables(spark, sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") <= 2.0)
+      .select("l_partkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val edges = pairs.flatMap { case (p, s) => Seq((p, base + s), (base + s, p)) }
+    val comp = localCc(edges)
+    val expected = comp.groupBy(_._2).map { case (lbl, m) => (lbl, m.size.toLong) }
+      .groupBy(_._2).map { case (sz, comps) =>
+        (sz, comps.size.toLong, comps.keys.sum)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_graph_cc")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("one iteration is one aggregation exchange over the contribution join") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("src", "dst")

@@ -63,4 +63,40 @@ class ReshapeSpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  /** q_quantile_bins pins: the emitted rollup equals an independent
+    * local recomputation FROM THE TAPPED BOUNDARIES (the assignment
+    * scan is exact), the tapped boundaries sit inside the 1% envelope
+    * of the exact percentiles, and the bins partition the table.
+    */
+  test("q_quantile_bins: rollup derives exactly from the tapped boundaries, inside the envelope") {
+    val got = SparkEntry.queries("q_quantile_bins")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val bnds = spark.read.parquet("/tmp/graft_oracle_aux/quantile_bins_bnds")
+      .collect().head.getSeq[Double](0)
+    assert(bnds.length == 9 && bnds == bnds.sorted)
+    // Envelope vs the exact builtin.
+    val ps = (1 to 9).map(_ / 10.0)
+    val exact = graft.core.Tables(spark, sf, "lineitem")
+      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))"))
+      .collect().head.getSeq[Double](0)
+    bnds.zip(exact).foreach { case (b, e) =>
+      assert(math.abs(b - e) <= 0.01 * e, s"boundary $b vs exact $e")
+    }
+    // Local recomputation of the whole rollup from the tap.
+    val vals = graft.core.Tables(spark, sf, "lineitem")
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    def round2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = vals.groupBy(v => bnds.count(v > _))
+      .map { case (bin, xs) =>
+        (bin, xs.length.toLong, round2(xs.min), round2(xs.max), round2(xs.sum))
+      }.toSeq.sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3, t._4)))
+    got.map(_._5).zip(expected.map(_._5)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.02, s"sum_price $a vs $b") // FP add-order slack
+    }
+    assert(got.map(_._2).sum == vals.length.toLong)
+  }
 }
