@@ -374,7 +374,51 @@ object Corpus extends QueryModule {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
 
+  /** Per-dimension z-score standardization of the embedding corpus —
+    * the feature-scaling step every ML pipeline runs before
+    * distance-based ops (and the reason semantic indexes assume
+    * comparable dimensions). Stats are ONE posexplode + groupBy(pos)
+    * hash aggregate (the codegen shape q_embed_centroids A/B'd —
+    * partial-agg'd map-side, 64 buffers per task cross the exchange);
+    * variance is the explicit avg(v²)−avg(v)² formula so both engines
+    * compute the same IEEE expression rather than their own Welford
+    * variants. The normalization itself is row-local against the
+    * broadcast 64-row stats table; the entry emits the five lowest
+    * vec_ids' standardized vectors (long format) with the per-dim
+    * stats riding along — the bounded proof the transform applied.
+    */
+  private def featureScale(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").cast(DoubleType).as("v"))
+    val stats = ex.groupBy("pos")
+      .agg(avg(col("v")).as("mean_v"), avg(col("v") * col("v")).as("mean_sq"))
+      .select(col("pos"), col("mean_v"),
+        sqrt(col("mean_sq") - col("mean_v") * col("mean_v")).as("std_v"))
+    ex.filter(col("vec_id") < 5)
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        round(col("mean_v"), 6).as("mean_v"),
+        round(col("std_v"), 6).as("std_v"),
+        round((col("v") - col("mean_v")) / col("std_v"), 4).as("z"))
+      .orderBy("vec_id", "pos")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_feature_scale" -> QueryDef(featureScale, Some("""
+      WITH ex AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings),
+      s AS (SELECT pos, avg(v) AS mean_v,
+                   sqrt(avg(v * v) - avg(v) * avg(v)) AS std_v
+            FROM ex GROUP BY pos)
+      SELECT e.vec_id, e.pos, round(s.mean_v, 6) AS mean_v,
+             round(s.std_v, 6) AS std_v,
+             round((e.v - s.mean_v) / s.std_v, 4) AS z
+      FROM ex e JOIN s USING (pos) WHERE e.vec_id < 5
+      ORDER BY vec_id, pos""")),
     "q_embed_centroids" -> QueryDef(embedCentroids, Some("""
       WITH ex AS (
         SELECT label, unnest(embedding)::DOUBLE AS v,

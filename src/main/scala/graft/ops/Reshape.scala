@@ -297,12 +297,35 @@ object Reshape extends QueryModule {
       .orderBy("bin")
   }
 
+  /** Categorical dictionary encoding (the StringIndexer shape):
+    * categories ranked by frequency descending, name ascending on
+    * ties, 0-based dense ids — the label/feature encoding step of an
+    * ML data pipeline. The rank window is UNPARTITIONED by design:
+    * it runs over the aggregated COUNTS table (one row per distinct
+    * category — metadata-scale by definition), never over rows; the
+    * data-sized work is the single map-side-combined groupBy. The
+    * encode step downstream is then a broadcast join of this
+    * dictionary (as q_feature_scale broadcasts its stats).
+    */
+  private def stringIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("event_type"))
+    Tables(spark, sfDir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        (row_number().over(w) - 1).cast("long").as("idx"))
+      .orderBy("idx")
+  }
+
   /** The 9 per-decile 1%-envelope terms of q_quantile_bins' oracle. */
   private val binsEnvelopeSql: String = (1 to 9)
     .map(i => s"abs(b.bnds[$i] - x.e$i) <= 0.01 * x.e$i")
     .mkString(" AND ")
 
   override val defs: Map[String, QueryDef] = Map(
+    "q_string_index" -> QueryDef(stringIndex, Some("""
+      SELECT event_type, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, event_type) - 1 AS idx
+      FROM events GROUP BY event_type ORDER BY idx""")),
     // Partial oracle (r11 sketch pattern): boundaries tapped; DuckDB
     // enforces the 1% envelope vs exact quantile_cont in chk's WHERE
     // (breach ⇒ empty output ⇒ compare fails) and recomputes the whole

@@ -156,8 +156,9 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     val (got, rounds) = ccRun(edges)
     assert(got.values.toSet == Set(0L), "single component labeled by min node")
     assert(got.size == n)
-    // diameter 199; plain propagation would need ~199 rounds.
-    assert(rounds <= 12, s"pointer jumping should need ~log2(199)+slack rounds, took $rounds")
+    // diameter 199; plain propagation would need ~199 rounds. Pointer
+    // jumping needs ~log2(199), counted in pairs (+1 detection pair).
+    assert(rounds <= 16, s"pointer jumping should need ~log2(199)+slack rounds, took $rounds")
   }
 
   test("q_graph_cc histogram matches an independent union-find of the sparse fixture subgraph") {
