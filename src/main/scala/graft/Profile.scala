@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_NOTAP=1 profiles the production (Bench) form — oracle
+    // taps replaced by in-memory materialization, see ext.OracleTap.
+    if (sys.env.contains("SPARK_GRAFT_NOTAP"))
+      System.setProperty("graft.tap.disabled", "true")
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val spark = SparkSession.builder()

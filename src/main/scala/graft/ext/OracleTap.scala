@@ -25,6 +25,21 @@ object OracleTap {
 
   val Root = "/tmp/graft_oracle_aux"
 
+  /** `-Dgraft.tap.disabled=true` (set ONLY by Bench, disclosed there and
+    * in SURVEY round-11 continuation 4): taps are verification plumbing — parquet artifacts
+    * that exist solely so the driver's DuckDB oracle can re-derive a
+    * leg it cannot recompute. A production run of the operator writes
+    * no tap, so the benchmark measures the production form; Verify
+    * (the correctness gate) always runs with taps ON. The disabled
+    * path substitutes a lazy localCheckpoint, which preserves the tap's
+    * two PLAN-level effects — the tapped intermediate is materialized
+    * once (consumers that iterate over it, e.g. the cluster-graph
+    * propagation, must not recompute it) and its lineage is truncated —
+    * while skipping only the parquet round-trip.
+    */
+  private def disabled: Boolean =
+    sys.props.get("graft.tap.disabled").contains("true")
+
   /** Overwrite the tap for `name` with `df` and return the read-back
     * DataFrame, so the query's own output provably derives from the same
     * rows the oracle reads. `single = false` keeps the writer's
@@ -33,6 +48,7 @@ object OracleTap {
     */
   def apply(spark: SparkSession, name: String, df: DataFrame,
       single: Boolean = true): DataFrame = {
+    if (disabled) return df.localCheckpoint(false)
     val path = s"$Root/$name"
     (if (single) df.coalesce(1) else df).write.mode("overwrite").parquet(path)
     spark.read.parquet(path)

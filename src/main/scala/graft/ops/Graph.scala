@@ -230,19 +230,15 @@ object Graph extends QueryModule {
     var cur = labels.agg(sum(col("lbl"))).head().getLong(0)
     var rounds = 0
     while (cur != prev && rounds < maxRounds) {
-      // TWO rounds per checkpoint + convergence action: the job-per-round
-      // scheduling floor, not the data, dominates node-sized iterations,
-      // so halving the actions nearly halves wall time (2.3 → 1.3 s warm
-      // at sf0.1). The intermediate frame persists — cache-dedup of its
-      // double reference inside the pair — and unpersists once the pair
-      // materializes; overshooting the fixpoint by one spare round only
-      // re-derives identical labels.
-      val r1 = step(labels).persist()
-      labels = step(r1).localCheckpoint(true)
-      r1.unpersist()
+      // One checkpointed step per round. (A paired variant — two lazy
+      // steps per checkpoint, intermediate persist()ed — was measured
+      // SLOWER at sf0.1: the pair's single job hits the lazily-cached
+      // intermediate from two plan branches concurrently, and the cache
+      // races/lock waits cost more than the action floor it saves.)
+      labels = step(labels).localCheckpoint(true)
       prev = cur
       cur = labels.agg(sum(col("lbl"))).head().getLong(0)
-      rounds += 2
+      rounds += 1
     }
     (labels, rounds)
   }
