@@ -596,10 +596,11 @@ object Receipts {
       // + integer-exact credit assembly).
       val sfDir = args(1)
       val spark = session()
-      Seq("lineitem", "events").foreach(t =>
+      Seq("lineitem", "orders", "events").foreach(t =>
         graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count())
       time("q_quantile_bins", SparkEntry.queries("q_quantile_bins")(spark, sfDir))
       time("q_attribution_linear", SparkEntry.queries("q_attribution_linear")(spark, sfDir))
+      time("q_win_ntile", SparkEntry.queries("q_win_ntile")(spark, sfDir))
       spark.stop()
 
     case "cc" =>

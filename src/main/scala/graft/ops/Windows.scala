@@ -47,6 +47,31 @@ object Windows extends QueryModule {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** PER-PARTITION quartile assignment (`ntile(4)`) with a per-bucket
+    * rollup — the partitioned form is the scale-legitimate ntile: each
+    * o_orderpriority group sorts within its own hash partition (one
+    * co-partitioned exchange, same shape as the rest of this family).
+    * The GLOBAL form is deliberately absent — a no-partition ntile is a
+    * single-partition total sort, and the global-binning need is served
+    * by q_quantile_bins' sketch boundaries instead. The (price, key)
+    * order is total, so bucket membership is engine-identical; both
+    * engines implement standard ntile (first n mod k buckets take the
+    * extra row), which the rollup's count column pins.
+    */
+  private def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
   private def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables(spark, sfDir, "events")
@@ -160,6 +185,17 @@ object Windows extends QueryModule {
         WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
       ORDER BY p_retailprice, p_partkey""")),
+    "q_win_ntile" -> QueryDef(winNtile, Some("""
+      WITH t AS (
+        SELECT o_orderpriority, o_totalprice,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders)
+      SELECT o_orderpriority, quartile, count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM t GROUP BY o_orderpriority, quartile
+      ORDER BY o_orderpriority, quartile""")),
     "q_win_rank" -> QueryDef(winRank, Some("""
       SELECT p_brand, p_partkey, p_retailprice,
              rank() OVER w AS rnk,
