@@ -601,6 +601,8 @@ object Receipts {
       time("q_quantile_bins", SparkEntry.queries("q_quantile_bins")(spark, sfDir))
       time("q_attribution_linear", SparkEntry.queries("q_attribution_linear")(spark, sfDir))
       time("q_win_ntile", SparkEntry.queries("q_win_ntile")(spark, sfDir))
+      time("q_dq_quarantine", SparkEntry.queries("q_dq_quarantine")(spark, sfDir))
+      time("s_dq_monitor", SparkEntry.queries("s_dq_monitor")(spark, sfDir))
       spark.stop()
 
     case "cc" =>

@@ -70,7 +70,104 @@ object Quality extends QueryModule {
       .orderBy("rule")
   }
 
+  /** Rule-based row routing (quarantine) — the WRITE side of the DQ
+    * suite: every row evaluates the five row-local rules in one scan,
+    * a violating row is routed to quarantine tagged with ALL its
+    * violated-rule reasons. The entry emits the per-reason quarantine
+    * stats plus a `zz_total_quarantined` row (distinct bad rows) —
+    * computed in the SAME single pass by appending a synthetic reason
+    * to every non-empty reason array before the explode, so no second
+    * scan and no distinct. Clean rows have an empty array and never
+    * enter the explode at all — at 100 TB the quarantine leg's cost is
+    * proportional to the BAD rows, which is the point of the design.
+    */
+  private def dqQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    // The fixture is CLEAN (good news for the fixture, useless for
+    // exercising a router), so the batch under audit is a
+    // deterministically contaminated copy: every ~97th line (keyed on
+    // the PK, reproducible on both engines) gets one of five planted
+    // corruption modes. The routing logic itself is exactly what a
+    // production gate runs on the raw batch.
+    val sel = pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(97L))
+    val mode = pmod(col("l_orderkey") + col("l_linenumber"), lit(5L))
+    val li = Tables(spark, sfDir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(sel === 0 && mode === 0, lit(null).cast("timestamp"))
+        .otherwise(col("l_shipdate")).as("l_shipdate"),
+      when(sel === 0 && mode === 1, lit(999.0)).otherwise(col("l_quantity")).as("l_quantity"),
+      when(sel === 0 && mode === 2, lit(0.9)).otherwise(col("l_discount")).as("l_discount"),
+      when(sel === 0 && mode === 3, lit(-1.0)).otherwise(col("l_extendedprice")).as("l_extendedprice"),
+      when(sel === 0 && mode === 4, lit("X")).otherwise(col("l_returnflag")).as("l_returnflag"))
+    // Predicates are evaluated as cheap booleans for EVERY row; the
+    // string-array assembly (an allocation per row) is guarded behind
+    // the any-violation branch, so clean rows — the overwhelming
+    // majority — never allocate. when/otherwise branches evaluate
+    // lazily under codegen, which is what makes the guard real.
+    val vShip = col("l_shipdate").isNull
+    val vQty = !col("l_quantity").between(1, 50) || col("l_quantity").isNull
+    val vDisc = !col("l_discount").between(0.0, 0.1) || col("l_discount").isNull
+    val vPrice = !(col("l_extendedprice") > 0) || col("l_extendedprice").isNull
+    val vFlag = !col("l_returnflag").isin("A", "N", "R") || col("l_returnflag").isNull
+    val reasons = when(vShip || vQty || vDisc || vPrice || vFlag,
+      array_compact(array(
+        when(vShip, lit("completeness:l_shipdate")),
+        when(vQty, lit("range:l_quantity[1,50]")),
+        when(vDisc, lit("range:l_discount[0,0.1]")),
+        when(vPrice, lit("positive:l_extendedprice")),
+        when(vFlag, lit("accepted_values:l_returnflag")))))
+      .otherwise(array().cast("array<string>"))
+    li.select(col("l_orderkey"), col("l_linenumber"), reasons.as("rs"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        explode(when(size(col("rs")) > 0,
+          concat(col("rs"), array(lit("zz_total_quarantined"))))
+          .otherwise(col("rs"))).as("reason"))
+      .groupBy("reason")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        sum(col("l_orderkey") * 10 + col("l_linenumber")).as("key_checksum"))
+      .orderBy("reason")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_dq_quarantine" -> QueryDef(dqQuarantine, Some("""
+      WITH c AS (
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN (l_orderkey * 31 + l_linenumber) % 97 = 0
+                     AND (l_orderkey + l_linenumber) % 5 = 0
+                    THEN NULL ELSE l_shipdate END AS l_shipdate,
+               CASE WHEN (l_orderkey * 31 + l_linenumber) % 97 = 0
+                     AND (l_orderkey + l_linenumber) % 5 = 1
+                    THEN 999.0 ELSE l_quantity END AS l_quantity,
+               CASE WHEN (l_orderkey * 31 + l_linenumber) % 97 = 0
+                     AND (l_orderkey + l_linenumber) % 5 = 2
+                    THEN 0.9 ELSE l_discount END AS l_discount,
+               CASE WHEN (l_orderkey * 31 + l_linenumber) % 97 = 0
+                     AND (l_orderkey + l_linenumber) % 5 = 3
+                    THEN -1.0 ELSE l_extendedprice END AS l_extendedprice,
+               CASE WHEN (l_orderkey * 31 + l_linenumber) % 97 = 0
+                     AND (l_orderkey + l_linenumber) % 5 = 4
+                    THEN 'X' ELSE l_returnflag END AS l_returnflag
+        FROM lineitem),
+      r AS (
+        SELECT l_orderkey, l_linenumber,
+               list_filter([
+                 CASE WHEN l_shipdate IS NULL THEN 'completeness:l_shipdate' END,
+                 CASE WHEN (l_quantity BETWEEN 1 AND 50) IS NOT TRUE THEN 'range:l_quantity[1,50]' END,
+                 CASE WHEN (l_discount BETWEEN 0 AND 0.1) IS NOT TRUE THEN 'range:l_discount[0,0.1]' END,
+                 CASE WHEN (l_extendedprice > 0) IS NOT TRUE THEN 'positive:l_extendedprice' END,
+                 CASE WHEN (l_returnflag IN ('A','N','R')) IS NOT TRUE THEN 'accepted_values:l_returnflag' END
+               ], x -> x IS NOT NULL) AS rs
+        FROM c),
+      x AS (
+        SELECT l_orderkey, l_linenumber, u.reason
+        FROM r, unnest(CASE WHEN len(rs) > 0
+                            THEN list_append(rs, 'zz_total_quarantined')
+                            ELSE rs END) AS u(reason))
+      SELECT reason, count(*) AS n_rows,
+             min(l_orderkey) AS min_orderkey,
+             sum(l_orderkey * 10 + l_linenumber)::BIGINT AS key_checksum
+      FROM x GROUP BY reason ORDER BY reason""")),
     "q_dq_rules" -> QueryDef(dqRules, Some("""
       WITH n AS (SELECT count(*)::BIGINT AS n FROM lineitem),
       v AS (

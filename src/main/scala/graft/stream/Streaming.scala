@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -402,6 +402,65 @@ object Streaming extends QueryModule {
       .orderBy("dt", "event_type")
   }
 
+  /** Streaming data-quality monitor — the continuous leg of the
+    * q_dq_rules suite (every index family here has a streaming leg;
+    * the audit family gets one too): each micro-batch folds its
+    * row-local rule verdicts in ONE conditional-aggregate pass (the
+    * q_dq_rules shape — adding a rule costs nothing), and foreachBatch
+    * merges the per-rule (rows, violations) counters into the served
+    * verdict table. State is O(rules) regardless of stream volume,
+    * history is never re-scanned, and the counters are exactly
+    * mergeable — so the cumulative verdict equals the full batch
+    * recompute, which is the oracle. Output columns match q_dq_rules
+    * (n_violations, floor-6dp pass_ratio, passed).
+    */
+  private def dqMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = tmpDir("graft_sdq")
+    var current: Option[String] = None
+    def verdicts(df: DataFrame): DataFrame = {
+      def rule(name: String, viol: Column): Column =
+        struct(lit(name).as("rule"), viol.as("v"))
+      df.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("v_props"),
+          sum(when(col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"), 0L).otherwise(1L)).as("v_type"),
+          sum(when(col("value").between(0.0, 100.0), 0L).otherwise(1L)).as("v_val"),
+          sum(when(col("user_id") >= 0, 0L).otherwise(1L)).as("v_uid"))
+        .select(explode(array(
+          rule("accepted_values:event_type", col("v_type")),
+          rule("completeness:props", col("v_props")),
+          rule("nonneg:user_id", col("v_uid")),
+          rule("range:value[0,100]", col("v_val")))).as("r"), col("n"))
+        .select(col("r.rule").as("rule"), col("n"), col("r.v").as("v"))
+    }
+    val q = streamEvents(spark, sfDir)
+      .select(col("event_type"), col("value"), col("user_id"), col("props"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = verdicts(batch)
+        val merged = current match {
+          case None => delta
+          case Some(prev) => batch.sparkSession.read.parquet(prev)
+            .unionByName(delta)
+            .groupBy("rule")
+            .agg(sum(col("n")).as("n"), sum(col("v")).as("v"))
+        }
+        val next = s"$root/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+      }
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(sys.error("no batch ran")))
+      .select(col("rule"), col("v").as("n_violations"),
+        (floor((col("n") - col("v")) / col("n") * 1e6) / 1e6).as("pass_ratio"),
+        (col("v") === 0).as("passed"))
+      .orderBy("rule")
+  }
+
   // ---- Arbitrary stateful processing (mapGroupsWithState) ---------------
 
   /** Per-key running state via `KeyValueGroupedDataset.mapGroupsWithState`
@@ -667,6 +726,25 @@ object Streaming extends QueryModule {
       SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+    "s_dq_monitor" -> QueryDef(dqMonitorStream, Some("""
+      WITH n AS (SELECT count(*)::BIGINT AS n FROM events),
+      v AS (
+        SELECT 'accepted_values:event_type' AS rule,
+               count(*) FILTER ((event_type IN ('click','view','purchase','signup','error')) IS NOT TRUE)::BIGINT AS v
+        FROM events
+        UNION ALL
+        SELECT 'completeness:props',
+               count(*) FILTER (props IS NULL) FROM events
+        UNION ALL
+        SELECT 'nonneg:user_id',
+               count(*) FILTER ((user_id >= 0) IS NOT TRUE) FROM events
+        UNION ALL
+        SELECT 'range:value[0,100]',
+               count(*) FILTER ((value BETWEEN 0 AND 100) IS NOT TRUE) FROM events)
+      SELECT v.rule, v.v AS n_violations,
+             floor((n.n - v.v) / n.n * 1e6) / 1e6 AS pass_ratio,
+             v.v = 0 AS passed
+      FROM v, n ORDER BY rule""")),
     "s_mv_refresh" -> QueryDef(mvRefreshStream, Some("""
       SELECT strftime(ts, '%Y%m%d') AS dt, event_type, count(*) AS n,
              round(sum(value), 2) AS sum_value

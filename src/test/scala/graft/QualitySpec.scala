@@ -55,6 +55,27 @@ class QualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q_dq_quarantine: multi-reason rows tagged once per reason + once in total; clean rows absent") {
+    import org.apache.spark.sql.functions.col
+    // Keys chosen so the entry's own %97 contamination does NOT fire —
+    // except (3,4) (3*31+4=97), which must pick mode (3+4)%5=2 and
+    // corrupt l_discount.
+    val lines = Seq(
+      QLine(1, 1, Some(99), Some(0.05), 100, "X", Some(D)),   // qty + flag violations
+      QLine(2, 1, Some(10), Some(0.05), 100, "A", Some(D)),   // clean, uncontaminated
+      QLine(3, 4, Some(10), Some(0.05), 100, "A", Some(D)))   // contaminated -> discount
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_quality_spec")
+    lines.toDF().write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q_dq_quarantine")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "accepted_values:l_returnflag" -> ((1L, 1L, 11L)),
+      "range:l_quantity[1,50]" -> ((1L, 1L, 11L)),
+      "range:l_discount[0,0.1]" -> ((1L, 3L, 34L)),
+      "zz_total_quarantined" -> ((2L, 1L, 45L))))
+  }
+
   test("a clean batch passes every rule with ratio exactly 1.0") {
     val lines = Seq(
       QLine(1, 1, Some(10), Some(0.05), 100, "A", Some(D)),

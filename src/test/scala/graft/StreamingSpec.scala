@@ -376,4 +376,32 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         s"valid envelope missing from sink; buckets=${out.map(_._1).distinct.toSeq}")
     }
   }
+
+  test("s_dq_monitor: planted violations counted exactly, cumulative verdict matches recompute") {
+    import spark.implicits._
+    val base = 1700000000000L * 1000000L
+    def ev(id: Long, t: String, v: Double, props: String = "{}") =
+      BehaviorSpecEv(id, base + id * 1000000L, 1L, t, v, props)
+    val events = Seq(
+      ev(1, "click", 10.0),
+      ev(2, "weird_type", 10.0),                 // accepted_values violation
+      ev(3, "view", 250.0),                      // range violation
+      ev(4, "purchase", 99.9),
+      BehaviorSpecEv(5, base, 1L, "click", 5.0, null)) // completeness violation
+    val dir = graft.core.TempDirs.create("graft_sdq_spec")
+    events.toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/_tmp_events")
+    // streamEvents globs events.parquet as a single FILE.
+    val part = new java.io.File(s"$dir/_tmp_events").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$dir/events.parquet").toPath)
+    val got = SparkEntry.queries("s_dq_monitor")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      "accepted_values:event_type" -> ((1L, false)),
+      "completeness:props" -> ((1L, false)),
+      "nonneg:user_id" -> ((0L, true)),
+      "range:value[0,100]" -> ((1L, false))))
+  }
 }
