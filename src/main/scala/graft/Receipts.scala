@@ -605,6 +605,19 @@ object Receipts {
       time("s_dq_monitor", SparkEntry.queries("s_dq_monitor")(spark, sfDir))
       spark.stop()
 
+    case "features" =>
+      // Feature-engineering pair at ScaleGen scale: z-score stats are
+      // one posexplode aggregate (n·64 scalar rows fold map-side);
+      // dictionary encoding is one map-side-combined groupBy + a
+      // metadata-scale rank window. Dir needs embeddings + events.
+      val sfDir = args(1)
+      val spark = session()
+      Seq("embeddings", "events").foreach(t =>
+        graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count())
+      time("q_feature_scale", SparkEntry.queries("q_feature_scale")(spark, sfDir))
+      time("q_string_index", SparkEntry.queries("q_string_index")(spark, sfDir))
+      spark.stop()
+
     case "cc" =>
       // Connected-components round economics: rounds to fixpoint and
       // wall time for the registry subgraph at the given sfDir, plus a
