@@ -102,7 +102,10 @@ object Receipts {
       val sfDir = args(1)
       val spark = session()
       val entries = Seq("q_ann_ivf_probe", "q_ann_ivfpq_probe", "q_ann_ivf_batch",
-        "q_minhash_incremental", "q_dedup_exact", "q_bm25", "q_agg_group", "q_win_rank")
+        "q_minhash_incremental", "q_dedup_exact", "q_bm25", "q_agg_group", "q_win_rank",
+        // r11 additions: the audit scan family and an iterative-graph
+        // job (its per-round actions contend with everything else).
+        "q_dq_rules", "q_graph_bfs")
       // Warm-up (seeds, JIT, footer caches) — same discipline as Bench.
       entries.foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
@@ -127,7 +130,7 @@ object Receipts {
         println(f"[receipt] concurrent $n%-24s serial $s%6.2f s  concurrent $c%6.2f s  (${c / s}%4.1fx)")
       }
       println(f"[receipt] concurrent aggregate: serial wall $serialWall%.1f s, " +
-        f"8-way concurrent wall $concWall%.1f s (${serialWall / concWall}%.2fx throughput)")
+        f"${entries.size}-way concurrent wall $concWall%.1f s (${serialWall / concWall}%.2fx throughput)")
       spark.stop()
 
     case "canalcrash" =>
@@ -603,6 +606,30 @@ object Receipts {
       time("q_win_ntile", SparkEntry.queries("q_win_ntile")(spark, sfDir))
       time("q_dq_quarantine", SparkEntry.queries("q_dq_quarantine")(spark, sfDir))
       time("s_dq_monitor", SparkEntry.queries("s_dq_monitor")(spark, sfDir))
+      spark.stop()
+
+    case "semdedupphases" =>
+      // Phase attribution for the most expensive bench family: where do
+      // q_semdedup_rebuild's seconds go? (scratch copy | rebuild op |
+      // read-back+output). Run against the driver fixture dir.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "embeddings").queryExecution.toRdd.count()
+      graft.ext.Similarity.ensureSemdedupEntryCaches(spark, sfDir)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val dir = graft.core.Warehouse.scratchFromSeed(
+          graft.ext.Similarity.ensureVictimsDeletedSemdedupSeed(spark, sfDir),
+          "graft_semdedup_phase")
+        val t1 = System.nanoTime()
+        graft.ext.Similarity.semdedupIndexRebuild(spark, dir, tau = 0.4)
+        val t2 = System.nanoTime()
+        val n = SparkEntry.queries("q_semdedup_rebuild")(spark, sfDir)
+          .queryExecution.toRdd.count()
+        val t3 = System.nanoTime()
+        println(f"[receipt] semdedup phases run$i: copy ${(t1 - t0) / 1e9}%.2f s, " +
+          f"rebuild-op ${(t2 - t1) / 1e9}%.2f s, full-entry ${(t3 - t2) / 1e9}%.2f s ($n rows)")
+      }
       spark.stop()
 
     case "features" =>
