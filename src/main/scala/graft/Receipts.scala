@@ -656,6 +656,16 @@ object Receipts {
       val (labels, rounds) = graft.ops.Graph.ccOnSparse(spark, sfDir)
       val n = labels.queryExecution.toRdd.count()
       println(f"[receipt] cc fixture: $rounds rounds, ${(System.nanoTime() - t0) / 1e9}%.2f s ($n nodes)")
+      // Incremental merge economics: base labels from the untimed seed,
+      // the timed region is the qty=3 batch merge — cost rides on the
+      // batch + touched components, never the base edges.
+      graft.ops.Graph.ensureCcLabelsSeed(spark, sfDir)
+      (1 to 2).foreach { i =>
+        val t2 = System.nanoTime()
+        val n3 = SparkEntry.queries("q_graph_cc_incremental")(spark, sfDir)
+          .queryExecution.toRdd.count()
+        println(f"[receipt] cc incremental run$i: ${(System.nanoTime() - t2) / 1e9}%.2f s ($n3 size-classes)")
+      }
       val chain = spark.range(16383).select(
         col("id").as("src"), (col("id") + 1L).as("dst"))
       val sym = chain.unionByName(chain.select(col("dst").as("src"), col("src").as("dst")))

@@ -291,7 +291,127 @@ object Graph extends QueryModule {
       .orderBy("component_size")
   }
 
+  private val CcSeedRoot = "/tmp/graft_cc"
+
+  /** Fixture tag for the persisted base labels (mtime+length catches
+    * driver-regenerated testdata, like the index seeds).
+    */
+  private def ccTag(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "lineitem.parquet")
+    val len =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    "v1-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+      "-" + java.lang.Long.toHexString(len)
+  }
+
+  /** Marker-gated persisted base labels: the qty≤[[CcMaxQty]] subgraph's
+    * fixpoint labels, computed once per fixture — the same disclosed
+    * untimed seed economics as every index seed. The incremental entry's
+    * timed region is the MERGE, which is the operator.
+    */
+  private[graft] def ensureCcLabelsSeed(spark: SparkSession, sfDir: String): String = {
+    val dir = new java.io.File(CcSeedRoot, ccTag(sfDir))
+    val marker = new java.io.File(dir, "_SEEDED")
+    val labelsPath = new java.io.File(dir, "labels").getPath
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      val (labels, _) = ccOnSparse(spark, sfDir)
+      labels.write.mode("overwrite").parquet(labelsPath)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    labelsPath
+  }
+
+  /** Incremental component merge: fold a batch of undirected edges
+    * (`a`, `b` — endpoints may be previously-unseen nodes) into an
+    * existing (node, lbl) labeling WITHOUT touching the base graph.
+    *
+    * The algorithm never re-labels from scratch: batch endpoints map to
+    * their component labels (new nodes stand for themselves), the
+    * fixpoint loop then runs on the COMPONENT-LEVEL graph — bounded by
+    * touched components + new nodes, not |V| and never the base edges —
+    * and the resulting merge map re-points base labels via one
+    * broadcast-sized join. Exactness: a component's label is its min
+    * node id, so the merged label (min over merged old labels) is
+    * exactly the full-recompute label; the DuckDB oracle recomputes the
+    * whole union graph from scratch and must hash-match.
+    */
+  private[graft] def ccMergeBatch(labels: DataFrame, batch: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
+    val mapped = batch
+      .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("src"),
+        coalesce(col("lb"), col("b")).as("dst"))
+    val compEdges = mapped.filter(col("src") =!= col("dst")).persist()
+    val remap =
+      if (compEdges.isEmpty) labels.sparkSession.emptyDataFrame
+        .select(lit(0L).as("lbl"), lit(0L).as("new_lbl")).limit(0)
+      else {
+        val sym = compEdges.unionByName(
+          compEdges.select(col("dst").as("src"), col("src").as("dst")))
+        val (merged, _) = ccOn(sym)
+        merged.select(col("node").as("lbl"), col("lbl").as("new_lbl"))
+      }
+    val rebased = labels.join(remap, Seq("lbl"), "left")
+      .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    // Previously-unseen endpoints: they always appear in the component
+    // graph (a new node id never equals a base label), so their merged
+    // label is in the remap; an isolated new pair keeps its own min.
+    val newNodes = batch.select(col("a").as("node"))
+      .unionByName(batch.select(col("b").as("node"))).distinct()
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+    val newLabeled = newNodes.join(remap, newNodes("node") === remap("lbl"), "left")
+      .select(newNodes("node"), coalesce(col("new_lbl"), newNodes("node")).as("lbl"))
+    rebased.unionByName(newLabeled)
+  }
+
+  /** The incremental entry: persisted base labels + the qty=3 arrival
+    * batch; output is the same component-size histogram as q_graph_cc,
+    * which the oracle recomputes FROM SCRATCH over the union graph —
+    * the incremental merge must equal the full relabeling exactly.
+    */
+  private def ccIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels0 = spark.read.parquet(ensureCcLabelsSeed(spark, sfDir))
+    val batch = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") === 3.0)
+      .select(col("l_partkey").as("a"), (col("l_suppkey") + lit(SuppBase)).as("b"))
+      .distinct()
+    graft.core.SessionConf.scoped(spark, "spark.sql.shuffle.partitions",
+      ccPartitionsFor(spark, sfDir).toString) {
+      ccMergeBatch(labels0, batch)
+    }
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("component_size"))
+      .groupBy("component_size")
+      .agg(
+        count(lit(1)).as("n_components"),
+        sum(col("lbl")).as("sum_min_label"))
+      .orderBy("component_size")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_graph_cc_incremental" -> QueryDef(ccIncremental, Some(s"""
+      WITH RECURSIVE bip AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_quantity <= $CcMaxQty OR l_quantity = 3.0),
+      edges AS (
+        SELECT p AS src, $SuppBase + s AS dst FROM bip
+        UNION ALL
+        SELECT $SuppBase + s AS src, p AS dst FROM bip),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach(a, b) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+      comp AS (SELECT a AS node, min(b) AS lbl FROM reach GROUP BY a),
+      sizes AS (SELECT lbl, count(*) AS component_size FROM comp GROUP BY lbl)
+      SELECT component_size, count(*) AS n_components,
+             sum(lbl)::BIGINT AS sum_min_label
+      FROM sizes GROUP BY component_size ORDER BY component_size""")),
     "q_graph_cc" -> QueryDef(ccHistogram, Some(s"""
       WITH RECURSIVE bip AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem

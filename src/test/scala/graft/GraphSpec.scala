@@ -179,6 +179,50 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("ccMergeBatch: merges, attachments, new pairs, and internal edges all equal the full relabeling") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L), (10L, 11L))
+    val baseSym = base.flatMap(e => Seq(e, e.swap))
+    val (labels0, _) = Graph.ccOn(baseSym.toDF("src", "dst"))
+    // batch: merge comps 1 and 3 (edge 2-3), attach new node 9 to comp 5,
+    // a brand-new isolated pair (20,21), and a no-op internal edge (10,11).
+    val batch = Seq((2L, 3L), (9L, 5L), (20L, 21L), (10L, 11L))
+    val got = Graph.ccMergeBatch(labels0, batch.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = localCc(baseSym ++ batch.flatMap(e => Seq(e, e.swap)))
+    assert(got == full)
+    assert(got(3L) == 1L && got(9L) == 5L && got(21L) == 20L && got(11L) == 10L)
+  }
+
+  test("ccMergeBatch with a no-new-information batch returns the labeling unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L))
+    val baseSym = base.flatMap(e => Seq(e, e.swap))
+    val (labels0, _) = Graph.ccOn(baseSym.toDF("src", "dst"))
+    val got = Graph.ccMergeBatch(labels0, Seq((1L, 3L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("q_graph_cc_incremental equals an independent union-find of the UNION graph") {
+    import spark.implicits._
+    val base = 1000000L
+    val pairs = graft.core.Tables(spark, sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") <= 2.0 ||
+        org.apache.spark.sql.functions.col("l_quantity") === 3.0)
+      .select("l_partkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect().toSeq
+    val edges = pairs.flatMap { case (p, s) => Seq((p, base + s), (base + s, p)) }
+    val comp = localCc(edges)
+    val expected = comp.groupBy(_._2).map { case (lbl, m) => (lbl, m.size.toLong) }
+      .groupBy(_._2).map { case (sz, comps) =>
+        (sz, comps.size.toLong, comps.keys.sum)
+      }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q_graph_cc_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("one iteration is one aggregation exchange over the contribution join") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("src", "dst")
