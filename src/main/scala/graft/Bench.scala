@@ -10,9 +10,17 @@ object Bench {
     // Verify, the correctness gate, always runs with taps ON and is
     // unaffected.
     System.setProperty("graft.tap.disabled", "true")
+    // Disclosed (SURVEY): measurement scratch — per-run index copies,
+    // stream checkpoints, state stores, shuffle spill — rides the
+    // RAM-backed local dir (/dev/shm), the local-disk class a
+    // production executor node has. This host's /tmp is a SHARED
+    // virtio device whose noisy-neighbor stalls the CPU-bound canary
+    // cannot detect (identical code swept 144-167 s across
+    // canary-clean runs); persistent seeds stay on /tmp.
+    val shm = graft.core.TempDirs.enableMeasurementScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -27,7 +35,8 @@ object Bench {
       // RocksDB provider, and what keeps its per-micro-batch constant cost
       // flat at small state sizes.
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      .getOrCreate()
+    val spark = shm.fold(builder0)(r =>
+      builder0.config("spark.local.dir", s"$r/spark_local")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: read every table once so footer caching, reader
     // JIT, and codegen infrastructure aren't billed to the first measured

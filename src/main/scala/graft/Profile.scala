@@ -11,9 +11,11 @@ object Profile {
     // taps replaced by in-memory materialization, see ext.OracleTap.
     if (sys.env.contains("SPARK_GRAFT_NOTAP"))
       System.setProperty("graft.tap.disabled", "true")
+    // Same measurement substrate as Bench (see its disclosure).
+    val shm = graft.core.TempDirs.enableMeasurementScratch()
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,7 +33,8 @@ object Profile {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", sys.env.getOrElse("GRAFT_CHANGELOG", "true"))
-      .getOrCreate()
+    val spark = shm.fold(builder0)(r =>
+      builder0.config("spark.local.dir", s"$r/spark_local")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

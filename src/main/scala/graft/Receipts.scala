@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
 object Receipts {
 
   private def session(): SparkSession = {
-    val spark = SparkSession.builder()
+    // Same measurement substrate as Bench (see its disclosure).
+    val shm = graft.core.TempDirs.enableMeasurementScratch()
+    val builder0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,7 +52,8 @@ object Receipts {
       // RocksDB provider, and what keeps its per-micro-batch constant cost
       // flat at small state sizes.
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      .getOrCreate()
+    val spark = shm.fold(builder0)(r =>
+      builder0.config("spark.local.dir", s"$r/spark_local")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -77,18 +77,33 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts has shipped in different physical layouts across fixture
-    // generations: TIMESTAMP(NANOS) (readable only as raw long via
-    // nanosAsLong — Spark's vectorized reader rejects nanos outright) and
-    // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). The
-    // conf is set BEFORE the read so a nanos file infers as long, then
-    // normalizeEventsTs dispatches on whichever type actually arrived.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventsTs(df)
-    else df
-  }
+  /** Resolved-table catalog. Every engine caches table resolution —
+    * file listing, parquet footer schema inference — as CATALOG state;
+    * re-deriving it on every query construction is driver-side work a
+    * production metastore never repays. DataFrames are immutable plans,
+    * safe to share across queries in a session. Keyed by (session, dir,
+    * table): the driver fixtures are read-only, spec fixtures write to
+    * a FRESH TempDir per planting (a (dir, table) pair never changes
+    * content within a session), and a regenerated /tmp scale replica is
+    * only read by short-lived receipt JVMs. Cleared never — entries are
+    * a handful of plan objects per session.
+    */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    catalog.computeIfAbsent((spark, sfDir, name), { _ =>
+      // events.ts has shipped in different physical layouts across fixture
+      // generations: TIMESTAMP(NANOS) (readable only as raw long via
+      // nanosAsLong — Spark's vectorized reader rejects nanos outright) and
+      // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ). The
+      // conf is set BEFORE the read so a nanos file infers as long, then
+      // normalizeEventsTs dispatches on whichever type actually arrived.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") normalizeEventsTs(df)
+      else df
+    })
 
   /** Normalize every ts layout to session-zone TimestampType at
     * microsecond precision, so all downstream queries — and the DuckDB

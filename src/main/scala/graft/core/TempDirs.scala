@@ -19,10 +19,42 @@ object TempDirs {
     ()
   }
 
+  /** Optional scratch root (`-Dgraft.tmp.root=...`): the measurement
+    * harnesses (Bench/Profile/Receipts) point it at the RAM-backed
+    * local dir (/dev/shm) so per-run scratch copies, checkpoints, and
+    * state stores ride the local-disk class a production executor node
+    * has, instead of this host's shared noisy-neighbor /tmp device —
+    * disclosed in SURVEY. Default: java.io.tmpdir, unchanged for
+    * Verify and the test suites.
+    */
+  private def root: Option[java.nio.file.Path] =
+    sys.props.get("graft.tmp.root").map { r =>
+      val p = java.nio.file.Paths.get(r)
+      java.nio.file.Files.createDirectories(p)
+      p
+    }
+
+  /** Enable the RAM-backed measurement scratch if this host has one;
+    * returns the root for `spark.local.dir` wiring, or None (leaving
+    * every default untouched) where /dev/shm is absent or unwritable.
+    */
+  def enableMeasurementScratch(): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val r = "/dev/shm/graft_bench"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+      System.setProperty("graft.tmp.root", r)
+      Some(r)
+    } else None
+  }
+
   /** Create a temp directory registered for recursive delete on JVM exit. */
   def create(prefix: String): String = {
     hookInstalled
-    val d = java.nio.file.Files.createTempDirectory(prefix)
+    val d = root match {
+      case Some(r) => java.nio.file.Files.createTempDirectory(r, prefix)
+      case None => java.nio.file.Files.createTempDirectory(prefix)
+    }
     dirs.add(d)
     d.toString
   }
