@@ -611,6 +611,31 @@ object Receipts {
       time("s_dq_monitor", SparkEntry.queries("s_dq_monitor")(spark, sfDir))
       spark.stop()
 
+    case "tapcost" =>
+      // Reproducible evidence for the Bench tap-disable disclosure:
+      // the same entries timed with oracle taps ON (Verify's form —
+      // parquet write + read-back) vs OFF (Bench's production form —
+      // lazy localCheckpoint). The delta is pure verification plumbing.
+      val sfDir = args(1)
+      val spark = session()
+      val entries = Seq("q_hll_union", "q_quantile_bins", "q_agg_approx_distinct",
+        "q_approx_percentiles", "q_minhash_near_dup", "q_semdedup")
+      def once(n: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      entries.foreach(once) // warm both paths' JIT once, untimed
+      Seq(("taps ON ", "false"), ("taps OFF", "true")).foreach { case (label, v) =>
+        System.setProperty("graft.tap.disabled", v)
+        entries.foreach { n =>
+          val t = Seq(once(n), once(n)).min
+          println(f"[receipt] tapcost $label $n%-24s $t%5.2f s (best of 2)")
+        }
+      }
+      System.clearProperty("graft.tap.disabled")
+      spark.stop()
+
     case "semdedupphases" =>
       // Phase attribution for the most expensive bench family: where do
       // q_semdedup_rebuild's seconds go? (scratch copy | rebuild op |
