@@ -43,6 +43,13 @@ object TempDirs {
     if (shm.isDirectory && shm.canWrite) {
       val r = "/dev/shm/graft_bench"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+      // A crashed run's scratch would pin RAM until reboot (the exit
+      // hook never fired); sweep entries idle for >2 h — old enough to
+      // never race a live sweep, which touches its dirs continuously.
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+        .filter(_.lastModified() < cutoff)
+        .foreach(Warehouse.deleteRecursively)
       System.setProperty("graft.tmp.root", r)
       Some(r)
     } else None

@@ -206,6 +206,11 @@ object Behavior extends QueryModule {
     * both engines and the sums are exact. No floating point anywhere
     * past the window, so no rounding-boundary hazard (the per-channel
     * sums of fractional credits WOULD land on .xx5 halves).
+    * NONNEGATIVE-VALUE contract: Spark's `DIV` truncates toward zero
+    * while DuckDB's `//` floors, which diverges only for negative
+    * dividends — purchase values here are ≥ 0 by the events schema; a
+    * refunds-bearing feed would switch both sides to explicit floor
+    * division before relying on the hash compare.
     */
   private def attributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
