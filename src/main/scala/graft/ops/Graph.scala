@@ -240,6 +240,10 @@ object Graph extends QueryModule {
       cur = labels.agg(sum(col("lbl"))).head().getLong(0)
       rounds += 1
     }
+    // No silent cap: with pointer jumping, maxRounds=64 covers any
+    // physically possible diameter — if we ever get here non-converged,
+    // failing beats emitting a wrong labeling.
+    require(cur == prev, s"ccOn did not reach fixpoint in $maxRounds rounds")
     (labels, rounds)
   }
 
