@@ -1222,6 +1222,53 @@ object Receipts {
             md5(col("content")).as("digest")))
       spark.stop()
 
+    case "knn" =>
+      // kNN-join economics at ScaleGen scale: one corpus scan with the
+      // codegen cosine against the broadcast query batch, k-bounded
+      // partial heaps into the one exchange. Point at a dir carrying
+      // embeddings (100x: cost must track the corpus linearly while the
+      // exchange stays at |batch|*k per map partition).
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "embeddings").queryExecution.toRdd.count()
+      time("q_knn_join", SparkEntry.queries("q_knn_join")(spark, sfDir))
+      spark.stop()
+
+    case "triangles" =>
+      // Triangle-count economics on planted graphs: the circulant ring
+      // C_n(1,2,3,4) (each node wired to its next 4 neighbors) has
+      // degree 8 everywhere, so exactly 28n wedges and C(4,2)*n = 6n
+      // triangles (every pair 1<=a<b<=4 closes since b-a<=3) — wedge
+      // work grows linearly, so doubling n should double the runtime,
+      // and the counts receipt-check themselves. args: n.
+      val n = args(1).toLong
+      val spark = session()
+      val base = spark.range(n)
+      val edges = (1 to 4).map(d =>
+          base.select(col("id").as("a"), pmod(col("id") + d, lit(n)).as("b")))
+        .reduce(_ unionByName _)
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct().persist()
+      edges.queryExecution.toRdd.count()
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val r = graft.ops.Graph.triangleStats(edges).head()
+        println(f"[receipt] triangles ring-$n run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"(nodes=${r.getLong(0)} edges=${r.getLong(1)} wedges=${r.getLong(2)} " +
+          s"triangles=${r.getLong(3)} expected=${6 * n})")
+      }
+      spark.stop()
+
+    case "drift" =>
+      // PSI drift monitor at ScaleGen scale: ONE conditional-agg scan of
+      // events folds both periods' bin counts; everything after the
+      // groupBy is |types|*|bins|-sized. Point at a dir carrying events.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "events").queryExecution.toRdd.count()
+      time("q_dq_drift", SparkEntry.queries("q_dq_drift")(spark, sfDir))
+      spark.stop()
+
     case other => sys.error(s"unknown receipt: $other")
   }
 }

@@ -20,6 +20,47 @@ import graft.functions.SimHash64
   */
 object Similarity extends QueryModule {
 
+  /** kNN-join query-batch bound and neighbor count. */
+  private val KnnQueries = 50L
+  private val KnnK = 5
+
+  /** Exact kNN JOIN: every query vector in a bounded batch gets its
+    * [[KnnK]] nearest corpus neighbors by cosine — the batch scoring
+    * primitive behind retrieval evaluation, semdedup ground truth, and
+    * hard-negative mining (distinct from q_similarity_topk's single
+    * probe and the q_ann_* indexed paths: this is the JOIN form).
+    *
+    * Scale shape: the query batch broadcasts (kNN-join batches are
+    * bounded by contract; the corpus is not), the corpus is scanned
+    * ONCE with the native codegen cosine, and per-query top-k runs as a
+    * typed Aggregator ([[graft.functions.Udafs.TopKAgg]]) — map-side
+    * k-bounded heaps mean the only shuffle carries ≤ k (sim, id)
+    * entries per (query, map partition), where the window-function
+    * row_number() alternative would shuffle all |corpus|·|batch| scored
+    * pairs. At 100 TB the same plan holds: broadcast batch, one corpus
+    * pass, k-bounded exchange; for unbounded query sides the indexed
+    * q_ann_ivf_batch path takes over. Sims are rounded to 4 dp BEFORE
+    * ranking with id-ascending tie-break, so rank sets are deterministic
+    * cross-engine.
+    */
+  private def knnJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchors = e.filter(col("vec_id") < KnnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.filter(col("vec_id") >= KnnQueries)
+    val topk = udaf(new graft.functions.Udafs.TopKAgg(KnnK),
+      org.apache.spark.sql.Encoders.product[graft.functions.Udafs.ScoredId])
+    corpus.crossJoin(broadcast(anchors))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineUdf(col("embedding"), col("qe")), 4).as("sim"))
+      .groupBy("query_id")
+      .agg(topk(col("sim"), col("vec_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("nn_rank"),
+        col("col.id").as("neighbor_id"), col("col.sim").as("cos_sim"))
+      .orderBy("query_id", "nn_rank")
+  }
+
   private def similarityTopk(spark: SparkSession, sfDir: String): DataFrame = {
     // cosineUdf accumulates dot/norms left-to-right over i = 0..dim-1 —
     // the same operation sequence as the interpreted `aggregate(zip_with)`
@@ -3758,6 +3799,27 @@ object Similarity extends QueryModule {
                     / greatest(len(a.text), len(b.text))) * 10000) / 10000 AS edit_sim
       FROM d a JOIN d b ON a.doc_id < b.doc_id
       ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 20""")),
+    "q_knn_join" -> QueryDef(knnJoin, Some(s"""
+      WITH a AS (
+        SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        WHERE vec_id < $KnnQueries),
+      c AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $KnnQueries),
+      terms AS (
+        SELECT a.qid, c.vec_id,
+               CAST(c.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.qe[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM a, c, range(1, 65) t(i)),
+      sims AS (
+        SELECT qid, vec_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS sim
+        FROM terms GROUP BY qid, vec_id),
+      rk AS (
+        SELECT qid AS query_id, vec_id AS neighbor_id, sim AS cos_sim,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS nn_rank
+        FROM sims)
+      SELECT query_id, nn_rank, neighbor_id, cos_sim FROM rk
+      WHERE nn_rank <= $KnnK ORDER BY query_id, nn_rank""")),
     "q_similarity_topk" -> QueryDef(similarityTopk, Some("""
       WITH anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
       terms AS (

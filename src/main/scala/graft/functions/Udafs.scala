@@ -31,6 +31,60 @@ object Udafs {
     override def outputEncoder: Encoder[Stats] = Encoders.product[Stats]
   }
 
+  case class ScoredId(sim: Double, id: Long)
+  case class TopKBuf(sims: Array[Double], ids: Array[Long])
+
+  /** Bounded top-k-per-group as a typed Aggregator — the shape that makes
+    * a kNN JOIN scale: the window-function alternative
+    * (row_number() ≤ k) shuffles EVERY scored pair; this buffer caps the
+    * exchange at k (sim, id) entries per (group, map partition), with
+    * map-side partial heaps merged on the reduce side like any built-in.
+    * Order is (sim DESC, id ASC) — callers pre-round sims so the ranking
+    * (and its ties) is deterministic cross-engine. Buffers stay sorted;
+    * k is small (≤ tens), so sorted-insert beats heap constants.
+    */
+  class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, Array[ScoredId]] {
+    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+    override def reduce(b: TopKBuf, x: ScoredId): TopKBuf = insert(b, x.sim, x.id)
+    private def insert(b: TopKBuf, s: Double, id: Long): TopKBuf = {
+      val n = b.sims.length
+      if (n >= k && !beats(s, id, b.sims(n - 1), b.ids(n - 1))) return b
+      var p = 0
+      while (p < n && beats(b.sims(p), b.ids(p), s, id)) p += 1
+      val m = math.min(n + 1, k)
+      val ns = new Array[Double](m); val ni = new Array[Long](m)
+      System.arraycopy(b.sims, 0, ns, 0, p)
+      System.arraycopy(b.ids, 0, ni, 0, p)
+      ns(p) = s; ni(p) = id
+      val tail = m - p - 1
+      if (tail > 0) {
+        System.arraycopy(b.sims, p, ns, p + 1, tail)
+        System.arraycopy(b.ids, p, ni, p + 1, tail)
+      }
+      TopKBuf(ns, ni)
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val m = math.min(a.sims.length + b.sims.length, k)
+      val ns = new Array[Double](m); val ni = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeA = j >= b.sims.length ||
+          (i < a.sims.length && beats(a.sims(i), a.ids(i), b.sims(j), b.ids(j)))
+        if (takeA) { ns(o) = a.sims(i); ni(o) = a.ids(i); i += 1 }
+        else { ns(o) = b.sims(j); ni(o) = b.ids(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(ns, ni)
+    }
+    override def finish(b: TopKBuf): Array[ScoredId] =
+      b.sims.indices.map(i => ScoredId(b.sims(i), b.ids(i))).toArray
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Array[ScoredId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredId]]()
+  }
+
   case class VecBuf(sum: Array[Double], n: Long)
 
   /** Element-wise mean of an embedding column as a typed Aggregator —

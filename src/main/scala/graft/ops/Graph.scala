@@ -397,7 +397,93 @@ object Graph extends QueryModule {
       .orderBy("component_size")
   }
 
+  /** Quantity threshold for the triangle entry's co-supply graph (the
+    * same sparsification move as [[CcMaxQty]]; kept separate so the two
+    * entries stay independently tunable).
+    */
+  private val TriMaxQty = 2.0
+
+  /** Triangle count + global clustering coefficient of the
+    * supplier↔supplier co-supply graph (suppliers sharing a part, qty ≤
+    * [[TriMaxQty]]) — the motif-counting primitive behind community /
+    * spam / link-farm detection on a corpus graph.
+    *
+    * Scale shape: the node-iterator algorithm as three equi-joins.
+    * Edges are canonically oriented (u < v), wedges come from one
+    * self-join on the hinge node, and each wedge is closed by one
+    * semi-join back against the edge set — every step a
+    * co-partitionable hash join on node ids, no driver structures, and
+    * map-side partial aggregation folds the counts. The classic skew
+    * lever at 100 TB (orient edges low-degree → high-degree so hub
+    * wedges land on the hub's smaller side) is documented here and
+    * unnecessary at fixture scale: per-part supplier fan-out bounds the
+    * pair expansion. Output is the bounded one-row contract: node /
+    * edge / wedge / triangle counts + global clustering coefficient
+    * 3·T/W.
+    */
+  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.persist()
+    // Degree in the undirected graph: each canonical edge contributes to
+    // both endpoints. Wedge count = Σ_v C(deg_v, 2).
+    val deg = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val wedgeCounts = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    // Wedges hinged at u (the canonical minimum): (v, w) with v < w both
+    // adjacent to u; closing edge must be the canonical (v, w) — every
+    // triangle a < b < c is counted exactly once, hinged at a.
+    val e1 = e.select(col("u").as("h"), col("v").as("x"))
+    val e2 = e.select(col("u").as("h"), col("v").as("y"))
+    val wedges = e1.join(e2, "h").filter(col("x") < col("y"))
+    val tri = wedges.join(e, wedges("x") === e("u") && wedges("y") === e("v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    wedgeCounts.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+  }
+
+  /** Canonical (u < v) supplier co-supply edges: suppliers sharing a
+    * part among qty ≤ [[TriMaxQty]] lineitems.
+    */
+  private[graft] def coSupplyEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") <= TriMaxQty)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val a = ps.select(col("p"), col("s").as("u"))
+    val b = ps.select(col("p").as("p2"), col("s").as("v"))
+    a.join(b, a("p") === b("p2") && col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  private def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangleStats(coSupplyEdges(spark, sfDir))
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_graph_triangles" -> QueryDef(triangles, Some(s"""
+      WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_quantity <= $TriMaxQty),
+      e AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+      deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+      w AS (SELECT count(*) AS n_nodes,
+                   CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.v AND e3.v = e2.v)),
+      ne AS (SELECT count(*) AS n_edges FROM e)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+             round(3.0 * n_triangles / n_wedges, 6) AS clustering
+      FROM w, ne, tri""")),
     "q_graph_cc_incremental" -> QueryDef(ccIncremental, Some(s"""
       WITH RECURSIVE bip AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem

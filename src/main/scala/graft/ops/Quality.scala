@@ -129,7 +129,105 @@ object Quality extends QueryModule {
       .orderBy("reason")
   }
 
+  /** Period split for the drift entry: first half of the events month is
+    * the baseline distribution, second half the current one.
+    */
+  private val DriftSplit = "2024-01-16 00:00:00"
+  private val DriftBins = 10
+  private val DriftBinWidth = 50.0
+
+  /** Population-stability-index drift monitor: per event_type, compare
+    * the `value` distribution of the current period against the baseline
+    * period over [[DriftBins]] fixed-width bins, PSI = Σ (p_b − p_a) ·
+    * ln(p_b / p_a) with add-one smoothing — the standard
+    * feature/label-drift gate a model-training pipeline runs before
+    * trusting a new data window.
+    *
+    * Scale shape: one scan; both periods' bin counts fold into ONE
+    * (type, bin) groupBy via conditional sums (no second pass, no
+    * self-join of the fact table), so the only row shuffle carries
+    * |types|·|bins| digests. The dense scaffold (types × bins — empty
+    * bins still contribute to PSI under smoothing when n_a ≠ n_b) and
+    * the per-type totals are bounded-size joins on the AGGREGATED frame,
+    * never on rows. Fixed-width bins (not quantiles) keep the monitor
+    * one-pass and cross-engine exact; the quantile-binned variant is
+    * q_quantile_bins' territory.
+    *
+    * Determinism: counts are exact longs; the 10-term PSI sum is IEEE
+    * double rounded to 6 dp, with the verdict CASE applied to the
+    * ROUNDED value so the classification can never straddle an engine's
+    * last ulp.
+    */
+  private def dqDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val counts = ev.select(
+        col("event_type"),
+        (col("ts") < lit(DriftSplit).cast("timestamp")).as("is_base"),
+        least(lit(DriftBins - 1), floor(col("value") / DriftBinWidth)).cast("int").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("cb"))
+    val scaffold = ev.select("event_type").distinct()
+      .crossJoin(spark.range(0, DriftBins).select(col("id").cast("int").as("bin")))
+    val dense = scaffold.join(counts, Seq("event_type", "bin"), "left")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = dense.groupBy("event_type")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = (col("ca") + lit(1.0)) / (col("na") + lit(DriftBins.toDouble))
+    val pb = (col("cb") + lit(1.0)) / (col("nb") + lit(DriftBins.toDouble))
+    val psi = dense.join(tot, "event_type")
+      .select(col("event_type"), col("na"), col("nb"),
+        ((pb - pa) * log(pb / pa)).as("t"))
+      .groupBy("event_type")
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum(col("t")), 6).as("psi"))
+    psi.select(col("event_type"), col("n_a"), col("n_b"), col("psi"),
+        when(col("psi") > 0.2, lit("drift"))
+          .when(col("psi") > 0.1, lit("watch"))
+          .otherwise(lit("stable")).as("verdict"))
+      .orderBy("event_type")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_dq_drift" -> QueryDef(dqDrift, Some(s"""
+      WITH b AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END AS is_base,
+               least(${DriftBins - 1},
+                     CAST(floor(value / $DriftBinWidth) AS INTEGER)) AS bin
+        FROM events),
+      c AS (
+        SELECT event_type, bin,
+               sum(is_base) AS ca, sum(1 - is_base) AS cb
+        FROM b GROUP BY event_type, bin),
+      scaffold AS (
+        SELECT event_type, CAST(r.range AS INTEGER) AS bin
+        FROM (SELECT DISTINCT event_type FROM b), range(0, $DriftBins) r),
+      dense AS (
+        SELECT s.event_type, s.bin,
+               coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM scaffold s LEFT JOIN c ON c.event_type = s.event_type AND c.bin = s.bin),
+      tot AS (
+        SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+        FROM dense GROUP BY event_type),
+      terms AS (
+        SELECT d.event_type, t.na, t.nb,
+               ((cb + 1.0) / (nb + $DriftBins.0) - (ca + 1.0) / (na + $DriftBins.0)) *
+               ln(((cb + 1.0) / (nb + $DriftBins.0)) /
+                  ((ca + 1.0) / (na + $DriftBins.0))) AS t
+        FROM dense d JOIN tot t ON t.event_type = d.event_type),
+      p AS (
+        SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b, round(sum(t), 6) AS psi
+        FROM terms GROUP BY event_type)
+      SELECT event_type, n_a, n_b, psi,
+             CASE WHEN psi > 0.2 THEN 'drift'
+                  WHEN psi > 0.1 THEN 'watch'
+                  ELSE 'stable' END AS verdict
+      FROM p ORDER BY event_type""")),
     "q_dq_quarantine" -> QueryDef(dqQuarantine, Some("""
       WITH c AS (
         SELECT l_orderkey, l_linenumber,

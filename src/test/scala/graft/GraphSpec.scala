@@ -223,6 +223,24 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(got == expected)
   }
 
+  test("triangleStats matches hand-counted motifs on controlled graphs") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+      val r = Graph.triangleStats(edges.toDF("u", "v")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    }
+    // K4: every vertex degree 3 → wedges 4·C(3,2)=12, triangles C(4,3)=4,
+    // clustering 3·4/12 = 1 exactly.
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(stats(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+    // A 4-path has two wedges and no closing edge.
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 2L, 0L, 0.0)))
+    // Triangle + pendant: wedges 3 + C(2,2)... degrees are (2,3,2,1) →
+    // 1+3+1+0 = 5 wedges, 1 triangle, clustering 3/5.
+    assert(stats(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))) ==
+      ((4L, 4L, 5L, 1L, 0.6)))
+  }
+
   test("one iteration is one aggregation exchange over the contribution join") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("src", "dst")

@@ -87,4 +87,52 @@ class QualitySpec extends AnyFunSuite with SparkTest {
       assert(nv == 0L && ratio == 1.0 && passed, rule)
     }
   }
+
+  /** Independent PSI reimplementation (plain Scala) — the spec twin of
+    * q_dq_drift's smoothed fixed-width-bin formula.
+    */
+  private def localPsi(base: Seq[Double], cur: Seq[Double]): Double = {
+    def binOf(v: Double): Int = math.min(9, math.floor(v / 50.0).toInt)
+    val ca = base.groupBy(binOf).view.mapValues(_.size).toMap
+    val cb = cur.groupBy(binOf).view.mapValues(_.size).toMap
+    val (na, nb) = (base.size, cur.size)
+    val psi = (0 until 10).map { b =>
+      val pa = (ca.getOrElse(b, 0) + 1.0) / (na + 10.0)
+      val pb = (cb.getOrElse(b, 0) + 1.0) / (nb + 10.0)
+      (pb - pa) * math.log(pb / pa)
+    }.sum
+    BigDecimal(psi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def runDrift(rows: Seq[(String, String, Double)]): Map[String, (Long, Long, Double, String)] = {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_drift_spec")
+    rows.zipWithIndex.map { case ((typ, ts, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(ts), i.toLong % 7, typ, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    SparkEntry.queries("q_dq_drift")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+  }
+
+  test("q_dq_drift matches an independent PSI on planted distributions") {
+    val b = "2024-01-05 00:00:00"; val c = "2024-01-20 00:00:00"
+    // same: identical distributions → PSI exactly 0, stable.
+    // shifted: all mass moves bin 0 → bin 9 → large PSI, drift.
+    // uneven: same bin but unequal n — empty bins still contribute
+    // under smoothing (the dense-scaffold contract).
+    val rows =
+      Seq.fill(4)(("same", b, 10.0)) ++ Seq.fill(4)(("same", c, 10.0)) ++
+      Seq.fill(4)(("shifted", b, 10.0)) ++ Seq.fill(4)(("shifted", c, 480.0)) ++
+      Seq.fill(8)(("uneven", b, 10.0)) ++ Seq.fill(2)(("uneven", c, 10.0))
+    val got = runDrift(rows)
+    assert(got("same") == ((4L, 4L, 0.0, "stable")))
+    val expShift = localPsi(Seq.fill(4)(10.0), Seq.fill(4)(480.0))
+    assert(got("shifted")._3 == expShift && expShift > 0.2, got("shifted"))
+    assert(got("shifted")._4 == "drift")
+    val expUneven = localPsi(Seq.fill(8)(10.0), Seq.fill(2)(10.0))
+    assert(got("uneven") == ((8L, 2L, expUneven, if (expUneven > 0.2) "drift"
+      else if (expUneven > 0.1) "watch" else "stable")), got("uneven"))
+  }
 }

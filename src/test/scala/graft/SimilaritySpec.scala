@@ -1001,4 +1001,77 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(adc.nonEmpty && adc == exact,
       s"filtered ADC diverged from filtered exact:\n  adc:   $adc\n  exact: $exact")
   }
+
+  test("q_knn_join equals a driver-side brute-force rank of every (query, corpus) pair") {
+    import org.apache.spark.sql.functions.col
+    // Independent ground truth: same kernel order (forward pass,
+    // double-promoted floats), same 4-dp HALF_UP pre-round, same
+    // (sim DESC, id ASC) tie-break — computed with plain Scala
+    // collections, no Spark aggregation in the loop.
+    val vecs = graft.core.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val (queries, corpus) = vecs.partition(_._1 < 50L)
+    val expected = queries.toSeq.sortBy(_._1).flatMap { case (qid, qe) =>
+      corpus.toSeq.map { case (cid, ce) => (cid, cos(ce, qe)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5).zipWithIndex
+        .map { case ((cid, s), r) => (qid, (r + 1).toLong, cid, s) }
+    }
+    val got = SparkEntry.queries("q_knn_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("TopKAgg's exchange is k-bounded partial heaps, never the scored pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    // 3 groups x 2000 scored rows spread over 8 input partitions: the
+    // map-side partial caps each (group, partition) contribution at k,
+    // so the one shuffle carries <= groups*k*partitions entries — the
+    // property that makes the kNN JOIN viable at 100 TB, where the
+    // window-function alternative would shuffle all |corpus|*|batch|
+    // scored pairs. Pinned on actual shuffle-write metrics.
+    val n = 2000
+    val rows = (0 until 3).flatMap(g =>
+      (0 until n).map(i => (g.toLong, ((i * 48271) % 997).toDouble, i.toLong)))
+    val df = rows.toDF("g", "sim", "id").repartition(8)
+    val topk = udaf(new graft.functions.Udafs.TopKAgg(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Udafs.ScoredId])
+    val agg = df.groupBy("g").agg(topk(col("sim"), col("id")).as("nn"))
+    // AQE off so the static exchanges stay visible (same move as the
+    // Exchanges receipt tool); metrics populate on execution.
+    val shuffled = graft.core.SessionConf.scoped(spark, "spark.sql.adaptive.enabled", "false") {
+      agg.queryExecution.toRdd.count()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children ++ p.subqueries).flatMap(walk)
+      val aggShuffles = walk(agg.queryExecution.executedPlan)
+        .collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        // keep the hash exchange feeding the final agg; drop the round-robin
+        // repartition(8) that builds the controlled input layout
+        .filter(_.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      assert(aggShuffles.nonEmpty)
+      aggShuffles.map(_.metrics("shuffleRecordsWritten").value).sum
+    }
+    assert(shuffled > 0 && shuffled <= 3L * 5 * 8,
+      s"aggregation exchange must carry k-bounded partials, saw $shuffled records")
+    // And the partials are correct: final ranking == window re-rank.
+    val winExpected = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, s, i) => (s, i) }.sortBy { case (s, i) => (-s, i) }
+        .take(5).map { case (s, i) => (g, s, i) }
+    }
+    val got = agg.select(col("g"), org.apache.spark.sql.functions.explode(col("nn")))
+      .select(col("g"), col("col.sim"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      .sortBy { case (g, s, i) => (g, -s, i) }
+    assert(got == winExpected)
+  }
 }
