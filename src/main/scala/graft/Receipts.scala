@@ -1267,6 +1267,7 @@ object Receipts {
       val spark = session()
       graft.core.Tables(spark, sfDir, "events").queryExecution.toRdd.count()
       time("q_dq_drift", SparkEntry.queries("q_dq_drift")(spark, sfDir))
+      time("s_drift_monitor", SparkEntry.queries("s_drift_monitor")(spark, sfDir))
       spark.stop()
 
     case other => sys.error(s"unknown receipt: $other")

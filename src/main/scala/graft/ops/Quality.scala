@@ -158,9 +158,14 @@ object Quality extends QueryModule {
     * ROUNDED value so the classification can never straddle an engine's
     * last ulp.
     */
-  private def dqDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables(spark, sfDir, "events")
-    val counts = ev.select(
+  /** One-scan fold of an events frame into exact (event_type, bin,
+    * ca, cb) period bin counts — the mergeable state shared by the
+    * batch entry and the streaming leg (`s_drift_monitor` accumulates
+    * exactly these counters per micro-batch; summing partials is exact,
+    * so the cumulative PSI equals the full recompute).
+    */
+  private[graft] def driftCounts(ev: DataFrame): DataFrame =
+    ev.select(
         col("event_type"),
         (col("ts") < lit(DriftSplit).cast("timestamp")).as("is_base"),
         least(lit(DriftBins - 1), floor(col("value") / DriftBinWidth)).cast("int").as("bin"))
@@ -168,7 +173,12 @@ object Quality extends QueryModule {
       .agg(
         sum(when(col("is_base"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("cb"))
-    val scaffold = ev.select("event_type").distinct()
+
+  /** Assemble the smoothed-PSI verdict table from exact (event_type,
+    * bin, ca, cb) counts — everything here is |types|·|bins|-sized.
+    */
+  private[graft] def driftPsi(spark: SparkSession, counts: DataFrame): DataFrame = {
+    val scaffold = counts.select("event_type").distinct()
       .crossJoin(spark.range(0, DriftBins).select(col("id").cast("int").as("bin")))
     val dense = scaffold.join(counts, Seq("event_type", "bin"), "left")
       .select(col("event_type"), col("bin"),
@@ -191,8 +201,14 @@ object Quality extends QueryModule {
       .orderBy("event_type")
   }
 
-  override val defs: Map[String, QueryDef] = Map(
-    "q_dq_drift" -> QueryDef(dqDrift, Some(s"""
+  private def dqDrift(spark: SparkSession, sfDir: String): DataFrame =
+    driftPsi(spark, driftCounts(Tables(spark, sfDir, "events")))
+
+  /** Shared by q_dq_drift and its streaming leg s_drift_monitor: the
+    * cumulative counter merge is exact, so both entries must hash-match
+    * the same full recompute.
+    */
+  private[graft] val driftOracle: String = s"""
       WITH b AS (
         SELECT event_type,
                CASE WHEN ts < TIMESTAMP '$DriftSplit' THEN 1 ELSE 0 END AS is_base,
@@ -227,7 +243,10 @@ object Quality extends QueryModule {
              CASE WHEN psi > 0.2 THEN 'drift'
                   WHEN psi > 0.1 THEN 'watch'
                   ELSE 'stable' END AS verdict
-      FROM p ORDER BY event_type""")),
+      FROM p ORDER BY event_type"""
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_dq_drift" -> QueryDef(dqDrift, Some(driftOracle)),
     "q_dq_quarantine" -> QueryDef(dqQuarantine, Some("""
       WITH c AS (
         SELECT l_orderkey, l_linenumber,

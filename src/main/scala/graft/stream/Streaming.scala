@@ -461,6 +461,44 @@ object Streaming extends QueryModule {
       .orderBy("rule")
   }
 
+  /** Streaming drift monitor — the continuous leg of q_dq_drift (the
+    * audit family's second streaming member): each micro-batch folds its
+    * rows into exact (event_type, bin, ca, cb) period bin counts via the
+    * SAME one-pass conditional aggregate as the batch entry
+    * ([[graft.ops.Quality.driftCounts]]), and foreachBatch merges the
+    * counters into the served state. State is O(types·bins) regardless
+    * of stream volume, history is never re-scanned, and counts are
+    * exactly mergeable — so the final smoothed PSI + verdict table
+    * ([[graft.ops.Quality.driftPsi]]) equals the full batch recompute,
+    * which is the oracle (identical to q_dq_drift's).
+    */
+  private def driftMonitorStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = tmpDir("graft_sdrift")
+    var current: Option[String] = None
+    val q = streamEvents(spark, sfDir)
+      .select(col("event_type"), col("value"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val delta = graft.ops.Quality.driftCounts(batch)
+        val merged = current match {
+          case None => delta
+          case Some(prev) => batch.sparkSession.read.parquet(prev)
+            .unionByName(delta)
+            .groupBy("event_type", "bin")
+            .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+        }
+        val next = s"$root/v$batchId"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+      }
+      .option("checkpointLocation", tmpDir("graft_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.Quality.driftPsi(spark,
+      spark.read.parquet(current.getOrElse(sys.error("no batch ran"))))
+  }
+
   // ---- Arbitrary stateful processing (mapGroupsWithState) ---------------
 
   /** Per-key running state via `KeyValueGroupedDataset.mapGroupsWithState`
@@ -745,6 +783,7 @@ object Streaming extends QueryModule {
              floor((n.n - v.v) / n.n * 1e6) / 1e6 AS pass_ratio,
              v.v = 0 AS passed
       FROM v, n ORDER BY rule""")),
+    "s_drift_monitor" -> QueryDef(driftMonitorStream, Some(graft.ops.Quality.driftOracle)),
     "s_mv_refresh" -> QueryDef(mvRefreshStream, Some("""
       SELECT strftime(ts, '%Y%m%d') AS dt, event_type, count(*) AS n,
              round(sum(value), 2) AS sum_value

@@ -404,4 +404,46 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       "nonneg:user_id" -> ((0L, true)),
       "range:value[0,100]" -> ((1L, false))))
   }
+
+  test("s_drift_monitor: per-batch counter merge is exact and the served PSI equals the batch entry") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00").getTime * 1000000L
+    val cur = java.sql.Timestamp.valueOf("2024-01-20 00:00:00").getTime * 1000000L
+    // Planted drift: 'shift' moves all mass bin 0 -> bin 9 across the
+    // period split; 'flat' stays identical.
+    val events = (0 until 20).map { i =>
+      val (t, ts, v) =
+        if (i < 10) ("shift", if (i < 5) base else cur, if (i < 5) 10.0 else 480.0)
+        else ("flat", if (i < 15) base else cur, 120.0)
+      BehaviorSpecEv(i.toLong, ts + i * 1000000L, 1L, t, v, "{}")
+    }
+    // Merge algebra the stream relies on: counts of two halves, summed,
+    // feed driftPsi identically to one-pass counts over the union.
+    val df = events.toDF()
+    import graft.core.Tables.normalizeEventsTs
+    val (h1, h2) = (normalizeEventsTs(df.filter($"event_id" % 2 === 0)),
+      normalizeEventsTs(df.filter($"event_id" % 2 === 1)))
+    val mergedCounts = graft.ops.Quality.driftCounts(h1)
+      .unionByName(graft.ops.Quality.driftCounts(h2))
+      .groupBy("event_type", "bin")
+      .agg(org.apache.spark.sql.functions.sum($"ca").as("ca"),
+        org.apache.spark.sql.functions.sum($"cb").as("cb"))
+    val viaMerge = graft.ops.Quality.driftPsi(spark, mergedCounts).collect().toSeq
+    val oneShot = graft.ops.Quality.driftPsi(spark,
+      graft.ops.Quality.driftCounts(normalizeEventsTs(df))).collect().toSeq
+    assert(viaMerge == oneShot && oneShot.nonEmpty)
+    // End-to-end: the streaming entry serves exactly the batch entry's
+    // table on the same fixture.
+    val dir = graft.core.TempDirs.create("graft_sdrift_spec")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/_tmp_events")
+    val part = new java.io.File(s"$dir/_tmp_events").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$dir/events.parquet").toPath)
+    val streamed = SparkEntry.queries("s_drift_monitor")(spark, dir).collect().toSeq
+    val batch = SparkEntry.queries("q_dq_drift")(spark, dir).collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    val verdicts = streamed.map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(verdicts("shift") == "drift" && verdicts("flat") == "stable", verdicts)
+  }
 }
