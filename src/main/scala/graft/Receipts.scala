@@ -1222,6 +1222,21 @@ object Receipts {
             md5(col("content")).as("digest")))
       spark.stop()
 
+    case "contrastive" =>
+      // Training-pair construction at ScaleGen scale: the sign random
+      // projection is row-local (one scan, zero row shuffles besides
+      // the oracle sort) so must track the corpus linearly; negative
+      // sampling shares q_knn_join's broadcast + k-bounded-exchange
+      // shape with an integer mixer instead of the cosine. Point at a
+      // dir carrying documents + embeddings.
+      val sfDir = args(1)
+      val spark = session()
+      Seq("documents", "embeddings").foreach(t =>
+        graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count())
+      time("q_embed_project", SparkEntry.queries("q_embed_project")(spark, sfDir))
+      time("q_negative_sample", SparkEntry.queries("q_negative_sample")(spark, sfDir))
+      spark.stop()
+
     case "knn" =>
       // kNN-join economics at ScaleGen scale: one corpus scan with the
       // codegen cosine against the broadcast query batch, k-bounded

@@ -405,7 +405,149 @@ object Corpus extends QueryModule {
       .orderBy("vec_id", "pos")
   }
 
+  /** Random-projection output width (64 → 16). */
+  private val ProjOut = 16
+  private val ProjIn = 64
+
+  /** lowbias32-style integer mixer (two xor-shift-multiply rounds mod
+    * 2³²) as a SQL fragment — the hash behind the deterministic sign
+    * matrix and the negative-sampling rank. Plain LCG/additive hashes
+    * measurably FAIL both uses (see [[embedProject]] /
+    * [[negativeSample]]); every intermediate here stays < 2⁶³ so ANSI
+    * long arithmetic never overflows. `n` must be a non-negative
+    * BIGINT expression; reduce wide inputs mod 2³² first.
+    */
+  private def mix32Spark(n: String): String = {
+    val n0 = s"(($n) % 4294967296)"
+    val x1 = s"(((shiftright($n0, 16) ^ $n0) * 73244475) % 4294967296)"
+    val x2 = s"(((shiftright($x1, 16) ^ $x1) * 73244475) % 4294967296)"
+    s"(shiftright($x2, 16) ^ $x2)"
+  }
+
+  /** DuckDB twin of [[mix32Spark]] (xor() function — `^` is POWER in
+    * DuckDB).
+    */
+  private def mix32Duck(n: String): String = {
+    val n0 = s"(($n) % 4294967296)"
+    val x1 = s"((xor($n0 >> 16, $n0) * 73244475) % 4294967296)"
+    val x2 = s"((xor($x1 >> 16, $x1) * 73244475) % 4294967296)"
+    s"xor($x2 >> 16, $x2)"
+  }
+
+  /** Sign random projection (Achlioptas ±1 / Johnson–Lindenstrauss):
+    * project the 64-dim embedding corpus to [[ProjOut]] dims with a
+    * DETERMINISTIC pseudo-random sign matrix, s(i,j) = ±1 from an
+    * integer hash of (i, j) — the dimensionality-reduction step that
+    * makes downstream ANN/clustering cheaper per vector while
+    * approximately preserving angles (receipt measures the cosine
+    * error). The matrix is a FORMULA, not data: both engines (and every
+    * executor) derive s(i,j) independently — nothing is broadcast,
+    * nothing random at runtime, re-runs are bit-identical.
+    *
+    * The hash is the lowbias32 shape (two xor-shift-multiply rounds mod
+    * 2³²; every intermediate < 2⁶³ so ANSI long arithmetic never
+    * overflows). A plain LCG-parity matrix measurably FAILS here:
+    * parity of n·48271 mod 65537 alternates with n (odd step ⇒ parity
+    * flip), making adjacent matrix cells anticorrelated — measured mean
+    * |cos distortion| 0.42 vs 0.19 for this mixer (ideal random ±1:
+    * 0.20). The spec pins the distortion bound so a weak hash cannot
+    * sneak back in.
+    *
+    * Scale shape: row-local (one scan, zero row shuffles — the only
+    * exchange is the bounded oracle ORDER BY); the projection runs as
+    * the native codegen [[graft.functions.SignProject]] expression
+    * (forward-pass accumulation, so the IEEE sum order is pinned). The
+    * first cut was Spark's transform/aggregate higher-order functions —
+    * retired after the 100× receipt showed HOF lambdas are INTERPRETED
+    * (~2.5k rows/s/core); the kernel expression is the same move as
+    * CosineSim/SimHash64. Long output form (vec_id, pos, v) keeps the
+    * oracle hashable column-by-column.
+    */
+  private def embedProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(graft.functions.SignProject.proj(col("embedding"), ProjOut)))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        round(col("col") / math.sqrt(ProjOut), 4).as("v"))
+      .orderBy("vec_id", "pos")
+
+  /** DuckDB twin of the lowbias32 sign formula (xor() function — `^` is
+    * POWER in DuckDB).
+    */
+  private val projOracle: String = {
+    val x3 = mix32Duck(s"(i * $ProjOut + j + 1)")
+    s"""
+      WITH t AS (
+        SELECT vec_id, CAST(j.range AS BIGINT) AS j, CAST(i.range AS BIGINT) AS i,
+               CAST(embedding[CAST(i.range AS INTEGER) + 1] AS DOUBLE) AS x
+        FROM embeddings, range(0, $ProjOut) j, range(0, $ProjIn) i),
+      p AS (
+        SELECT vec_id, j,
+               round(sum(CASE WHEN $x3 % 2 = 0 THEN x ELSE -x END)
+                     / ${math.sqrt(ProjOut)}, 4) AS v
+        FROM t GROUP BY vec_id, j)
+      SELECT vec_id, CAST(j + 1 AS BIGINT) AS pos, v FROM p
+      ORDER BY vec_id, pos"""
+  }
+
+  /** Negative-sampling batch bound and negatives per anchor. */
+  private val NegAnchors = 20L
+  private val NegK = 4
+
+  /** Deterministic negative sampling — the contrastive-training step
+    * (in-batch negatives / triplet mining): every anchor document in a
+    * bounded batch draws [[NegK]] pseudo-random corpus negatives via a
+    * per-(anchor, candidate) integer hash rank. Hash ranking instead of
+    * `rand()` keeps the draw exactly reproducible cross-engine and
+    * cross-run (the same determinism rule as q_split_train_test /
+    * q_weighted_sample — no rand() anywhere in the registry), while
+    * still being uniform-ish per anchor (distinct anchors draw
+    * uncorrelated sets; spec checks overlap).
+    *
+    * Scale shape: identical to q_knn_join — anchors (ids only)
+    * broadcast, the corpus scanned ONCE reading ONLY doc_id (column
+    * pruning to a single column), per-anchor selection via the
+    * k-bounded [[graft.functions.Udafs.TopKAgg]] exchange. The rank key
+    * is [[mix32Spark]] of (anchor·1000003 + candidate·7919): a plain
+    * additive hash FAILED the uncorrelated-anchors spec (no wraparound
+    * at fixture id ranges ⇒ every anchor ranked candidates
+    * identically and drew the SAME 4 negatives) — the mixer decouples
+    * the orders. h < 2³² so its negation is exact in the double sim
+    * slot, and all intermediates fit ANSI longs at ScaleGen id ranges.
+    */
+  private def negativeSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").select("doc_id")
+    val anchors = d.filter(col("doc_id") < NegAnchors)
+      .select(col("doc_id").as("anchor_id"))
+    val corpus = d.filter(col("doc_id") >= NegAnchors)
+    val topk = udaf(new graft.functions.Udafs.TopKAgg(NegK),
+      org.apache.spark.sql.Encoders.product[graft.functions.Udafs.ScoredId])
+    val h = mix32Spark("anchor_id * 1000003 + doc_id * 7919")
+    corpus.crossJoin(broadcast(anchors))
+      .select(col("anchor_id"), col("doc_id"),
+        expr(s"cast(-($h) as double)").as("s"))
+      .groupBy("anchor_id")
+      .agg(topk(col("s"), col("doc_id")).as("nn"))
+      .select(col("anchor_id"), posexplode(col("nn")))
+      .select(col("anchor_id"), (col("pos") + 1).cast(LongType).as("neg_rank"),
+        col("col.id").as("neg_doc_id"), (-col("col.sim")).cast(LongType).as("h"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_negative_sample" -> QueryDef(negativeSample, Some(s"""
+      WITH a AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id < $NegAnchors),
+      c AS (SELECT doc_id FROM documents WHERE doc_id >= $NegAnchors),
+      h AS (SELECT anchor_id, doc_id,
+                   ${mix32Duck("anchor_id * 1000003 + doc_id * 7919")} AS h
+            FROM a, c),
+      r AS (SELECT anchor_id, doc_id, h,
+                   row_number() OVER (PARTITION BY anchor_id ORDER BY h, doc_id) AS neg_rank
+            FROM h)
+      SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+             doc_id AS neg_doc_id, h
+      FROM r WHERE neg_rank <= $NegK ORDER BY anchor_id, neg_rank""")),
+    "q_embed_project" -> QueryDef(embedProject, Some(projOracle)),
     "q_feature_scale" -> QueryDef(featureScale, Some("""
       WITH ex AS (
         SELECT vec_id, unnest(embedding)::DOUBLE AS v,

@@ -96,4 +96,96 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
     assert(heavyWins > 60 && heavyWins < 100,
       s"heavy doc won $heavyWins/100 groups; expected ~83 under E-S, ~5 under uniform")
   }
+
+  test("q_negative_sample: reproducible, self-free, k per anchor, uncorrelated across anchors") {
+    import spark.implicits._
+    val docs = (0L until 520L).map(i => (i, s"s${i % 3}", s"doc $i text"))
+      .toDF("doc_id", "source", "text")
+    val dir = graft.core.TempDirs.create("graft_negsamp_spec")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = SparkEntry.queries("q_negative_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    // Hash determinism: a second run is bit-identical (no rand() path).
+    assert(got.toSeq == run().toSeq)
+    val byAnchor = got.groupBy(_._1)
+    assert(byAnchor.keySet == (0L until 20L).toSet)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.length == 4 && rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      // negatives come from the corpus side only, never the anchor batch
+      assert(rows.forall(_._3 >= 20L), s"anchor $a sampled from the anchor batch")
+      // the ranking really is the hash order: h ascends with rank
+      assert(rows.sortBy(_._2).map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+      // and h is the declared mixer formula
+      def mix32(n0: Long): Long = {
+        val M = 4294967296L
+        val n = n0 % M
+        val x1 = ((n >> 16) ^ n) * 73244475L % M
+        val x2 = ((x1 >> 16) ^ x1) * 73244475L % M
+        (x2 >> 16) ^ x2
+      }
+      rows.foreach { case (_, _, c, h) =>
+        assert(h == mix32(a * 1000003L + c * 7919L))
+      }
+    }
+    // Anchors draw uncorrelated sets: with 500 candidates and 4 draws,
+    // heavy cross-anchor overlap means the hash ignores the anchor.
+    val all = got.map(_._3)
+    assert(all.distinct.length >= 70,
+      s"only ${all.distinct.length}/80 distinct negatives across 20 anchors")
+  }
+
+  test("q_embed_project matches an independent local projection and preserves angles") {
+    // Independent reimplementation of the deterministic sign matrix +
+    // left-to-right sum: the formula is the contract — an executor, the
+    // oracle, and this plain-Scala twin must all derive the same matrix.
+    def sign(i: Int, j: Int): Double = {
+      val M = 4294967296L
+      val n = (i * 16 + j + 1).toLong
+      val x1 = ((n >> 16) ^ n) * 73244475L % M
+      val x2 = ((x1 >> 16) ^ x1) * 73244475L % M
+      if (((x2 >> 16) ^ x2) % 2 == 0) 1.0 else -1.0
+    }
+    def project(e: Array[Float]): Array[Double] =
+      Array.tabulate(16) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += sign(i, j) * e(i).toDouble; i += 1 }
+        BigDecimal(acc / 4.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val vecs = graft.core.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = SparkEntry.queries("q_embed_project")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(got.keySet == vecs.keySet)
+    vecs.foreach { case (id, e) =>
+      assert(got(id) == project(e).toSeq, s"vec $id diverged")
+    }
+    // JL angle preservation on real fixture pairs: projected cosine must
+    // track the original cosine. At 16 dims an IDEAL random sign matrix
+    // measures ~0.20 mean distortion on this shape; the retired
+    // LCG-parity matrix measured 0.42 (alternating-parity structure) —
+    // 0.25 separates good mixers from structured ones with margin.
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keySet.toSeq.sorted.take(40)
+    val errs = for (a <- ids; b <- ids if a < b) yield {
+      val orig = cos(vecs(a).map(_.toDouble).toSeq, vecs(b).map(_.toDouble).toSeq)
+      math.abs(cos(got(a), got(b)) - orig)
+    }
+    val mean = errs.sum / errs.size
+    assert(mean < 0.25, f"mean |cos distortion| $mean%.4f over ${errs.size} pairs")
+    // Matrix sanity: signs are balanced per output dim (a skewed hash
+    // would bias every projection toward the input mean).
+    (0 until 16).foreach { j =>
+      val pos = (0 until 64).count(i => sign(i, j) > 0)
+      assert(pos >= 20 && pos <= 44, s"dim $j has $pos/64 positive signs")
+    }
+  }
 }
