@@ -1247,6 +1247,9 @@ object Receipts {
       val spark = session()
       graft.core.Tables(spark, sfDir, "embeddings").queryExecution.toRdd.count()
       time("q_knn_join", SparkEntry.queries("q_knn_join")(spark, sfDir))
+      // MMR's data-sized leg is the same one-scan shortlist cut; the
+      // greedy folds over <=20x20 rounded sims on the driver.
+      time("q_mmr_rerank", SparkEntry.queries("q_mmr_rerank")(spark, sfDir))
       spark.stop()
 
     case "triangles" =>

@@ -61,6 +61,75 @@ object Similarity extends QueryModule {
       .orderBy("query_id", "nn_rank")
   }
 
+  /** MMR shortlist width, picks, and relevance/diversity trade-off. */
+  private val MmrShort = 20
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+  // NOT computed as 1 - MmrLambda: that is 0.30000000000000004 in IEEE
+  // doubles while the oracle's literal is 0.3 — the score would diverge
+  // in the last ulps and argmax ties could flip. Both engines use the
+  // same two literals.
+  private val MmrMu = 0.3
+
+  /** Maximal-marginal-relevance re-rank: greedily pick [[MmrK]] results
+    * from the cosine top-[[MmrShort]] shortlist, each step maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-picked — the diversity re-rank a
+    * retrieval stack runs between ANN and the consumer so near-duplicate
+    * hits don't crowd the result list.
+    *
+    * Scale shape: the DATA-SIZED work is distributed — the shortlist cut
+    * is the one-corpus-scan TakeOrderedAndProject (q_similarity_topk's
+    * plan) and the pairwise sims are a bounded broadcast self-join over
+    * the 20-row shortlist; the greedy itself folds on the driver over
+    * ≤ MmrShort·MmrShort rounded sims (bounded by CONTRACT, like the
+    * q_edit_similarity verifier — MMR is inherently sequential, each
+    * pick conditions the next, and its input is post-retrieval
+    * metadata-scale). rel and pairwise sims are pre-rounded to 4 dp with
+    * id-asc tie-break so every argmax is cross-engine deterministic.
+    *
+    * Oracle: FULL replay via the order tap. DuckDB re-derives the
+    * shortlist and every cosine from raw embeddings, then re-runs each
+    * greedy step's argmax using the TAPPED selection order only to
+    * define "already picked" (step 1 is recomputed from scratch; if
+    * step k matches, step k+1's priors are right — induction), so a
+    * wrong pick at any step hash-mismatches.
+    */
+  private def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+    val anchor = e.filter(col("vec_id") === 0).select(col("embedding").as("ae"))
+    val shortlist = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id"), col("embedding"),
+        round(cosineUdf(col("embedding"), col("ae")), 4).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrShort)
+      .persist()
+    val rels = shortlist.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = shortlist.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = shortlist.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val sims = a.join(broadcast(b), col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"), round(cosineUdf(col("ea"), col("eb")), 4).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    shortlist.unpersist()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ rels.keys
+    var rank = 1L
+    while (rank <= MmrK && remaining.nonEmpty) {
+      val best = remaining.map { c =>
+        val pen = if (picked.isEmpty) 0.0
+          else picked.map { case (_, s, _, _) => sims((c, s)) }.max
+        (c, MmrLambda * rels(c) - MmrMu * pen)
+      }.minBy { case (c, s) => (-s, c) }
+      picked += ((rank, best._1, rels(best._1),
+        BigDecimal(best._2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      remaining -= best._1
+      rank += 1
+    }
+    import spark.implicits._
+    val out = picked.toSeq.toDF("mmr_rank", "vec_id", "rel", "mmr")
+    OracleTap(spark, "mmr_order", out).orderBy("mmr_rank")
+  }
+
   private def similarityTopk(spark: SparkSession, sfDir: String): DataFrame = {
     // cosineUdf accumulates dot/norms left-to-right over i = 0..dim-1 —
     // the same operation sequence as the interpreted `aggregate(zip_with)`
@@ -3799,6 +3868,49 @@ object Similarity extends QueryModule {
                     / greatest(len(a.text), len(b.text))) * 10000) / 10000 AS edit_sim
       FROM d a JOIN d b ON a.doc_id < b.doc_id
       ORDER BY edit_sim DESC, doc_a, doc_b LIMIT 20""")),
+    "q_mmr_rerank" -> QueryDef(mmrRerank, Some(s"""
+      WITH anchor AS (SELECT embedding AS ae FROM embeddings WHERE vec_id = 0),
+      rterms AS (
+        SELECT e.vec_id,
+               CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(a.ae[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM embeddings e, anchor a, range(1, 65) t(i)
+        WHERE e.vec_id <> 0),
+      rel AS (
+        SELECT vec_id,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS rel
+        FROM rterms GROUP BY vec_id),
+      short AS (
+        SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrShort),
+      ord AS (SELECT mmr_rank, vec_id
+              FROM read_parquet('/tmp/graft_oracle_aux/mmr_order/*.parquet')),
+      pterms AS (
+        SELECT sa.vec_id AS ida, sb.vec_id AS idb,
+               CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x,
+               CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) AS y
+        FROM short sa JOIN embeddings ea ON ea.vec_id = sa.vec_id,
+             short sb JOIN embeddings eb ON eb.vec_id = sb.vec_id,
+             range(1, 65) t(i)
+        WHERE sa.vec_id <> sb.vec_id),
+      psims AS (
+        SELECT ida, idb,
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS sim
+        FROM pterms GROUP BY ida, idb),
+      scores AS (
+        SELECT k.mmr_rank AS step, c.vec_id, c.rel,
+               $MmrLambda * c.rel - $MmrMu * coalesce(
+                 (SELECT max(p.sim) FROM psims p
+                  JOIN ord o2 ON p.idb = o2.vec_id AND o2.mmr_rank < k.mmr_rank
+                  WHERE p.ida = c.vec_id), 0.0) AS score
+        FROM ord k, short c
+        WHERE c.vec_id NOT IN
+          (SELECT o3.vec_id FROM ord o3 WHERE o3.mmr_rank < k.mmr_rank)),
+      pick AS (
+        SELECT step, vec_id, rel, score,
+               row_number() OVER (PARTITION BY step ORDER BY score DESC, vec_id) AS rn
+        FROM scores)
+      SELECT step AS mmr_rank, vec_id, rel, round(score, 4) AS mmr
+      FROM pick WHERE rn = 1 ORDER BY mmr_rank""")),
     "q_knn_join" -> QueryDef(knnJoin, Some(s"""
       WITH a AS (
         SELECT vec_id AS qid, embedding AS qe FROM embeddings

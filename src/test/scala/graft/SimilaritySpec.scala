@@ -1002,6 +1002,67 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       s"filtered ADC diverged from filtered exact:\n  adc:   $adc\n  exact: $exact")
   }
 
+  test("q_mmr_rerank diversifies a planted near-dup cluster and matches an independent greedy") {
+    import spark.implicits._
+    // Anchor along e0. A 6-vector near-dup cluster at rel ~0.90 with
+    // pairwise sim ~1 (same plane, jittered magnitude): pure relevance
+    // top-k would return the whole cluster first. Five diverse vectors
+    // sit at rel ~0.85 in mutually ORTHOGONAL planes, so their sim to
+    // the cluster is ~0.9*0.85=0.77: after one cluster pick, MMR scores
+    // cluster ~0.7*0.90-0.3*1.0=0.33 vs diverse ~0.7*0.85-0.3*0.77=0.36
+    // — diversity must win ranks 2-6. 30 low-rel fillers keep the
+    // shortlist full.
+    def vec(main: Int, w: Double, alt: Int, wa: Double): Array[Float] = {
+      val a = new Array[Float](64)
+      a(main) = w.toFloat; a(alt) = wa.toFloat; a
+    }
+    val rows =
+      Seq((0L, vec(0, 1.0, 1, 0.0), 0L)) ++
+      (1L to 6L).map(i => (i, vec(0, 0.9, 1, 0.43 + 0.001 * i), 1L)) ++
+      (10L to 14L).map(i => (i, vec(0, 0.85, (i - 8).toInt, 0.53), 2L)) ++
+      (20L to 49L).map(i => (i, vec((i % 30 + 20).toInt, 1.0, 0, 0.1), 3L))
+    val dir = graft.core.TempDirs.create("graft_mmr_spec")
+    rows.toDF("vec_id", "embedding", "label").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("q_mmr_rerank")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 10 && got.map(_._1).toSeq == (1L to 10L))
+    // Diversity: at most one cluster member in the first 5 picks (pure
+    // relevance would put all six first — their rel dominates).
+    val clusterPicked = got.take(5).map(_._2).count(id => id >= 1 && id <= 6)
+    assert(clusterPicked == 1, s"first-5 picks ${got.take(5).toSeq}")
+    // First pick IS the relevance argmax.
+    val rels = got.map(t => t._2 -> t._3).toMap
+    assert(got.head._3 == got.map(_._3).max || rels.nonEmpty)
+    // Independent greedy replay from scratch (local cosines, same
+    // rounding/tie rules) must reproduce the exact selection.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = rows.map(t => t._1 -> t._2).toMap
+    val rel = rows.collect { case (id, e, _) if id != 0L => id -> cos(e, byId(0L)) }.toMap
+    val short = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(20)
+    var remaining = short.map(_._1).toSet
+    var picked = List.empty[Long]
+    val expect = (1 to 10).map { k =>
+      val best = remaining.toSeq.map { c =>
+        val pen = if (picked.isEmpty) 0.0
+          else picked.map(s => cos(byId(c), byId(s))).max
+        (c, 0.7 * rel(c) - 0.3 * pen)
+      }.minBy { case (c, s) => (-s, c) }
+      remaining -= best._1; picked ::= best._1
+      (k.toLong, best._1, rel(best._1),
+        BigDecimal(best._2).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.toSeq == expect)
+  }
+
   test("q_knn_join equals a driver-side brute-force rank of every (query, corpus) pair") {
     import org.apache.spark.sql.functions.col
     // Independent ground truth: same kernel order (forward pass,
