@@ -1222,6 +1222,23 @@ object Receipts {
             md5(col("content")).as("digest")))
       spark.stop()
 
+    case "linkage" =>
+      // Blocked fuzzy-join economics on n synthetic distinct names
+      // (fixture names under ScaleGen replicate, which would inflate
+      // block sizes artificially): blocks stay <=100 wide by key
+      // construction, so candidate pairs — and the levenshtein work —
+      // grow linearly with n while the all-pairs alternative is n^2.
+      // args: n.
+      val n = args(1).toLong
+      val spark = session()
+      val dir = s"${graft.core.TempDirs.create("graft_linkage_rcpt")}"
+      spark.range(n).selectExpr("id AS s_suppkey",
+          "concat('Supplier#', lpad(cast(id as string), 9, '0')) AS s_name")
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      time(s"q_fuzzy_join ($n names)",
+        SparkEntry.queries("q_fuzzy_join")(spark, dir))
+      spark.stop()
+
     case "contrastive" =>
       // Training-pair construction at ScaleGen scale: the sign random
       // projection is row-local (one scan, zero row shuffles besides

@@ -19,6 +19,7 @@ object SparkEntry {
     ops.AsofJoin, ops.Reshape, ops.Bucketed, ops.Formats, ops.Subqueries,
     ops.Behavior, ops.Graph, ops.Quality,
     ext.Dedup, ext.Similarity, ext.TextAnalysis, ext.Multimodal, ext.Corpus,
+    ext.Linkage,
     stream.Streaming)
 
   private lazy val all: Map[String, QueryDef] = {
