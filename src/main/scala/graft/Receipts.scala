@@ -1222,6 +1222,18 @@ object Receipts {
             md5(col("content")).as("digest")))
       spark.stop()
 
+    case "phash" =>
+      // Staged perceptual-hash dedup at ScaleGen scale: the 100x
+      // replicas make the corpus ~99% exact signature copies — the
+      // collapse-then-band stage must ride the ~5.5k DISTINCT
+      // signatures while the doc-level output legitimately carries
+      // every replica pair. Point at a dir carrying documents.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "documents").queryExecution.toRdd.count()
+      time("q_mm_phash_dedup", SparkEntry.queries("q_mm_phash_dedup")(spark, sfDir))
+      spark.stop()
+
     case "linkage" =>
       // Blocked fuzzy-join economics on n synthetic distinct names
       // (fixture names under ScaleGen replicate, which would inflate

@@ -206,7 +206,147 @@ object Multimodal extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** aHash-style 64-bit perceptual signature over the payload bytes —
+    * the stub for a real pHash (DCT of a downscaled image): the payload
+    * is split into 64 proportional chunks and bit k is set when chunk
+    * k's mean byte exceeds the global mean. Like a real perceptual
+    * hash, LOCAL edits flip few bits (only the touched chunks' means
+    * move), so Hamming distance tracks payload similarity — which is
+    * exactly what the banding downstream needs. Deterministic, empty
+    * payload → 0.
+    */
+  def phash64(blob: Array[Byte]): Long = {
+    val n = blob.length - HeaderLen
+    if (n <= 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    var total = 0L
+    while (i < n) {
+      val v = blob(HeaderLen + i) & 0xFF
+      val k = (i.toLong * 64L / n).toInt
+      sums(k) += v; counts(k) += 1; total += v
+      i += 1
+    }
+    val mean = total.toDouble / n
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      if (counts(k) > 0 && sums(k).toDouble / counts(k) > mean) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  private val PhashBands = 4
+  private val PhashMaxHamming = 3
+
+  /** Perceptual-hash near-duplicate detection over the BINARY corpus —
+    * the multimodal member of the dedup family (image/video near-dups
+    * survive re-encoding, so exact digests miss them; signatures
+    * don't). Pairs within Hamming ≤ [[PhashMaxHamming]] of each other's
+    * [[phash64]].
+    *
+    * Scale shape: the blob dies at the scan (mapPartitions emits only
+    * (doc_id, 8-byte signature)); candidates come from LSH banding —
+    * [[PhashBands]] disjoint 16-bit bands, band-value equi-join — so
+    * pair work is bucket-bounded, never all-pairs. The threshold is
+    * chosen ≤ bands−1 ON PURPOSE: by pigeonhole, any pair within
+    * Hamming 3 has at least one of the 4 bands intact, so banding is
+    * provably LOSSLESS here — and the oracle exploits exactly that: it
+    * recomputes the result as the plain all-pairs Hamming filter over
+    * the tapped signatures, which means a banding recall bug (not just
+    * a scoring bug) hash-mismatches.
+    */
+  /** Rendition id offset — clear of ScaleGen's copy·10⁹ replica
+    * shifts (base doc ids stay far below 5·10⁸).
+    */
+  private val RenditionOffset = 500000000L
+
+  /** Banded near-dup join over a (doc_id, ph) signature frame —
+    * factored out so the spec can feed constructed signatures and pin
+    * the pigeonhole recall guarantee directly.
+    */
+  private[graft] def phashBandedPairs(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until PhashBands).map(k =>
+      struct(lit(k).as("band"),
+        shiftright(col("ph"), k * 16).bitwiseAND(lit(65535L)).as("bv")))
+    val banded = sigs
+      .select(col("doc_id"), col("ph"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("ph"), col("b.band").as("band"), col("b.bv").as("bv"))
+    val l = banded.select(col("band"), col("bv"),
+      col("doc_id").as("da"), col("ph").as("pa"))
+    val r = banded.select(col("band").as("band_r"), col("bv").as("bv_r"),
+      col("doc_id").as("db"), col("ph").as("pb"))
+    l.join(r, col("band") === col("band_r") && col("bv") === col("bv_r") &&
+        col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"), col("pb"))
+      .distinct() // a pair sharing several bands surfaces once
+      .select(col("da"), col("db"),
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("da", "db")
+  }
+
+  private def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // The fixture corpus carries no re-encoded copies, so every 10th
+    // blob gets a deterministic RENDITION (single mid-payload byte
+    // wobble — a lossy re-encode in miniature), the same
+    // both-engines-derive-the-contamination move as q_dq_quarantine /
+    // q_fuzzy_join. Renditions flow through the SAME kernel; the tap
+    // carries whatever signatures the corpus + renditions produced, so
+    // the oracle is agnostic to how blobs were made.
+    val sigs = withBlobs(spark, sfDir)
+      .mapPartitions(_.flatMap { b =>
+        val base = (b.doc_id, phash64(b.blob))
+        if (b.doc_id % 10 == 7 && b.blob.length > HeaderLen) {
+          val r = b.blob.clone()
+          val p = HeaderLen + (r.length - HeaderLen) / 2
+          r(p) = ((r(p) + 1) & 0xFF).toByte
+          Iterator(base, (b.doc_id + RenditionOffset, phash64(r)))
+        } else Iterator(base)
+      })
+      .toDF("doc_id", "ph")
+    // The tap read-back is the natural materialization point — the
+    // signature computation runs once (the parquet write) and each
+    // downstream leg re-reads the tiny (doc_id, ph) file, so no
+    // persist() is needed (and under tap-disabled Bench the
+    // localCheckpoint serves the same role).
+    val tapped = OracleTap(spark, "mm_phash", sigs)
+    // Staged, like StagedDedup: identical signatures collapse to one
+    // representative BEFORE banding, so candidate work rides DISTINCT
+    // signatures (a re-encoded corpus is mostly exact signature copies);
+    // doc-level pairs are re-expanded afterwards — within-group pairs
+    // arithmetically (Hamming 0), cross-group pairs by membership join.
+    // Output size is the answer's size; the banding stage no longer
+    // inflates with duplication.
+    val reps = tapped.groupBy("ph").agg(min(col("doc_id")).as("rep"))
+    val within = tapped.as("a").join(tapped.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        lit(0L).as("hamming"))
+    val repPairs = phashBandedPairs(
+      reps.select(col("rep").as("doc_id"), col("ph")))
+    val cross = repPairs
+      .join(reps.select(col("rep").as("da"), col("ph").as("pha")), "da")
+      .join(reps.select(col("rep").as("db"), col("ph").as("phb")), "db")
+      .join(tapped.select(col("ph").as("pha"), col("doc_id").as("ma")), "pha")
+      .join(tapped.select(col("ph").as("phb"), col("doc_id").as("mb")), "phb")
+      .select(least(col("ma"), col("mb")).as("da"),
+        greatest(col("ma"), col("mb")).as("db"), col("hamming"))
+    within.unionByName(cross).orderBy("da", "db")
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_mm_phash_dedup" -> QueryDef(mmPhashDedup, Some(s"""
+      WITH s AS (SELECT doc_id, ph
+                 FROM read_parquet('/tmp/graft_oracle_aux/mm_phash/*.parquet'))
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= $PhashMaxHamming
+      ORDER BY da, db""")),
     "q_binary_ingest" -> QueryDef(binaryIngest, Some("""
       SELECT doc_id, n_chars AS n_bytes, md5(text) AS digest
       FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),

