@@ -1244,11 +1244,24 @@ object Receipts {
       val n = args(1).toLong
       val spark = session()
       val dir = s"${graft.core.TempDirs.create("graft_linkage_rcpt")}"
+      // Single FILE (not a dir) so the streaming leg's
+      // pathGlobFilter=supplier.parquet file stream sees it too — the
+      // same layout contract the driver fixtures have. Small row groups
+      // keep the one file SPLITTABLE (a single-row-group file is one
+      // scan task no matter what maxPartitionBytes says — first cut of
+      // this receipt measured 70 s single-threaded vs 4 s parallel).
       spark.range(n).selectExpr("id AS s_suppkey",
           "concat('Supplier#', lpad(cast(id as string), 9, '0')) AS s_name")
-        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+        .coalesce(1).write.option("parquet.block.size", (256 * 1024).toString)
+        .mode("overwrite").parquet(s"$dir/_tmp_supplier")
+      val part = new java.io.File(s"$dir/_tmp_supplier").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$dir/supplier.parquet").toPath)
       time(s"q_fuzzy_join ($n names)",
         SparkEntry.queries("q_fuzzy_join")(spark, dir))
+      time(s"s_linkage_ingest ($n names)",
+        SparkEntry.queries("s_linkage_ingest")(spark, dir))
       spark.stop()
 
     case "contrastive" =>

@@ -27,8 +27,8 @@ object Linkage extends QueryModule {
   /** Blocking prefix length: "Supplier#" + the first 7 of 9 digits —
     * blocks are the ≤100 suppliers sharing them.
     */
-  private val BlockLen = 16
-  private val MaxEdit = 1
+  private[graft] val BlockLen = 16
+  private[graft] val MaxEdit = 1
 
   /** The deterministically-dirtied incoming batch both engines derive
     * from the fixture (the fixture itself is clean, like
@@ -36,7 +36,7 @@ object Linkage extends QueryModule {
     * its last digit to an 'X' — edit distance exactly 1 from its
     * source, 0 for the untouched rest.
     */
-  private def dirtyBatch(s: DataFrame): DataFrame =
+  private[graft] def dirtyBatch(s: DataFrame): DataFrame =
     s.select(col("s_suppkey").as("r_id"),
       when(col("s_suppkey") % 7 === 3,
         concat(expr("substring(s_name, 1, length(s_name) - 1)"), lit("X")))
@@ -44,7 +44,18 @@ object Linkage extends QueryModule {
 
   private def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val s = Tables(spark, sfDir, "supplier").select(col("s_suppkey"), col("s_name"))
+    // Explicit co-partitioning on the block key with a PINNED partition
+    // count: the verify stage's levenshtein work dominates this
+    // operator, and its parallelism must come from the BLOCK
+    // distribution, not from however many scan splits the input file
+    // happened to have (a 3 MB single-file reference = 1 task = 18x
+    // slower on the 100k-name receipt). The count must be explicit —
+    // `repartition(col)` alone is advisory and AQE coalesces the
+    // few-MB exchange back to ONE partition, silently serializing the
+    // CPU-bound verify (measured: 70 s either way until pinned). Thin
+    // (id, name) rows make the shuffle itself ~free.
     val clean = s.withColumn("bk", substring(col("s_name"), 1, BlockLen))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("bk"))
     val dirty = dirtyBatch(s).withColumn("bk", substring(col("nm"), 1, BlockLen))
     clean.join(dirty, "bk")
       .select(col("s_suppkey"), col("r_id"),
@@ -53,8 +64,11 @@ object Linkage extends QueryModule {
       .orderBy("s_suppkey", "r_id")
   }
 
-  override val defs: Map[String, QueryDef] = Map(
-    "q_fuzzy_join" -> QueryDef(fuzzyJoin, Some(s"""
+  /** Shared by q_fuzzy_join and its streaming leg s_linkage_ingest —
+    * matching is per-record (stateless), so the streamed link table
+    * must equal the batch join exactly.
+    */
+  private[graft] val fuzzyOracle: String = s"""
       WITH dirty AS (
         SELECT s_suppkey AS r_id,
                CASE WHEN s_suppkey % 7 = 3
@@ -68,6 +82,9 @@ object Linkage extends QueryModule {
              CAST(levenshtein(c.s_name, d.nm) AS BIGINT) AS lev
       FROM c JOIN d USING (bk)
       WHERE levenshtein(c.s_name, d.nm) <= $MaxEdit
-      ORDER BY s_suppkey, r_id"""))
+      ORDER BY s_suppkey, r_id"""
+
+  override val defs: Map[String, QueryDef] = Map(
+    "q_fuzzy_join" -> QueryDef(fuzzyJoin, Some(fuzzyOracle))
   )
 }

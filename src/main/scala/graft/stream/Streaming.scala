@@ -499,6 +499,43 @@ object Streaming extends QueryModule {
       spark.read.parquet(current.getOrElse(sys.error("no batch ran"))))
   }
 
+  /** Streaming record linkage — the continuous leg of q_fuzzy_join:
+    * dirty records ARRIVE as a stream and each micro-batch matches
+    * against the STATIC clean reference via the same blocked equi-join +
+    * bounded levenshtein verify (graft.ext.Linkage). Matching is
+    * per-record and STATELESS (the stream-static s_join_static shape —
+    * the reference broadcasts per batch, nothing buffers in the state
+    * store), so the accumulated link table equals the batch join exactly
+    * — which is the oracle, unchanged from q_fuzzy_join. At production
+    * volume this is the dedup-on-arrival front door of a master-data
+    * table: state ZERO regardless of stream volume, reference refresh =
+    * the next micro-batch's re-read.
+    */
+  private def linkageIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.Linkage
+    val clean = graft.core.Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("bk", substring(col("s_name"), 1, Linkage.BlockLen))
+    val schema = spark.read.option("pathGlobFilter", "supplier.parquet")
+      .parquet(sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "supplier.parquet").parquet(sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+    // Same layout-independence move as the batch entry (pinned count —
+    // see Linkage.fuzzyJoin: advisory repartition gets AQE-coalesced
+    // back to one task): per-batch verify parallelism comes from the
+    // block key, not the file source's split count.
+    val dirty = Linkage.dirtyBatch(stream)
+      .withColumn("bk", substring(col("nm"), 1, Linkage.BlockLen))
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("bk"))
+    val links = dirty.join(broadcast(clean), "bk")
+      .select(col("s_suppkey"), col("r_id"),
+        levenshtein(col("s_name"), col("nm")).cast("long").as("lev"))
+      .filter(col("lev") <= Linkage.MaxEdit)
+    runToMemory(links, "append")
+      .orderBy("s_suppkey", "r_id")
+  }
+
   // ---- Arbitrary stateful processing (mapGroupsWithState) ---------------
 
   /** Per-key running state via `KeyValueGroupedDataset.mapGroupsWithState`
@@ -784,6 +821,7 @@ object Streaming extends QueryModule {
              v.v = 0 AS passed
       FROM v, n ORDER BY rule""")),
     "s_drift_monitor" -> QueryDef(driftMonitorStream, Some(graft.ops.Quality.driftOracle)),
+    "s_linkage_ingest" -> QueryDef(linkageIngest, Some(graft.ext.Linkage.fuzzyOracle)),
     "s_mv_refresh" -> QueryDef(mvRefreshStream, Some("""
       SELECT strftime(ts, '%Y%m%d') AS dt, event_type, count(*) AS n,
              round(sum(value), 2) AS sum_value

@@ -63,6 +63,14 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
     assert(got.sorted.toSeq == expectPairs.sorted)
   }
 
+  test("s_linkage_ingest: the streamed link table equals the batch fuzzy join exactly") {
+    val streamed = SparkEntry.queries("s_linkage_ingest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("q_fuzzy_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   /** Plain-Scala Levenshtein twin for the recall-contract oracle. */
   private def levenshtein(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
