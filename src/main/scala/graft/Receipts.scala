@@ -1222,6 +1222,17 @@ object Receipts {
             md5(col("content")).as("digest")))
       spark.stop()
 
+    case "lpa" =>
+      // Label-propagation economics at ScaleGen scale: the data-sized
+      // cost is the sparse-edge projection (distinct over lineitem);
+      // each of the 3 rounds touches node/edge-sized relations only.
+      // Point at a dir carrying lineitem.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "lineitem").queryExecution.toRdd.count()
+      time("q_graph_label_prop", SparkEntry.queries("q_graph_label_prop")(spark, sfDir))
+      spark.stop()
+
     case "phash" =>
       // Staged perceptual-hash dedup at ScaleGen scale: the 100x
       // replicas make the corpus ~99% exact signature copies — the

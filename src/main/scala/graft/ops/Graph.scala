@@ -462,7 +462,82 @@ object Graph extends QueryModule {
   private def triangles(spark: SparkSession, sfDir: String): DataFrame =
     triangleStats(coSupplyEdges(spark, sfDir))
 
+  /** Synchronous label-propagation rounds. */
+  private val LpaRounds = 3
+
+  /** Synchronous label propagation (community detection) over a
+    * SYMMETRIC (src, dst) edge frame: every node starts labeled with
+    * its own id; each round, every node adopts the most frequent label
+    * among its NEIGHBORS (self-label excluded), ties broken by smallest
+    * label — fully deterministic, unlike the async/random-order LPA
+    * variants. Fixed [[LpaRounds]] rounds (the bounded-round contract
+    * pagerank uses), so the oracle is [[LpaRounds]] chained CTEs, not
+    * recursion.
+    *
+    * Plan shape per round: one co-partitionable join of edges against
+    * the node-sized label frame + one partial-agg'd (dst, lbl) count +
+    * one node-partitioned argmax window — label frames are node-sized,
+    * the edge table is scanned once per round. LAZY chaining (the
+    * q_pagerank materialization-ladder rung: each round references the
+    * previous labels exactly once). Output is community-level: (label,
+    * size, member id checksum), never per-node rows.
+    */
+  private[graft] def labelPropOn(sym: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = sym.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    val w = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))
+    (1 to LpaRounds).foreach { _ =>
+      labels = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("size"), sum(col("node")).as("member_checksum"))
+      .orderBy(col("size").desc, col("community"))
+  }
+
+  private def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = coSupplyEdges(spark, sfDir)
+    labelPropOn(e.unionByName(
+      e.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst")))
+  }
+
+  /** [[LpaRounds]] chained LPA rounds as DuckDB CTEs — generated so the
+    * per-round SQL cannot drift from the Spark iteration.
+    */
+  private val lpaOracle: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""c$k AS (
+        SELECT e.dst, l.lbl, count(*) AS c
+        FROM sym e JOIN l${k - 1} l ON l.node = e.src GROUP BY e.dst, l.lbl),
+      l$k AS (
+        SELECT dst AS node, lbl FROM (
+          SELECT dst, lbl,
+                 row_number() OVER (PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+          FROM c$k) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH ps AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_quantity <= $TriMaxQty),
+      e0 AS (
+        SELECT DISTINCT a.s AS u, b.s AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+      sym AS (SELECT u AS src, v AS dst FROM e0
+              UNION ALL SELECT v AS src, u AS dst FROM e0),
+      l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+      $rounds
+      SELECT lbl AS community, count(*) AS size,
+             CAST(sum(node) AS BIGINT) AS member_checksum
+      FROM l$LpaRounds GROUP BY lbl ORDER BY size DESC, community"""
+  }
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_graph_label_prop" -> QueryDef(labelProp, Some(lpaOracle)),
     "q_graph_triangles" -> QueryDef(triangles, Some(s"""
       WITH ps AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem

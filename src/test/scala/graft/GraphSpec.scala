@@ -241,6 +241,38 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       ((4L, 4L, 5L, 1L, 0.6)))
   }
 
+  test("labelPropOn matches an independent synchronous-LPA replay and separates planted cliques") {
+    import spark.implicits._
+    // Two 5-cliques plus a 3-path appendage on the second: communities
+    // must not leak across the (absent) bridge.
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val und = clique(1L to 5L) ++ clique(11L to 15L) ++ Seq((15L, 21L), (21L, 22L))
+    val sym = und ++ und.map(_.swap)
+    val got = Graph.labelPropOn(sym.toDF("src", "dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Independent plain-Scala replay of the declared semantics:
+    // 3 synchronous rounds, neighbor-majority, (count desc, label asc).
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size).toSeq
+        n -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expect = lbl.groupBy(_._2).map { case (l, m) =>
+      (l, m.size.toLong, m.keys.sum)
+    }.toSeq.sortBy { case (l, s, _) => (-s, l) }
+      .map { case (l, s, c) => (l, s, c) }
+    assert(got == expect)
+    // and the planted structure separated: nodes 1-5 share one label,
+    // 11-15 (+ appendage or not) share another, disjoint from the first
+    val communityOf = lbl
+    assert((1L to 5L).map(communityOf).distinct.size == 1)
+    assert((11L to 15L).map(communityOf).distinct.size == 1)
+    assert(communityOf(1L) != communityOf(11L))
+  }
+
   test("one iteration is one aggregation exchange over the contribution join") {
     import spark.implicits._
     val edges = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("src", "dst")
