@@ -119,10 +119,19 @@ object Bench {
     // toRdd.count() consumes the query's own physical plan, forcing every
     // output column to materialize — df.count() would let the optimizer
     // prune the projections being measured.
+    // Entries whose execution THREW (any timing attempt): a swallowed
+    // failure used to record as a fast no-op — the sf1 sweeps through
+    // r11 carried ~0.05 s timings for streaming entries that silently
+    // failed schema inference on directory-layout fixtures. The timing
+    // semantics are unchanged; the names now surface in the record.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Host-noise sentinel: one fixed canary timed immediately before and
@@ -213,7 +222,8 @@ object Bench {
         .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""", ",", "},") +
       results.map { case (k, _) => s"\"" + k + "\":" + warm(k) }
         .mkString(s""""warm":{""", ",",
-          s"""},"canary":{"before":$canaryBefore,"after":$canaryAfter},"noisy":$noisy,"sf":"$sfDir"}""")
+          s"""},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""canary":{"before":$canaryBefore,"after":$canaryAfter},"noisy":$noisy,"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullJson) finally w.close()
@@ -234,7 +244,9 @@ object Bench {
     // to the total; bench_full.json has the omitted per-query numbers.
     val sfTag = new java.io.File(sfDir).getName
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
-    val tailStr = s"""},"noisy":$noisy,"sf":"$sfTag"}"""
+    val failedTag = if (failed.isEmpty) ""
+      else s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"""
+    val tailStr = s"""},$failedTag"noisy":$noisy,"sf":"$sfTag"}"""
     val budget = 1800 - head.length - tailStr.length - 30 // 30 = room for the "_other" entry
     val desc = results.sortBy(-_._2)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -118,4 +118,25 @@ object Tables {
     case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
     case _ => df
   }
+
+  /** Layout-robust file STREAM over a fixture table. Driver fixtures
+    * are single FILES named `<table>.parquet` — the file source needs a
+    * directory, so we stream the parent with a leaf-name glob; ScaleGen
+    * replicas are DIRECTORIES of the same name — streamed directly (the
+    * glob form silently matches ZERO leaf files there and fails schema
+    * inference, which Bench's per-entry guard used to swallow: the sf1
+    * sweeps through r11 recorded ~0.05 s no-op timings for the
+    * document/supplier/embedding streaming entries; caught r12).
+    */
+  def streamTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val f = new java.io.File(sfDir, s"$table.parquet")
+    if (f.isDirectory) {
+      val schema = spark.read.parquet(f.getPath).schema
+      spark.readStream.schema(schema).parquet(f.getPath)
+    } else {
+      val glob = s"$table.parquet"
+      val schema = spark.read.option("pathGlobFilter", glob).parquet(sfDir).schema
+      spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(sfDir)
+    }
+  }
 }

@@ -939,10 +939,7 @@ object Dedup extends QueryModule {
   private def minhashIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val seed = ensureMinhashIndex(spark, sfDir)
     val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_minhash_ingest")
-    val schema = spark.read.option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val stream = graft.core.Tables.streamTable(spark, sfDir, "documents")
       .filter(col("doc_id") >= 400 && col("doc_id") < 450)
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>

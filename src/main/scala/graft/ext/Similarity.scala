@@ -1152,10 +1152,7 @@ object Similarity extends QueryModule {
   private def semdedupStreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
     val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_stream")
-    val schema = spark.read.option("pathGlobFilter", "embeddings.parquet")
-      .parquet(sfDir).schema
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet").parquet(sfDir)
+    val q = graft.core.Tables.streamTable(spark, sfDir, "embeddings")
       .filter(col("vec_id") >= cut)
       .writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
@@ -2390,14 +2387,22 @@ object Similarity extends QueryModule {
       seedFrom: Option[String] = None): DataFrame = {
     val dir = seedFrom.fold(graft.core.TempDirs.create("graft_ann_ingest"))(
       scratchIvfFromSeed(_, "graft_ann_ingest"))
-    val schema = spark.read.option("pathGlobFilter", glob).parquet(srcDir).schema
-    val stat = spark.read.option("pathGlobFilter", glob).parquet(srcDir)
+    // Layout-robust source (same dispatch as Tables.streamTable): the
+    // table is a single FILE on driver fixtures, a DIRECTORY on
+    // ScaleGen replicas — the glob form matches zero leaves on a dir.
+    val tableDir = new java.io.File(srcDir, glob)
+    val (stat, stream0) = if (tableDir.isDirectory) {
+      val s = spark.read.parquet(tableDir.getPath)
+      (s, spark.readStream.schema(s.schema).parquet(tableDir.getPath))
+    } else {
+      val s = spark.read.option("pathGlobFilter", glob).parquet(srcDir)
+      (s, spark.readStream.schema(s.schema)
+        .option("pathGlobFilter", glob).parquet(srcDir))
+    }
     if (seedFrom.isEmpty)
       writeIvfIndex(spark, dir, stat.filter(col("vec_id") < cut),
         train = Some(stat.filter(col("vec_id") < cut && col("vec_id") =!= 0)))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(srcDir)
-      .filter(col("vec_id") >= cut)
+    val stream = stream0.filter(col("vec_id") >= cut)
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (!b.isEmpty) ivfIndexAppend(spark, dir, b,

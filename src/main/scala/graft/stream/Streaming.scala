@@ -42,12 +42,8 @@ object Streaming extends QueryModule {
     */
   def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet") // source path must be a directory
-      .parquet(sfDir)
-    graft.core.Tables.normalizeEventsTs(raw)
+    graft.core.Tables.normalizeEventsTs(
+      graft.core.Tables.streamTable(spark, sfDir, "events"))
   }
 
   private def tmpDir(prefix: String): String =
@@ -516,10 +512,7 @@ object Streaming extends QueryModule {
     val clean = graft.core.Tables(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"))
       .withColumn("bk", substring(col("s_name"), 1, Linkage.BlockLen))
-    val schema = spark.read.option("pathGlobFilter", "supplier.parquet")
-      .parquet(sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "supplier.parquet").parquet(sfDir)
+    val stream = graft.core.Tables.streamTable(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"))
     // Same layout-independence move as the batch entry (pinned count —
     // see Linkage.fuzzyJoin: advisory repartition gets AQE-coalesced
