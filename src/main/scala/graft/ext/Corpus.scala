@@ -269,10 +269,14 @@ object Corpus extends QueryModule {
   private[graft] def weightedSampleOf(docs: DataFrame, k: Int): DataFrame =
     docs
       .withColumn("w", size(split(col("text"), " ")).cast(DoubleType))
-      // u in (0,1): a splitmix-ish integer hash of doc_id, never 0.
+      // u in (0,1): a splitmix-ish integer hash of doc_id, never 0. The
+      // id is reduced mod p BEFORE the multiply — identical output
+      // ((a mod p)·c mod p == a·c mod p) but the intermediate stays
+      // < 2^63 at ScaleGen id ranges (ids ~9e9 × 2.65e9 overflowed ANSI
+      // long arithmetic; caught by the r12 bench failed-list at sf1).
       .withColumn("u",
-        (pmod(col("doc_id") * lit(2654435761L) + lit(12345L), lit(2147483647L))
-          .cast(DoubleType) + lit(1.0)) / lit(2147483648.0))
+        (pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L) + lit(12345L),
+          lit(2147483647L)).cast(DoubleType) + lit(1.0)) / lit(2147483648.0))
       .withColumn("key", floor(pow(col("u"), lit(1.0) / col("w")) * 1e6) / 1e6)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("source"))
@@ -589,7 +593,7 @@ object Corpus extends QueryModule {
       WITH t AS (
         SELECT doc_id, source,
                CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
-               (CAST((doc_id * 2654435761 + 12345) % 2147483647 AS DOUBLE) + 1.0)
+               (CAST(((doc_id % 2147483647) * 2654435761 + 12345) % 2147483647 AS DOUBLE) + 1.0)
                  / 2147483648.0 AS u
         FROM documents),
       keyed AS (

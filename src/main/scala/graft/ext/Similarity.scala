@@ -2443,12 +2443,20 @@ object Similarity extends QueryModule {
     */
   private[graft] def ensurePoisonedIvfSeed(spark: SparkSession, sfDir: String): String = {
     val e = Tables(spark, sfDir, "embeddings")
-    val (seed, _) = ensureIvfScratchSeed(spark, sfDir)
+    val (seed, cut) = ensureIvfScratchSeed(spark, sfDir)
     graft.core.Warehouse.ensureDerivedSeed(seed, "poisoned") { d =>
       val crowd = e.filter(col("vec_id") === 1)
         .head().getSeq[Float](e.columns.indexOf("embedding")).toArray
       val rnd = new scala.util.Random(13)
-      val skewIds = (0 until 400).map(10000000L + _)
+      // The poison must scale with the index: C ≈ √n cells ⇒ median
+      // cell ≈ √n rows, and one crowded cell reads imbalance ≈
+      // 1 + skew/√n — a FIXED 400 gave 3.98 at an 18k-row seed (sf1),
+      // one hair under the 4.0 sentinel (caught by the r12 bench
+      // failed-list). 6·√n keeps the tripped ratio ≈ 7 at every scale
+      // and leaves the sf0.1-and-below seeds byte-identical (400 floor).
+      val nSeed = e.filter(col("vec_id") < cut).count()
+      val skewN = math.max(400, 6 * math.sqrt(nSeed.toDouble).toInt)
+      val skewIds = (0 until skewN).map(10000000L + _)
       val skewed = {
         import spark.implicits._
         skewIds.map(id =>
