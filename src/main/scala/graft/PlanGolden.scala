@@ -49,6 +49,15 @@ object PlanGolden {
     */
   def fingerprint(spark: SparkSession, name: String, sfDir: String): Fp =
     SessionConf.scoped(spark, "spark.sql.adaptive.enabled", "false") {
+      // Fingerprint from a cache-free planner state: the graph entries
+      // persist shared frames (edges, label chains) inside one action,
+      // and a still-cached frame from ANY earlier query in the same JVM
+      // matches later plans as InMemoryRelation — accurate small stats
+      // flip SortMergeJoin→Broadcast and the fingerprint becomes a
+      // function of suite ORDER (caught r12 running the smoke suite
+      // before this spec; the alphabetical full-suite order had hidden
+      // it). Clearing per entry pins the canonical cold plan.
+      spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val nodes = walk(df.queryExecution.executedPlan)
       Fp(
