@@ -68,10 +68,14 @@ for name in sorted(os.listdir(outdir)):
                 problems.append(f"col {c} dtype: spark={gs.dtype} duck={es.dtype}")
             try:
                 if gs.dtype.kind == "f":
+                    # BITWISE compare (mimics the driver's hash): -0.0 != +0.0,
+                    # any ULP divergence fails. Both-NaN counts as equal.
                     import numpy as np
                     import pandas as pd
-                    bad = pd.Series(~(np.isclose(gs.fillna(1e300), es.fillna(1e300),
-                                                 rtol=0, atol=1e-9)))
+                    gv, ev = gs.to_numpy(), es.to_numpy()
+                    both_nan = np.isnan(gv) & np.isnan(ev)
+                    ubits = f"uint{gv.dtype.itemsize * 8}"
+                    bad = pd.Series((gv.view(ubits) != ev.view(ubits)) & ~both_nan)
                 else:
                     # Compare NA masks separately, then values only where both
                     # sides are non-null — sentinel fills TypeError on

@@ -409,6 +409,54 @@ object Corpus extends QueryModule {
       .orderBy("vec_id", "pos")
   }
 
+  /** Int8 scalar quantization of the embedding corpus — the storage-layer
+    * op between raw float32 vectors (256 B) and PQ codes (8 B): per-dim
+    * min/max (ONE posexplode + groupBy(pos) codegen hash aggregate, the
+    * q_feature_scale shape — map-side partials, 64 buffers/task cross the
+    * exchange), then a ROW-LOCAL affine encode against the broadcast
+    * 64-row stats table:
+    *   code = floor((v − mn) / (mx − mn) · 255 + 0.5)  ∈ [0, 255]
+    * plus a reconstruction-error audit (err = |v − decode(code)|) and the
+    * per-dim worst case. `floor(x + 0.5)` instead of round(): floor is a
+    * single unambiguous IEEE op on both engines, so there is no
+    * rounding-mode (HALF_UP vs half-even) or signed-zero trap anywhere in
+    * the code path — every input is a single IEEE expression evaluated in
+    * the same order cross-engine, and the audit maxes are order-free
+    * (max, not sum). Constant dims (mx == mn) encode to 0 by convention,
+    * guarded identically in both engines.
+    *
+    * Scale shape: stats are one partial-agg'd exchange of 64·tasks scalar
+    * buffers; encode + decode + err are row-local; the per-dim max err is
+    * the same 64-buffer aggregate again. At 100 TB the quantized corpus
+    * is written alongside the manifest the IVF index family maintains —
+    * this entry is the certified kernel. Output is bounded: the 5 lowest
+    * vec_ids' codes with the per-dim stats + worst-case riding along.
+    */
+  private def embedQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").cast(DoubleType).as("v"))
+    val stats = ex.groupBy("pos").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = ex.join(broadcast(stats), "pos")
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          floor((col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0 + 0.5))
+          .otherwise(lit(0.0)).cast(LongType))
+      .withColumn("err",
+        abs(col("v") - (col("mn") +
+          (col("code").cast(DoubleType) / 255.0) * (col("mx") - col("mn")))))
+    val dimErr = q.groupBy("pos").agg(max(col("err")).as("dim_max_err"))
+    q.filter(col("vec_id") < 5)
+      .join(broadcast(dimErr), "pos")
+      .select(col("vec_id"), col("pos"),
+        round(col("mn"), 6).as("v_min"), round(col("mx"), 6).as("v_max"),
+        col("code"),
+        round(col("err"), 6).as("err"),
+        round(col("dim_max_err"), 6).as("dim_max_err"))
+      .orderBy("vec_id", "pos")
+  }
+
   /** Random-projection output width (64 → 16). */
   private val ProjOut = 16
   private val ProjIn = 64
@@ -488,7 +536,7 @@ object Corpus extends QueryModule {
       p AS (
         SELECT vec_id, j,
                round(sum(CASE WHEN $x3 % 2 = 0 THEN x ELSE -x END)
-                     / ${math.sqrt(ProjOut)}, 4) AS v
+                     / ${math.sqrt(ProjOut)}, 4) + 0 AS v
         FROM t GROUP BY vec_id, j)
       SELECT vec_id, CAST(j + 1 AS BIGINT) AS pos, v FROM p
       ORDER BY vec_id, pos"""
@@ -552,6 +600,29 @@ object Corpus extends QueryModule {
              doc_id AS neg_doc_id, h
       FROM r WHERE neg_rank <= $NegK ORDER BY anchor_id, neg_rank""")),
     "q_embed_project" -> QueryDef(embedProject, Some(projOracle)),
+    "q_embed_quantize" -> QueryDef(embedQuantize, Some("""
+      WITH ex AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings),
+      s AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos),
+      q AS (
+        SELECT e.vec_id, e.pos, e.v, s.mn, s.mx,
+               CAST(CASE WHEN s.mx > s.mn
+                    THEN floor((e.v - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                    ELSE 0.0 END AS BIGINT) AS code
+        FROM ex e JOIN s USING (pos)),
+      r AS (
+        SELECT vec_id, pos, mn, mx, code,
+               abs(v - (mn + (code / 255.0) * (mx - mn))) AS err
+        FROM q),
+      d AS (SELECT pos, max(err) AS dim_max_err FROM r GROUP BY pos)
+      SELECT r.vec_id, r.pos, round(r.mn, 6) + 0 AS v_min,
+             round(r.mx, 6) + 0 AS v_max, r.code,
+             round(r.err, 6) AS err,
+             round(d.dim_max_err, 6) AS dim_max_err
+      FROM r JOIN d USING (pos) WHERE r.vec_id < 5
+      ORDER BY vec_id, pos""")),
     "q_feature_scale" -> QueryDef(featureScale, Some("""
       WITH ex AS (
         SELECT vec_id, unnest(embedding)::DOUBLE AS v,
@@ -560,9 +631,9 @@ object Corpus extends QueryModule {
       s AS (SELECT pos, avg(v) AS mean_v,
                    sqrt(avg(v * v) - avg(v) * avg(v)) AS std_v
             FROM ex GROUP BY pos)
-      SELECT e.vec_id, e.pos, round(s.mean_v, 6) AS mean_v,
+      SELECT e.vec_id, e.pos, round(s.mean_v, 6) + 0 AS mean_v,
              round(s.std_v, 6) AS std_v,
-             round((e.v - s.mean_v) / s.std_v, 4) AS z
+             round((e.v - s.mean_v) / s.std_v, 4) + 0 AS z
       FROM ex e JOIN s USING (pos) WHERE e.vec_id < 5
       ORDER BY vec_id, pos""")),
     "q_embed_centroids" -> QueryDef(embedCentroids, Some("""
@@ -570,7 +641,7 @@ object Corpus extends QueryModule {
         SELECT label, unnest(embedding)::DOUBLE AS v,
                unnest(range(1, len(embedding) + 1)) AS pos
         FROM embeddings),
-      m AS (SELECT label, pos, round(avg(v), 4) AS mean_v
+      m AS (SELECT label, pos, round(avg(v), 4) + 0 AS mean_v
             FROM ex GROUP BY label, pos),
       n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
       SELECT m.label, m.pos, m.mean_v, n.n_vecs

@@ -299,6 +299,12 @@ object Multimodal extends QueryModule {
     // the oracle is agnostic to how blobs were made.
     val sigs = withBlobs(spark, sfDir)
       .mapPartitions(_.flatMap { b =>
+        // Fail LOUDLY if the id-layout assumption behind RenditionOffset
+        // is ever violated (a within-copy id in [5·10⁸, 10⁹) would make a
+        // rendition id land in the next ScaleGen copy's copy·10⁹ range and
+        // silently corrupt (da, db) pairs).
+        require(b.doc_id % 1000000000L < RenditionOffset,
+          s"doc_id ${b.doc_id}: within-copy id >= RenditionOffset $RenditionOffset")
         val base = (b.doc_id, phash64(b.blob))
         if (b.doc_id % 10 == 7 && b.blob.length > HeaderLen) {
           val r = b.blob.clone()
@@ -338,7 +344,282 @@ object Multimodal extends QueryModule {
     within.unionByName(cross).orderBy("da", "db")
   }
 
+  // ---- Persisted pHash near-dup index: the multimodal lifecycle --------
+  //
+  // q_mm_phash_dedup answers the one-shot batch question; this is the
+  // ingest-time one — "is this arriving media object a re-encode of
+  // anything already ingested" — against a PERSISTED band-postings index,
+  // the same production lifecycle the MinHash (text) and semdedup
+  // (embedding) modalities already carry: staged-rename appends under a
+  // writer lease, an atomically-replaced manifest gating probe visibility,
+  // an ingest-key ledger making at-least-once replays no-ops, and a
+  // tombstone ledger for takedowns. The postings row is
+  // (band, bv, doc_id, ph): 16-bit band values for the equi-join plus the
+  // full 64-bit signature, so the Hamming verify is INDEX-LOCAL — unlike
+  // the MinHash probe, no doc-store lookup is needed and the blob itself
+  // is never touched after signature extraction. A probe hashes only the
+  // batch (O(batch) signatures) and bucket-joins the committed postings;
+  // threshold ≤ bands−1 keeps the pigeonhole-losslessness of
+  // [[phashBandedPairs]], which the tap oracle exploits: it recomputes
+  // the probe as the full probe×index Hamming filter over the tapped
+  // signatures, so a banding RECALL bug (not just a scoring bug)
+  // hash-mismatches. Manifest plumbing is shared with the MinHash index
+  // (Dedup.readBatchManifest et al. — one commit protocol across every
+  // index family).
+
+  private val PhashIndexRoot = "/tmp/graft_phash"
+
+  /** The dirs a complete phash layout comprises (manifest aside). */
+  private[graft] val PhashLayoutSubs = Seq("postings")
+
+  private def phashIndexTag(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    val len =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+    "v1-" + java.lang.Long.toHexString((sfDir.hashCode.toLong << 24) ^ f.lastModified()) +
+      "-" + java.lang.Long.toHexString(len)
+  }
+
+  /** (doc_id, ph) signatures of a (doc_id, text) frame — blob synthesis +
+    * phash64 fused in one mapPartitions pass; the blob dies in the task.
+    */
+  private[graft] def sigsOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, phash64(encodeBlob(id, t))) })
+      .toDF("doc_id", "ph")
+  }
+
+  /** Rendition signatures (the mid-payload byte wobble of
+    * [[mmPhashDedup]]) for docs matching `doc_id % mod == 7` — the
+    * deterministic both-engines-agnostic stand-in for re-encoded copies
+    * arriving at ingest, carrying [[RenditionOffset]]-shifted ids.
+    */
+  private[graft] def renditionSigsOf(spark: SparkSession, docs: DataFrame,
+      mod: Long): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        require(id % 1000000000L < RenditionOffset,
+          s"doc_id $id: within-copy id >= RenditionOffset $RenditionOffset")
+        val b = encodeBlob(id, t)
+        if (id % mod == 7 && b.length > HeaderLen) {
+          val p = HeaderLen + (b.length - HeaderLen) / 2
+          b(p) = ((b(p) + 1) & 0xFF).toByte
+          Iterator((id + RenditionOffset, phash64(b)))
+        } else Iterator.empty
+      })
+      .toDF("doc_id", "ph")
+  }
+
+  /** Explode a (doc_id, ph) signature frame into its band postings
+    * (band, bv, doc_id, ph) — the persisted row.
+    */
+  private[graft] def phashPostings(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until PhashBands).map(k =>
+      struct(lit(k).as("band"),
+        shiftright(col("ph"), k * 16).bitwiseAND(lit(65535L)).as("bv")))
+    sigs.select(col("doc_id"), col("ph"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("b.band").as("band"), col("b.bv").as("bv"),
+        col("doc_id"), col("ph"))
+  }
+
+  /** Write the postings index over `docs` as the single batch 0 —
+    * the rebuild/seed writer (`keepIngestKeys` rides in the manifest
+    * commit like every index family's).
+    */
+  private[graft] def writePhashIndex(spark: SparkSession, dir: String,
+      docs: DataFrame, keepIngestKeys: Seq[String] = Seq.empty): Unit = {
+    phashPostings(sigsOf(spark, docs))
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(new java.io.File(dir, "postings").getPath)
+    Dedup.writeBatchManifest(dir, Seq(0L), ingestKeys = keepIngestKeys)
+  }
+
+  /** One-time seed over the sub-400 corpus slice (marker-gated, untimed
+    * economics like the MinHash/IVF/Derby seeds).
+    */
+  private[graft] def ensurePhashIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = new java.io.File(PhashIndexRoot, phashIndexTag(sfDir))
+    val marker = new java.io.File(dir, "_SEEDED")
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      writePhashIndex(spark, dir.getPath,
+        Tables(spark, sfDir, "documents").filter(col("doc_id") < 400))
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    dir.getPath
+  }
+
+  /** Append an ingest batch's postings as a new batch_id partition —
+    * staged dot-directory, atomic rename, manifest commit, ingest-key
+    * ledger: byte-for-byte the MinHash/IVF append protocol.
+    */
+  private[graft] def phashIndexAppend(spark: SparkSession, dir: String,
+      newDocs: DataFrame, ingestKey: Option[String] = None): Unit =
+    graft.core.WriterLease.withLease(dir, "phash append") {
+      graft.core.StagedSwap.recover(dir, PhashLayoutSubs)
+      val ledger = Dedup.readIngestKeys(dir)
+      if (!ingestKey.exists(ledger.contains)) {
+        val committed = Dedup.readBatchManifest(dir)
+        val postingsRoot = new java.io.File(dir, "postings")
+        val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+          .map(_.getName.stripPrefix("batch_id=").toLong)
+        val newId = (onDisk :+ 0L).max + 1
+        val staging = new java.io.File(dir, s".staging_batch_$newId")
+        graft.core.Warehouse.deleteRecursively(staging)
+        phashPostings(sigsOf(spark, newDocs))
+          .write.mode("overwrite").parquet(staging.getPath)
+        java.nio.file.Files.move(staging.toPath,
+          new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Dedup.writeBatchManifest(dir, committed :+ newId,
+          Dedup.readTombstoneManifest(dir), ledger ++ ingestKey)
+      }
+    }
+
+  /** Takedown: tombstone a doc-id batch (staged + atomic rename +
+    * manifest swap — the shared delete protocol).
+    */
+  private[graft] def phashIndexDelete(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit =
+    graft.core.WriterLease.withLease(dir, "phash delete") {
+      graft.core.StagedSwap.recover(dir, PhashLayoutSubs)
+      val batches = Dedup.readBatchManifest(dir)
+      val tombs = Dedup.readTombstoneManifest(dir)
+      val root = new java.io.File(dir, "tombstones")
+      root.mkdirs()
+      val onDisk = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName.stripPrefix("batch_id=").toLong)
+      val newId = (onDisk :+ 0L).max + 1
+      val staging = new java.io.File(dir, s".tombstone_batch_$newId")
+      graft.core.Warehouse.deleteRecursively(staging)
+      ids.select(col("doc_id")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(staging.getPath)
+      java.nio.file.Files.move(staging.toPath,
+        new java.io.File(root, s"batch_id=$newId").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Dedup.writeBatchManifest(dir, batches, tombs :+ newId,
+        Dedup.readIngestKeys(dir))
+    }
+
+  /** Probe the committed postings with a (doc_id, ph) signature batch:
+    * band the batch, equi-join on (band, bv), Hamming-verify from the
+    * postings' own signatures (no doc-store round trip), anti-join the
+    * tombstone ledger. The tap carries BOTH sides' distinct signatures
+    * (probe + surviving index) so DuckDB recomputes the probe as the
+    * full cross Hamming filter — losslessness of the banding included.
+    */
+  private[graft] def probePhashIndex(spark: SparkSession, dir: String,
+      probeSigs: DataFrame, tap: Option[String] = None): DataFrame = {
+    val committed = Dedup.readBatchManifest(dir)
+    val postings0 = spark.read
+      .parquet(new java.io.File(dir, "postings").getPath)
+      .where(col("batch_id").isin(committed: _*))
+      .select(col("band"), col("bv"), col("doc_id").as("dup_of"), col("ph").as("ph_i"))
+    val tombs = Dedup.readTombstoneManifest(dir)
+    val postings =
+      if (tombs.isEmpty) postings0
+      else postings0.join(
+        spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+          .where(col("batch_id").isin(tombs: _*))
+          .select(col("doc_id").as("dup_of")),
+        Seq("dup_of"), "left_anti")
+    val tapped = tap.fold(probeSigs) { n =>
+      OracleTap(spark, n,
+        probeSigs.select(col("doc_id"), col("ph"), lit("probe").as("side"))
+          .unionByName(postings.select(col("dup_of").as("doc_id"),
+            col("ph_i").as("ph"), lit("index").as("side")).distinct()))
+        .filter(col("side") === "probe").select("doc_id", "ph")
+    }
+    phashPostings(tapped)
+      .join(postings, Seq("band", "bv"))
+      .select(col("doc_id"), col("dup_of"), col("ph"), col("ph_i"))
+      .distinct()
+      .select(col("doc_id"), col("dup_of"),
+        bit_count(col("ph").bitwiseXOR(col("ph_i"))).cast(LongType).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("doc_id", "dup_of")
+  }
+
+  /** Rendition-probe modulus: every 25th doc re-encodes, so the probe
+    * carries a bounded planted-hit set next to the genuinely-new docs.
+    */
+  private val PhashProbeMod = 25L
+
+  private def phashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensurePhashIndex(spark, sfDir)
+    val docs = Tables(spark, sfDir, "documents")
+    val probe = sigsOf(spark, docs.filter(col("doc_id") >= 400))
+      .unionByName(renditionSigsOf(spark, docs.filter(col("doc_id") < 400), PhashProbeMod))
+    probePhashIndex(spark, dir, probe, tap = Some("phash_inc"))
+  }
+
+  private def phashDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = ensurePhashIndex(spark, sfDir)
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_phash_del")
+    val docs = Tables(spark, sfDir, "documents")
+    val probe = sigsOf(spark, docs.filter(col("doc_id") >= 400))
+      .unionByName(renditionSigsOf(spark, docs.filter(col("doc_id") < 400), PhashProbeMod))
+      .localCheckpoint(true) // probed twice (victim pick + final)
+    val victimRow = probePhashIndex(spark, dir, probe).agg(min(col("dup_of"))).head()
+    if (!victimRow.isNullAt(0))
+      phashIndexDelete(spark, dir, Seq(victimRow.getLong(0)).toDF("doc_id"))
+    probePhashIndex(spark, dir, probe, tap = Some("phash_del"))
+  }
+
+  /** Streaming ingest into the persisted pHash index — the multimodal
+    * twin of `s_minhash_ingest`/`s_ann_ingest`: media objects arrive as
+    * a stream, each micro-batch publishes its postings through
+    * [[phashIndexAppend]]'s atomic protocol in foreachBatch keyed on the
+    * batchId (at-least-once replays are committed no-ops); the final
+    * probe carries re-encodes OF THE STREAMED DOCS, so it must surface
+    * near-dups against the committed arrivals.
+    */
+  private def phashIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = ensurePhashIndex(spark, sfDir)
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_phash_ingest")
+    val stream = graft.core.Tables.streamTable(spark, sfDir, "documents")
+      .filter(col("doc_id") >= 400 && col("doc_id") < 450)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (!b.isEmpty) phashIndexAppend(spark, dir, b,
+          ingestKey = Some(s"stream-$batchId"))
+      }
+      .option("checkpointLocation", graft.core.TempDirs.create("graft_phash_ingest_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val docs = Tables(spark, sfDir, "documents")
+    val probe = sigsOf(spark, docs.filter(col("doc_id") >= 450))
+      .unionByName(renditionSigsOf(spark, docs.filter(col("doc_id") < 450), PhashProbeMod))
+    probePhashIndex(spark, dir, probe, tap = Some("s_phash_ingest"))
+  }
+
+  /** Shared tap oracle for the index probes: the full probe×index
+    * Hamming filter (losslessness of the ≤ bands−1 banding makes it
+    * exactly the probe's answer).
+    */
+  private def phashProbeOracle(tapName: String): String = s"""
+      WITH s AS (SELECT doc_id, ph, side
+                 FROM read_parquet('/tmp/graft_oracle_aux/$tapName/*.parquet'))
+      SELECT p.doc_id, i.doc_id AS dup_of,
+             CAST(bit_count(xor(p.ph, i.ph)) AS BIGINT) AS hamming
+      FROM s p JOIN s i ON p.side = 'probe' AND i.side = 'index'
+      WHERE bit_count(xor(p.ph, i.ph)) <= $PhashMaxHamming
+      ORDER BY p.doc_id, dup_of"""
+
   override val defs: Map[String, QueryDef] = Map(
+    "q_phash_incremental" -> QueryDef(phashIncremental, Some(phashProbeOracle("phash_inc"))),
+    "q_phash_delete" -> QueryDef(phashDelete, Some(phashProbeOracle("phash_del"))),
+    "s_phash_ingest" -> QueryDef(phashIngest, Some(phashProbeOracle("s_phash_ingest"))),
     "q_mm_phash_dedup" -> QueryDef(mmPhashDedup, Some(s"""
       WITH s AS (SELECT doc_id, ph
                  FROM read_parquet('/tmp/graft_oracle_aux/mm_phash/*.parquet'))

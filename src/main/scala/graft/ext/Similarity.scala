@@ -3637,7 +3637,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT vec_id, cell,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY vec_id, cell)
-      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      SELECT vec_id, cell, round(c, 4) + 0 AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
 
   /** The shared semdedup dominance oracle over a (vec_id, cell,
@@ -3686,7 +3686,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT vec_id, cell,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY vec_id, cell)
-      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      SELECT vec_id, cell, round(c, 4) + 0 AS cos_sim FROM sims
       WHERE round(c, 4) >= $tau
       ORDER BY round(c, 4) DESC, vec_id"""
 
@@ -3707,7 +3707,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT query_id, vec_id, cell,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY query_id, vec_id, cell)
-      SELECT query_id, vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      SELECT query_id, vec_id, cell, round(c, 4) + 0 AS cos_sim FROM sims
       WHERE round(c, 4) >= $tau
       ORDER BY query_id, round(c, 4) DESC, vec_id"""
 
@@ -3724,7 +3724,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT vec_id, cell,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY vec_id, cell)
-      SELECT vec_id, cell, round(c, 4) AS cos_sim FROM sims
+      SELECT vec_id, cell, round(c, 4) + 0 AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT $k"""
 
   /** Batched + filtered: per-anchor re-score + re-rank, with candidates
@@ -3745,7 +3745,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT query_id, vec_id, cell,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY query_id, vec_id, cell),
-      ranked AS (SELECT query_id, vec_id, cell, round(c, 4) AS cos_sim,
+      ranked AS (SELECT query_id, vec_id, cell, round(c, 4) + 0 AS cos_sim,
                         row_number() OVER (PARTITION BY query_id
                                            ORDER BY round(c, 4) DESC, vec_id) AS rnk
                  FROM sims)
@@ -3768,7 +3768,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT query_id, vec_id, cell,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY query_id, vec_id, cell),
-      ranked AS (SELECT query_id, vec_id, cell, round(c, 4) AS cos_sim,
+      ranked AS (SELECT query_id, vec_id, cell, round(c, 4) + 0 AS cos_sim,
                         row_number() OVER (PARTITION BY query_id
                                            ORDER BY round(c, 4) DESC, vec_id) AS rnk
                  FROM sims)
@@ -3814,7 +3814,7 @@ object Similarity extends QueryModule {
         WHERE e.vec_id <> 0),
       sims AS (
         SELECT vec_id AS doc_id,
-               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cos_sim
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) + 0 AS cos_sim
         FROM vterms GROUP BY vec_id),
       sem100 AS (SELECT doc_id, cos_sim FROM sims ORDER BY cos_sim DESC, doc_id LIMIT 100),
       sem AS (SELECT doc_id,
@@ -3891,7 +3891,7 @@ object Similarity extends QueryModule {
         WHERE e.vec_id <> 0),
       rel AS (
         SELECT vec_id,
-               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS rel
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) + 0 AS rel
         FROM rterms GROUP BY vec_id),
       short AS (
         SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT $MmrShort),
@@ -3907,7 +3907,7 @@ object Similarity extends QueryModule {
         WHERE sa.vec_id <> sb.vec_id),
       psims AS (
         SELECT ida, idb,
-               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS sim
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) + 0 AS sim
         FROM pterms GROUP BY ida, idb),
       scores AS (
         SELECT k.mmr_rank AS step, c.vec_id, c.rel,
@@ -3922,7 +3922,7 @@ object Similarity extends QueryModule {
         SELECT step, vec_id, rel, score,
                row_number() OVER (PARTITION BY step ORDER BY score DESC, vec_id) AS rn
         FROM scores)
-      SELECT step AS mmr_rank, vec_id, rel, round(score, 4) AS mmr
+      SELECT step AS mmr_rank, vec_id, rel, round(score, 4) + 0 AS mmr
       FROM pick WHERE rn = 1 ORDER BY mmr_rank""")),
     "q_knn_join" -> QueryDef(knnJoin, Some(s"""
       WITH a AS (
@@ -3937,7 +3937,7 @@ object Similarity extends QueryModule {
         FROM a, c, range(1, 65) t(i)),
       sims AS (
         SELECT qid, vec_id,
-               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS sim
+               round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) + 0 AS sim
         FROM terms GROUP BY qid, vec_id),
       rk AS (
         SELECT qid AS query_id, vec_id AS neighbor_id, sim AS cos_sim,
@@ -3956,7 +3956,7 @@ object Similarity extends QueryModule {
       sims AS (
         SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
         FROM terms GROUP BY vec_id)
-      SELECT vec_id, round(c, 4) AS cos_sim FROM sims
+      SELECT vec_id, round(c, 4) + 0 AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_id LIMIT 10""")),
     "q_embed_near_dup" -> QueryDef(embedNearDup, Some("""
       WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
@@ -3969,7 +3969,7 @@ object Similarity extends QueryModule {
       sims AS (
         SELECT va, vb, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
         FROM terms GROUP BY va, vb)
-      SELECT va AS vec_a, vb AS vec_b, round(c, 4) AS cos_sim FROM sims
+      SELECT va AS vec_a, vb AS vec_b, round(c, 4) + 0 AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_a, vec_b LIMIT 20""")),
     // Partial oracle: the deduplicated LSH candidate pairs are tapped;
     // DuckDB recomputes each pair's cosine from the embeddings table
@@ -3988,7 +3988,7 @@ object Similarity extends QueryModule {
       sims AS (SELECT vec_a, vec_b,
                       sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS c
                FROM terms GROUP BY vec_a, vec_b)
-      SELECT vec_a, vec_b, round(c, 4) AS cos_sim FROM sims
+      SELECT vec_a, vec_b, round(c, 4) + 0 AS cos_sim FROM sims
       ORDER BY round(c, 4) DESC, vec_a, vec_b LIMIT 20""")),
     "q_ann_ivf" -> QueryDef(annIvf, Some(annScoredOracle("ann_ivf_scored", 10))),
     // Partial oracle: tapped scored candidates, re-scored independently —

@@ -44,8 +44,13 @@ object Udafs {
     * k is small (≤ tens), so sorted-insert beats heap constants.
     */
   class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, Array[ScoredId]] {
-    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      // Double.compare, not >/==: a total order so a NaN sim (e.g. cosine
+      // of a zero-norm vector) ranks consistently whether the buffer is
+      // full or not, instead of never-beating/never-beaten.
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
     override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
     override def reduce(b: TopKBuf, x: ScoredId): TopKBuf = insert(b, x.sim, x.id)
     private def insert(b: TopKBuf, s: Double, id: Long): TopKBuf = {

@@ -353,8 +353,8 @@ object Aggregates extends QueryModule {
       GROUP BY event_type ORDER BY n DESC, event_type""")),
     "q_stats_corr" -> QueryDef(statsCorr, Some("""
       SELECT l_returnflag, count(*) AS n,
-             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-             round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+             round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+             round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS covar_qty_price,
              round(stddev_samp(l_quantity), 4) AS sd_qty,
              round(stddev_samp(l_extendedprice), 2) AS sd_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),

@@ -104,6 +104,210 @@ object Graph extends QueryModule {
       .limit(100)
   }
 
+  /** Predicate carving the incremental-pagerank arrival batch out of
+    * lineitem: rare on purpose (~1/50 · 1/97 of rows) so the delta
+    * frontier stays batch-neighborhood-sized at fixture scale — the
+    * regime the operator exists for.
+    */
+  private val PrBatchQty = 3.0
+  private val PrBatchMod = 97L
+
+  /** Unnormalized PageRank power iterations (r₀ = 1 for every node,
+    * teleport mass `1 − d` NOT divided by n): scaling the classic
+    * uniform-start iteration by n commutes through the linear update, so
+    * this IS `r·n` — the same `norm_rank` q_pagerank emits — but with the
+    * node count nowhere in the formula. That absence is what makes the
+    * incremental fold exact: a batch that introduces unseen nodes never
+    * perturbs the ranks of untouched ones (a 1/n teleport would shift
+    * EVERY rank on any node-count change, forcing a full recompute).
+    * Returns the per-iteration rank frames r₁..r_iters (the seed persists
+    * them all — round k of a delta fold needs r_{k−1} for its old-value
+    * side).
+    */
+  private[graft] def prUnnormRanks(edges0: DataFrame, iters: Int = Iters,
+      damping: Double = Damping): Seq[DataFrame] = {
+    val edges = edges0.persist()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val edgesDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
+      .persist()
+    var ranks = nodes.withColumn("r", lit(1.0))
+    val out = Seq.newBuilder[DataFrame]
+    (1 to iters).foreach { _ =>
+      val inflow = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), (col("r") / col("outdeg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      out += ranks
+    }
+    out.result()
+  }
+
+  /** The incremental entry's BASE bipartite graph: every lineitem row
+    * except the arrival batch (both directions, distinct pairs).
+    */
+  private[graft] def prBaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val bip = Tables(spark, sfDir, "lineitem")
+      .filter(!(col("l_quantity") === PrBatchQty && col("l_partkey") % PrBatchMod === 0))
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    bip.select(col("p").as("src"), (col("s") + lit(SuppBase)).as("dst"))
+      .unionByName(bip.select((col("s") + lit(SuppBase)).as("src"), col("p").as("dst")))
+  }
+
+  /** The arrival batch: genuinely NEW edges only (pairs also present in
+    * the base are anti-joined away — a parallel edge would change
+    * out-degrees and double contributions, unlike the cc merge where
+    * multiplicity is harmless).
+    */
+  private[graft] def prBatchEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val basePairs = Tables(spark, sfDir, "lineitem")
+      .filter(!(col("l_quantity") === PrBatchQty && col("l_partkey") % PrBatchMod === 0))
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val pairs = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") === PrBatchQty && col("l_partkey") % PrBatchMod === 0)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+      .join(basePairs, Seq("p", "s"), "left_anti")
+    pairs.select(col("p").as("src"), (col("s") + lit(SuppBase)).as("dst"))
+      .unionByName(pairs.select((col("s") + lit(SuppBase)).as("src"), col("p").as("dst")))
+  }
+
+  private val PrSeedRoot = "/tmp/graft_pr"
+
+  /** Marker-gated persisted base ranks — (node, outdeg, r1..r3) over the
+    * base graph, computed once per fixture; the incremental entry's timed
+    * region is the MERGE, which is the operator (same disclosed untimed
+    * seed economics as [[ensureCcLabelsSeed]] and every index seed).
+    */
+  private[graft] def ensurePrRanksSeed(spark: SparkSession, sfDir: String): String = {
+    val dir = new java.io.File(PrSeedRoot, ccTag(sfDir))
+    val marker = new java.io.File(dir, "_SEEDED")
+    val path = new java.io.File(dir, "ranks").getPath
+    if (!marker.exists()) {
+      graft.core.Warehouse.deleteRecursively(dir)
+      dir.mkdirs()
+      val base = prBaseEdges(spark, sfDir)
+      val Seq(r1, r2, r3) = prUnnormRanks(base, 3)
+      val deg = base.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+        .select(col("src").as("node"), col("outdeg"))
+      deg
+        .join(r1.select(col("node"), col("r").as("r1")), "node")
+        .join(r2.select(col("node"), col("r").as("r2")), "node")
+        .join(r3.select(col("node"), col("r").as("r3")), "node")
+        .write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      ()
+    }
+    path
+  }
+
+  /** Delta-push incremental PageRank: fold a directed edge batch into the
+    * persisted per-iteration ranks WITHOUT re-iterating the graph.
+    *
+    * Invariant (unnormalized form): r'_k(v) = r_k(v) + d·Δ_k(v), where
+    * Δ_k(v) = Σ_{u→v ∈ union, u ∈ S_k} r'_{k−1}(u)/outdeg'(u)
+    *        − Σ_{u→v ∈ base,  u ∈ S_k} r_{k−1}(u)/outdeg(u)
+    * and S_k = (nodes whose r_{k−1} changed) ∪ (batch sources — their
+    * out-degree changed, so every one of their old contributions moved).
+    * Nodes outside the push frontier keep their persisted rank bits —
+    * nothing else is touched. For a previously-unseen node the old-side
+    * sum is empty and r_k(v) ≔ the teleport constant, so the same
+    * `coalesce(seed, 1−d) + d·Δ` expression covers both cases.
+    *
+    * Scale shape: each round is two joins of the edge tables against a
+    * BROADCAST frontier-source set (bucketed-by-src edges prune to the
+    * frontier's out-edges) plus one partial-agg'd groupBy(dst) over
+    * batch-neighborhood-sized contributions — never a |V|-row rank
+    * exchange. The classic delta-push caveat applies and is accepted: a
+    * hub in the frontier fans the next round out; the batch predicate
+    * keeps the entry's frontier batch-sized, and the receipt measures
+    * merge vs full-recompute cost. Exactness is the oracle: DuckDB
+    * recomputes the whole union graph from scratch and must hash-match
+    * at 6 dp (the same sum-order tolerance every rank entry rides).
+    */
+  private[graft] def prMergeBatch(seed: DataFrame, baseEdges: DataFrame,
+      batch: DataFrame, damping: Double = Damping): DataFrame = {
+    val bdeg = batch.groupBy("src").agg(count(lit(1)).cast("double").as("bdeg"))
+      .select(col("src").as("node"), col("bdeg"))
+    val tSrcs = bdeg.select("node").persist()
+    // Previously-unseen endpoints (batch srcs absent from the seed): they
+    // ride every round's changed set so their rank overrides "absent".
+    val newNodes = tSrcs.join(seed.select("node"), Seq("node"), "left_anti").persist()
+    val seedDeg = seed.select(col("node"), col("outdeg"))
+    // Frontier-source working set for round k: the nodes whose r_{k−1}
+    // changed (`changed`, carrying r'_{k−1} as `rp`) plus the batch
+    // sources (degree change only — r'_{k−1} = seed r_{k−1} for them).
+    def srcSet(changed: DataFrame, rkOld: String): DataFrame = {
+      val frontier = changed.select(col("node"), col("rp").as("r_new"))
+        .unionByName(
+          tSrcs.join(changed.select("node"), Seq("node"), "left_anti")
+            .join(seed.select(col("node"), col(rkOld).as("r_new")), Seq("node")))
+      frontier
+        .join(seedDeg, Seq("node"), "left")
+        .join(bdeg, Seq("node"), "left")
+        .join(seed.select(col("node"), col(rkOld).as("r_old")), Seq("node"), "left")
+        .select(col("node"), col("r_old"), col("outdeg").as("deg_old"), col("r_new"),
+          (coalesce(col("outdeg"), lit(0.0)) + coalesce(col("bdeg"), lit(0.0)))
+            .as("deg_new"))
+    }
+    val unionEdges = baseEdges.unionByName(batch)
+    def pushRound(srcs: DataFrame, rk: String): DataFrame = {
+      val s = broadcast(srcs)
+      val newC = unionEdges.join(s, unionEdges("src") === s("node"))
+        .select(col("dst"), (col("r_new") / col("deg_new")).as("c"))
+      val oldC = baseEdges.join(s, baseEdges("src") === s("node"))
+        .filter(col("r_old").isNotNull) // new nodes have no old contributions
+        .select(col("dst"), (-col("r_old") / col("deg_old")).as("c"))
+      val delta = newC.unionByName(oldC)
+        .groupBy("dst").agg(sum(col("c")).as("delta"))
+        .select(col("dst").as("node"), col("delta"))
+      val touched = delta.unionByName(
+        newNodes.join(delta.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(0.0).as("delta")))
+      touched.join(seed.select(col("node"), col(rk).as("r_seed")), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("r_seed"), lit(1.0 - damping)) +
+            lit(damping) * col("delta")).as("rp"))
+    }
+    // Round 1: r'_0 = r_0 = 1 everywhere, so the frontier is the batch
+    // sources alone and both value columns are the constant.
+    val s1 = tSrcs
+      .join(seedDeg, Seq("node"), "left")
+      .join(bdeg, Seq("node"), "left")
+      .select(col("node"),
+        when(col("outdeg").isNotNull, lit(1.0)).as("r_old"),
+        col("outdeg").as("deg_old"),
+        lit(1.0).as("r_new"),
+        (coalesce(col("outdeg"), lit(0.0)) + coalesce(col("bdeg"), lit(0.0)))
+          .as("deg_new"))
+    val chg1 = pushRound(s1, "r1").persist()
+    val chg2 = pushRound(srcSet(chg1, "r1"), "r2").persist()
+    val chg3 = pushRound(srcSet(chg2, "r2"), "r3")
+    seed.select(col("node"), col("r3").as("r"))
+      .join(chg3, Seq("node"), "left_anti")
+      .unionByName(chg3.select(col("node"), col("rp").as("r")))
+  }
+
+  private def pagerankIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = spark.read.parquet(ensurePrRanksSeed(spark, sfDir))
+    val ranks = graft.core.SessionConf.scoped(spark, "spark.sql.shuffle.partitions",
+      ccPartitionsFor(spark, sfDir).toString) {
+      prMergeBatch(seed, prBaseEdges(spark, sfDir), prBatchEdges(spark, sfDir))
+    }
+    ranks.select(
+      when(col("node") >= SuppBase, lit("supplier")).otherwise(lit("part"))
+        .as("node_type"),
+      when(col("node") >= SuppBase, col("node") - SuppBase).otherwise(col("node"))
+        .as("node_id"),
+      round(col("r"), 6).as("norm_rank"))
+      .orderBy(col("norm_rank").desc, col("node_type"), col("node_id"))
+      .limit(100)
+  }
+
   /** BFS depth bound: enough to cross the bipartite graph twice. */
   private val MaxHops = 4
 
@@ -442,7 +646,9 @@ object Graph extends QueryModule {
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     wedgeCounts.crossJoin(nEdges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+        round(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges")).otherwise(lit(0.0)),
+          6).as("clustering"))
   }
 
   /** Canonical (u < v) supplier co-supply edges: suppliers sharing a
@@ -557,7 +763,8 @@ object Graph extends QueryModule {
         WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.v AND e3.v = e2.v)),
       ne AS (SELECT count(*) AS n_edges FROM e)
       SELECT n_nodes, n_edges, n_wedges, n_triangles,
-             round(3.0 * n_triangles / n_wedges, 6) AS clustering
+             round(CASE WHEN n_wedges > 0 THEN 3.0 * n_triangles / n_wedges
+                        ELSE 0.0 END, 6) AS clustering
       FROM w, ne, tri""")),
     "q_graph_cc_incremental" -> QueryDef(ccIncremental, Some(s"""
       WITH RECURSIVE bip AS (
@@ -616,6 +823,43 @@ object Graph extends QueryModule {
              count(*) FILTER (node >= $SuppBase)::BIGINT AS n_suppliers,
              sum(node)::BIGINT AS sum_node_id
       FROM lv GROUP BY dist ORDER BY dist""")),
+    "q_pagerank_incremental" -> QueryDef(pagerankIncremental, Some(s"""
+      WITH bip AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      edges AS (
+        SELECT p AS src, $SuppBase + s AS dst FROM bip
+        UNION ALL
+        SELECT $SuppBase + s AS src, p AS dst FROM bip),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0 AS r FROM nodes),
+      r1 AS (SELECT nodes.node,
+                    0.15 + 0.85 * coalesce(sum(r0.r / deg.outdeg), 0) AS r
+             FROM nodes
+             LEFT JOIN edges ON edges.dst = nodes.node
+             LEFT JOIN r0 ON r0.node = edges.src
+             LEFT JOIN deg ON deg.src = edges.src
+             GROUP BY nodes.node),
+      r2 AS (SELECT nodes.node,
+                    0.15 + 0.85 * coalesce(sum(r1.r / deg.outdeg), 0) AS r
+             FROM nodes
+             LEFT JOIN edges ON edges.dst = nodes.node
+             LEFT JOIN r1 ON r1.node = edges.src
+             LEFT JOIN deg ON deg.src = edges.src
+             GROUP BY nodes.node),
+      r3 AS (SELECT nodes.node,
+                    0.15 + 0.85 * coalesce(sum(r2.r / deg.outdeg), 0) AS r
+             FROM nodes
+             LEFT JOIN edges ON edges.dst = nodes.node
+             LEFT JOIN r2 ON r2.node = edges.src
+             LEFT JOIN deg ON deg.src = edges.src
+             GROUP BY nodes.node)
+      SELECT CASE WHEN node >= $SuppBase THEN 'supplier' ELSE 'part' END AS node_type,
+             CASE WHEN node >= $SuppBase THEN node - $SuppBase ELSE node END AS node_id,
+             round(r, 6) AS norm_rank
+      FROM r3
+      ORDER BY norm_rank DESC, node_type, node_id
+      LIMIT 100""")),
     "q_pagerank" -> QueryDef(pagerank, Some(s"""
       WITH bip AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

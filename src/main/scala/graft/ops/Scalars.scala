@@ -163,10 +163,10 @@ object Scalars extends QueryModule {
     "q_array_funcs" -> QueryDef(arrayFuncs, Some("""
       SELECT vec_id,
              len(embedding) AS n_dims,
-             round(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-             round(CAST(embedding[64] AS DOUBLE), 4) AS e64,
+             round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS e1,
+             round(CAST(embedding[64] AS DOUBLE), 4) + 0 AS e64,
              round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
-                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 4) AS head_sum
+                 + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 4) + 0 AS head_sum
       FROM embeddings ORDER BY vec_id""")),
     "q_map_funcs" -> QueryDef(mapFuncs, Some("""
       SELECT event_id,

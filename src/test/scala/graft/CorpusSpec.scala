@@ -188,4 +188,40 @@ class CorpusSpec extends AnyFunSuite with SparkTest {
       assert(pos >= 20 && pos <= 44, s"dim $j has $pos/64 positive signs")
     }
   }
+
+  test("q_embed_quantize: codes in [0,255], round-trip error bounded by half a step, exact local replay") {
+    val rows = SparkEntry.queries("q_embed_quantize")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length % 64 == 0)
+    rows.foreach { r =>
+      val (vmin, vmax, code, err, dimMax) =
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6))
+      assert(code >= 0L && code <= 255L, s"code $code out of range")
+      // Round-trip bound: |v - decode(code)| <= step/2 (+ rounding slack),
+      // and the per-dim worst case obeys the same bound.
+      val halfStep = (vmax - vmin) / 255.0 / 2.0
+      assert(err <= halfStep + 1e-6, s"err $err > half-step $halfStep")
+      assert(dimMax <= halfStep + 1e-6, s"dim_max_err $dimMax > half-step $halfStep")
+      assert(err <= dimMax + 1e-6)
+    }
+    // Exact replay: recompute codes locally from the fixture for the
+    // emitted vectors with the same floor(x + 0.5) affine formula.
+    val embs = graft.core.Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val mins = Array.fill(64)(Double.MaxValue)
+    val maxs = Array.fill(64)(Double.MinValue)
+    embs.values.foreach(v => (0 until 64).foreach { i =>
+      mins(i) = math.min(mins(i), v(i).toDouble)
+      maxs(i) = math.max(maxs(i), v(i).toDouble)
+    })
+    rows.foreach { r =>
+      val (id, pos) = (r.getLong(0), r.getLong(1).toInt - 1)
+      val v = embs(id)(pos).toDouble
+      val expCode =
+        if (maxs(pos) > mins(pos))
+          math.floor((v - mins(pos)) / (maxs(pos) - mins(pos)) * 255.0 + 0.5).toLong
+        else 0L
+      assert(r.getLong(4) == expCode, s"vec $id pos ${pos + 1}: ${r.getLong(4)} != $expCode")
+    }
+  }
 }

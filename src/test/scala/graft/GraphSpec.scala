@@ -284,4 +284,71 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(rows.length == 50)
     assert(rows.forall(r => !r.getDouble(1).isNaN && r.getDouble(1) > 0))
   }
+
+  /** Build the (node, outdeg, r1, r2, r3) seed frame prMergeBatch expects
+    * from a base edge frame — the in-memory twin of ensurePrRanksSeed.
+    */
+  private def prSeedOf(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Seq(r1, r2, r3) = Graph.prUnnormRanks(base, 3)
+    base.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+      .join(r1.select(col("node"), col("r").as("r1")), "node")
+      .join(r2.select(col("node"), col("r").as("r2")), "node")
+      .join(r3.select(col("node"), col("r").as("r3")), "node")
+  }
+
+  test("prMergeBatch: new edges, new nodes, and untouched nodes all equal the full recompute") {
+    import spark.implicits._
+    // Two disjoint clusters plus a far-away pair the batch never touches.
+    val base = Seq((1L, 2L), (2L, 3L), (4L, 5L), (100L, 101L))
+      .flatMap(e => Seq(e, e.swap))
+    val baseDf = base.toDF("src", "dst")
+    val seed = prSeedOf(baseDf).persist()
+    // Batch: bridge the clusters (3-4) and attach a brand-new pair (9,10)
+    // to node 1 — degree changes, rank pushes, and unseen nodes at once.
+    val batch = Seq((3L, 4L), (9L, 1L), (9L, 10L)).flatMap(e => Seq(e, e.swap))
+    val got = Graph.prMergeBatch(seed, baseDf, batch.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Graph.prUnnormRanks((base ++ batch).toDF("src", "dst"), 3).last
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == full.keySet)
+    full.foreach { case (n, r) =>
+      assert(math.abs(got(n) - r) < 1e-9, s"node $n: merged ${got(n)} vs full $r")
+    }
+    // The delta property: nodes outside the 3-hop push frontier keep
+    // their seed rank BITS (100/101 are untouched by construction).
+    val seedR3 = seed.select("node", "r3").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(100L) == seedR3(100L) && got(101L) == seedR3(101L))
+  }
+
+  test("prMergeBatch with an empty batch returns the seed ranks unchanged") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L)).flatMap(e => Seq(e, e.swap))
+    val baseDf = base.toDF("src", "dst")
+    val seed = prSeedOf(baseDf)
+    val got = Graph.prMergeBatch(seed, baseDf,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val seedR3 = seed.select("node", "r3").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == seedR3)
+  }
+
+  test("q_pagerank_incremental equals the from-scratch unnormalized recompute on the union graph") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_pagerank_incremental")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val full = Graph.prUnnormRanks(Graph.bipartiteEdges(spark, sf), 3).last
+    val base = 1000000L
+    val expect = full
+      .select(
+        when(col("node") >= base, lit("supplier")).otherwise(lit("part")).as("t"),
+        when(col("node") >= base, col("node") - base).otherwise(col("node")).as("id"),
+        round(col("r"), 6).as("nr"))
+      .orderBy(col("nr").desc, col("t"), col("id")).limit(100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 100 && got.sameElements(expect))
+  }
 }

@@ -85,4 +85,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val m = Multimodal.decodeMeta(7L, Multimodal.encodeBlob(7L, "é€"))
     assert(m.payload_bytes == 5L) // 2-byte é + 3-byte €
   }
+
+  test("phash index: append == rebuild, replay is a no-op, delete tombstones exactly the victim") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val a = docs.filter(col("doc_id") < 60)
+    val b = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+    val probe = Multimodal.sigsOf(spark, docs.filter(col("doc_id") >= 90))
+      .unionByName(Multimodal.renditionSigsOf(spark, docs.filter(col("doc_id") < 90), 10L))
+      .localCheckpoint(true)
+    def mk(prefix: String): String =
+      graft.core.TempDirs.create(prefix)
+    def pairs(dir: String) =
+      Multimodal.probePhashIndex(spark, dir, probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // append path: seed over A, append B
+    val inc = mk("graft_phash_spec_inc")
+    Multimodal.writePhashIndex(spark, inc, a)
+    Multimodal.phashIndexAppend(spark, inc, b, ingestKey = Some("k1"))
+    // rebuild path: one index over A union B
+    val full = mk("graft_phash_spec_full")
+    Multimodal.writePhashIndex(spark, full, a.unionByName(b))
+    val incPairs = pairs(inc)
+    assert(incPairs == pairs(full), "append != rebuild")
+    assert(incPairs.nonEmpty, "probe found no planted renditions")
+
+    // replay no-op: same ingest key appends nothing
+    val before = graft.ext.Dedup.readBatchManifest(inc)
+    Multimodal.phashIndexAppend(spark, inc, b, ingestKey = Some("k1"))
+    assert(graft.ext.Dedup.readBatchManifest(inc) == before, "replay appended a batch")
+    assert(pairs(inc) == incPairs, "replay changed probe results")
+
+    // delete: tombstone one victim; exactly its pairs vanish
+    val victim = incPairs.map(_._2).min
+    Multimodal.phashIndexDelete(spark, inc, Seq(victim).toDF("doc_id"))
+    val after = pairs(inc)
+    assert(after == incPairs.filterNot(_._2 == victim), "delete removed the wrong pairs")
+  }
 }

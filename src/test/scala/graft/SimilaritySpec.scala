@@ -1032,8 +1032,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     val clusterPicked = got.take(5).map(_._2).count(id => id >= 1 && id <= 6)
     assert(clusterPicked == 1, s"first-5 picks ${got.take(5).toSeq}")
     // First pick IS the relevance argmax.
-    val rels = got.map(t => t._2 -> t._3).toMap
-    assert(got.head._3 == got.map(_._3).max || rels.nonEmpty)
+    assert(got.head._3 == got.map(_._3).max,
+      s"first pick rel ${got.head._3} != max ${got.map(_._3).max}")
     // Independent greedy replay from scratch (local cosines, same
     // rounding/tie rules) must reproduce the exact selection.
     def cos(a: Array[Float], b: Array[Float]): Double = {
