@@ -735,6 +735,110 @@ object Receipts {
       time("q_pagerank", SparkEntry.queries("q_pagerank")(spark, sfDir))
       spark.stop()
 
+    case "princ" =>
+      // Incremental-PageRank economics: the delta-push merge (the entry's
+      // timed region — two frontier-pruned edge joins per round + the
+      // batch-neighborhood-sized groupBy) against the full 3-iteration
+      // power run on the same union graph. The seed build is the
+      // disclosed untimed one-time cost, stamped separately here.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "lineitem").queryExecution.toRdd.count()
+      val t0 = System.nanoTime()
+      graft.ops.Graph.ensurePrRanksSeed(spark, sfDir)
+      println(f"[receipt] pr seed (one-time, untimed economics): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // The entry as shipped (re-derives the edge projections — the
+      // data-sized leg both paths share):
+      time("q_pagerank_incremental (entry, incl. edge projection)",
+        SparkEntry.queries("q_pagerank_incremental")(spark, sfDir))
+      // Operator-only comparison where DATA dominates the stage floor
+      // (the fixture's 48k-edge graph is floor-bound either way): a 2M-node
+      // sparse ring with a 50-chord batch, edges + seed PRE-MATERIALIZED
+      // (at 100 TB the edge table is an already-persisted bucketed table,
+      // not a per-query lineitem distinct). The full recompute must push
+      // every node's contribution through 3 groupBy(dst) exchanges; the
+      // delta-push merge exchanges only the batch's bounded-hop frontier.
+      // Both wall-clock and actual shuffle-write records are stamped.
+      import org.apache.spark.sql.functions._
+      val n = 2000000L
+      val ring0 = spark.range(0, n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val base = ring0.unionByName(
+        ring0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val batch = spark.range(0, 50).select((col("id") * 40000).as("src"),
+        (col("id") * 40000 + 20000 + col("id")).as("dst"))
+      val batchSym = batch.unionByName(
+        batch.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val Seq(r1, r2, r3) = graft.ops.Graph.prUnnormRanks(base, 3, eager = true)
+      val seed = base.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
+        .select(col("src").as("node"), col("outdeg"))
+        .join(r1.select(col("node"), col("r").as("r1")), "node")
+        .join(r2.select(col("node"), col("r").as("r2")), "node")
+        .join(r3.select(col("node"), col("r").as("r3")), "node")
+        .localCheckpoint(true)
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def measure(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+        Thread.sleep(500); recs.set(0L)
+        val t0 = System.nanoTime()
+        val cnt = df.queryExecution.toRdd.count()
+        Thread.sleep(1000) // listener bus drain
+        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          s"($cnt rows, ${recs.get()} shuffle records)")
+      }
+      measure("delta-push merge (2M-node ring, 50-chord batch)",
+        graft.ops.Graph.prMergeBatch(seed, base, batchSym)
+          .orderBy(col("r").desc).limit(100))
+      measure("full 3-iter recompute (2M-node ring union)",
+        graft.ops.Graph.prUnnormRanks(base.unionByName(batchSym), 3).last
+          .orderBy(col("r").desc).limit(100))
+      spark.stop()
+
+    case "phashingest" =>
+      // Streaming pHash ingest economics at scale — the multimodal twin
+      // of `minhashingest`: per-micro-batch cost of committing
+      // (band, bv, doc_id, ph) postings through foreachBatch (O(batch)
+      // signature hashing — blobs die in the task), then the probe that
+      // must see the streamed docs. ScaleGen replica 1's docs are
+      // textual copies of replica 0 ⇒ identical blobs ⇒ Hamming-0 hits
+      // against both the seeded and the streamed postings.
+      val sfDir = args(1)
+      val spark = session()
+      val seed = graft.ext.Multimodal.ensurePhashIndex(spark, sfDir)
+      val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_phash_ingest_rcpt")
+      val docs = graft.core.Tables(spark, sfDir, "documents")
+      docs.queryExecution.toRdd.count()
+      val docsPath = new java.io.File(sfDir, "documents.parquet").getPath
+      val schema = spark.read.parquet(docsPath).schema
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema).parquet(docsPath)
+        .filter(col("doc_id") >= 400 && col("doc_id") < 1000000000L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (!b.isEmpty) graft.ext.Multimodal.phashIndexAppend(spark, dir, b,
+            ingestKey = Some(s"stream-$batchId"))
+        }
+        .option("checkpointLocation", graft.core.TempDirs.create("graft_phash_ingest_rcpt_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(f"[receipt] phash stream-ingest 4600-doc slice: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"(batches=${graft.ext.Dedup.readBatchManifest(dir).size - 1} committed)")
+      time("phash probe after ingest (5000-doc batch vs seed+streamed index)",
+        graft.ext.Multimodal.probePhashIndex(spark, dir,
+          graft.ext.Multimodal.sigsOf(spark,
+            docs.filter(col("doc_id") >= 1000000000L && col("doc_id") < 1000005000L))))
+      spark.stop()
+
     case "centroids" =>
       // Aggregation-shape A/B behind q_embed_centroids' design choice.
       // BOTH shapes partial-aggregate before their exchange (the hash

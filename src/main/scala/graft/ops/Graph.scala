@@ -125,12 +125,20 @@ object Graph extends QueryModule {
     * side).
     */
   private[graft] def prUnnormRanks(edges0: DataFrame, iters: Int = Iters,
-      damping: Double = Damping): Seq[DataFrame] = {
+      damping: Double = Damping, eager: Boolean = false): Seq[DataFrame] = {
     val edges = edges0.persist()
     val nodes = edges.select(col("src").as("node")).distinct()
     val edgesDeg = edges
       .join(edges.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg")), "src")
       .persist()
+    // `eager` is for consumers that JOIN several iteration frames
+    // afterwards (the seed build): lazily, r1⋈r2⋈r3 embeds three
+    // independent chains whose subtrees race the cold edge cache and
+    // each re-derive the data-sized projection — per-iteration
+    // localCheckpoint makes chain k build on k−1's materialization.
+    // Single-consumer callers keep the lazy one-job chain (pagerankOn's
+    // measured win).
+    if (eager) edgesDeg.count()
     var ranks = nodes.withColumn("r", lit(1.0))
     val out = Seq.newBuilder[DataFrame]
     (1 to iters).foreach { _ =>
@@ -140,31 +148,40 @@ object Graph extends QueryModule {
       ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r"))
+      if (eager) ranks = ranks.localCheckpoint(true)
       out += ranks
     }
     out.result()
   }
 
-  /** The incremental entry's BASE bipartite graph: every lineitem row
-    * except the arrival batch (both directions, distinct pairs).
+  /** The incremental entry's BASE graph: the SPARSE (qty ≤ [[CcMaxQty]])
+    * co-supply bipartite subgraph — the cc family's graph, on purpose.
+    * Delta-push's premise is that a batch's bounded-hop neighborhood is
+    * tiny next to the graph; the FULL bipartite graph (q_pagerank's)
+    * violates it structurally — avg degree ~30-590, diameter ~4, so any
+    * batch's 3-hop ball IS the graph and the push frontier saturates
+    * (measured at 100×: merge 2× the full recompute). On the sparse
+    * subgraph components are small and the frontier stays inside the
+    * touched ones — the regime the operator exists for.
     */
   private[graft] def prBaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val bip = Tables(spark, sfDir, "lineitem")
-      .filter(!(col("l_quantity") === PrBatchQty && col("l_partkey") % PrBatchMod === 0))
+      .filter(col("l_quantity") <= CcMaxQty)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
     bip.select(col("p").as("src"), (col("s") + lit(SuppBase)).as("dst"))
       .unionByName(bip.select((col("s") + lit(SuppBase)).as("src"), col("p").as("dst")))
   }
 
-  /** The arrival batch: genuinely NEW edges only (pairs also present in
-    * the base are anti-joined away — a parallel edge would change
-    * out-degrees and double contributions, unlike the cc merge where
-    * multiplicity is harmless).
+  /** The arrival batch (qty = [[PrBatchQty]], every [[PrBatchMod]]th
+    * part): genuinely NEW edges only — pairs also present in the base
+    * are anti-joined away (a parallel edge would change out-degrees and
+    * double contributions, unlike the cc merge where multiplicity is
+    * harmless).
     */
   private[graft] def prBatchEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val basePairs = Tables(spark, sfDir, "lineitem")
-      .filter(!(col("l_quantity") === PrBatchQty && col("l_partkey") % PrBatchMod === 0))
+      .filter(col("l_quantity") <= CcMaxQty)
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
     val pairs = Tables(spark, sfDir, "lineitem")
@@ -184,14 +201,16 @@ object Graph extends QueryModule {
     * seed economics as [[ensureCcLabelsSeed]] and every index seed).
     */
   private[graft] def ensurePrRanksSeed(spark: SparkSession, sfDir: String): String = {
-    val dir = new java.io.File(PrSeedRoot, ccTag(sfDir))
+    // "sparse-" prefix: versions the seed content rule (r13 switched the
+    // base graph to the qty ≤ CcMaxQty subgraph) independently of ccTag.
+    val dir = new java.io.File(PrSeedRoot, "sparse-" + ccTag(sfDir))
     val marker = new java.io.File(dir, "_SEEDED")
     val path = new java.io.File(dir, "ranks").getPath
     if (!marker.exists()) {
       graft.core.Warehouse.deleteRecursively(dir)
       dir.mkdirs()
       val base = prBaseEdges(spark, sfDir)
-      val Seq(r1, r2, r3) = prUnnormRanks(base, 3)
+      val Seq(r1, r2, r3) = prUnnormRanks(base, 3, eager = true)
       val deg = base.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
         .select(col("src").as("node"), col("outdeg"))
       deg
@@ -229,15 +248,39 @@ object Graph extends QueryModule {
     * recomputes the whole union graph from scratch and must hash-match
     * at 6 dp (the same sum-order tolerance every rank entry rides).
     */
-  private[graft] def prMergeBatch(seed: DataFrame, baseEdges: DataFrame,
-      batch: DataFrame, damping: Double = Damping): DataFrame = {
+  private[graft] def prMergeBatch(seed0: DataFrame, baseEdges0: DataFrame,
+      batch0: DataFrame, damping: Double = Damping): DataFrame = {
+    // Each push round joins the edge tables twice; persist so the
+    // lineitem scan + distinct runs ONCE, not 2×rounds times (measured
+    // 23 s → 3 s at 100× — without this the merge loses to the full
+    // recompute, whose pagerankOn persists for exactly the same reason).
+    // In production these are already-materialized bucketed tables.
+    val baseEdges = baseEdges0.persist()
+    val batch = batch0.persist()
+    val seed = seed0.persist()
+    // Materialize EAGERLY (the pagerankOn nodes.count() move): the merge
+    // is one lazy action whose branches otherwise race the cold cache
+    // and each recompute the data-sized edge projection.
+    baseEdges.count()
+    batch.count()
     val bdeg = batch.groupBy("src").agg(count(lit(1)).cast("double").as("bdeg"))
       .select(col("src").as("node"), col("bdeg"))
     val tSrcs = bdeg.select("node").persist()
+    // JOIN DISCIPLINE — the property the whole operator exists for: the
+    // node-sized seed is NEVER shuffled. Every seed access is an INNER
+    // probe `seed.join(broadcast(smallKeys))` (seed streams from cache,
+    // the frontier broadcasts) producing a frontier-sized lookup, and
+    // all outer/anti composition happens small-vs-small afterwards.
+    // First cut used left joins on the seed directly: planner picked
+    // SortMergeJoin and the 2M-node ring receipt measured MORE shuffle
+    // records than the full recompute (40M vs 36M) — the rewrite drops
+    // the merge to batch-frontier-sized exchanges.
+    def seedLookup(keys: DataFrame, cols: (String, String)*): DataFrame =
+      seed.select(col("node") +: cols.map { case (c, a) => col(c).as(a) }: _*)
+        .join(broadcast(keys.select("node")), Seq("node"))
     // Previously-unseen endpoints (batch srcs absent from the seed): they
     // ride every round's changed set so their rank overrides "absent".
-    val newNodes = tSrcs.join(seed.select("node"), Seq("node"), "left_anti").persist()
-    val seedDeg = seed.select(col("node"), col("outdeg"))
+    val newNodes = tSrcs.join(seedLookup(tSrcs), Seq("node"), "left_anti").persist()
     // Frontier-source working set for round k: the nodes whose r_{k−1}
     // changed (`changed`, carrying r'_{k−1} as `rp`) plus the batch
     // sources (degree change only — r'_{k−1} = seed r_{k−1} for them).
@@ -245,38 +288,43 @@ object Graph extends QueryModule {
       val frontier = changed.select(col("node"), col("rp").as("r_new"))
         .unionByName(
           tSrcs.join(changed.select("node"), Seq("node"), "left_anti")
-            .join(seed.select(col("node"), col(rkOld).as("r_new")), Seq("node")))
+            .join(seedLookup(tSrcs, rkOld -> "r_new"), Seq("node")))
+      val look = seedLookup(frontier, "outdeg" -> "outdeg", rkOld -> "r_old")
       frontier
-        .join(seedDeg, Seq("node"), "left")
+        .join(look, Seq("node"), "left")
         .join(bdeg, Seq("node"), "left")
-        .join(seed.select(col("node"), col(rkOld).as("r_old")), Seq("node"), "left")
         .select(col("node"), col("r_old"), col("outdeg").as("deg_old"), col("r_new"),
           (coalesce(col("outdeg"), lit(0.0)) + coalesce(col("bdeg"), lit(0.0)))
             .as("deg_new"))
     }
-    val unionEdges = baseEdges.unionByName(batch)
+    // One TAGGED edge frame instead of (union ∪ base) so each push round
+    // scans the edge table ONCE: the new-side contribution comes from
+    // every row, the old-side (negative) one only from base rows of
+    // sources that existed (new nodes have no old contributions).
+    val taggedEdges = baseEdges.withColumn("is_base", lit(true))
+      .unionByName(batch.withColumn("is_base", lit(false)))
     def pushRound(srcs: DataFrame, rk: String): DataFrame = {
       val s = broadcast(srcs)
-      val newC = unionEdges.join(s, unionEdges("src") === s("node"))
-        .select(col("dst"), (col("r_new") / col("deg_new")).as("c"))
-      val oldC = baseEdges.join(s, baseEdges("src") === s("node"))
-        .filter(col("r_old").isNotNull) // new nodes have no old contributions
-        .select(col("dst"), (-col("r_old") / col("deg_old")).as("c"))
-      val delta = newC.unionByName(oldC)
+      val delta = taggedEdges.join(s, taggedEdges("src") === s("node"))
+        .select(col("dst"),
+          (col("r_new") / col("deg_new") +
+            when(col("is_base") && col("r_old").isNotNull,
+              -col("r_old") / col("deg_old")).otherwise(lit(0.0))).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("delta"))
         .select(col("dst").as("node"), col("delta"))
       val touched = delta.unionByName(
         newNodes.join(delta.select("node"), Seq("node"), "left_anti")
           .select(col("node"), lit(0.0).as("delta")))
-      touched.join(seed.select(col("node"), col(rk).as("r_seed")), Seq("node"), "left")
+      touched.join(seedLookup(touched, rk -> "r_seed"), Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("r_seed"), lit(1.0 - damping)) +
             lit(damping) * col("delta")).as("rp"))
     }
     // Round 1: r'_0 = r_0 = 1 everywhere, so the frontier is the batch
     // sources alone and both value columns are the constant.
+    val tLook = seedLookup(tSrcs, "outdeg" -> "outdeg")
     val s1 = tSrcs
-      .join(seedDeg, Seq("node"), "left")
+      .join(tLook, Seq("node"), "left")
       .join(bdeg, Seq("node"), "left")
       .select(col("node"),
         when(col("outdeg").isNotNull, lit(1.0)).as("r_old"),
@@ -284,11 +332,18 @@ object Graph extends QueryModule {
         lit(1.0).as("r_new"),
         (coalesce(col("outdeg"), lit(0.0)) + coalesce(col("bdeg"), lit(0.0)))
           .as("deg_new"))
-    val chg1 = pushRound(s1, "r1").persist()
-    val chg2 = pushRound(srcSet(chg1, "r1"), "r2").persist()
-    val chg3 = pushRound(srcSet(chg2, "r2"), "r3")
+    // Eager per-round localCheckpoint, NOT persist: each round references
+    // the previous round's frame several times (frontier, lookup probe,
+    // touched-set), so the lazy logical plan grows EXPONENTIALLY in the
+    // round count — measured as the ANALYZER (UpdateAttributeNullability)
+    // spinning for 20+ minutes on the round-3 plan. Checkpointing bounds
+    // the plan at one round; the frames are batch-frontier-sized.
+    val chg1 = pushRound(s1, "r1").localCheckpoint(true)
+    val chg2 = pushRound(srcSet(chg1, "r1"), "r2").localCheckpoint(true)
+    val chg3 = pushRound(srcSet(chg2, "r2"), "r3").localCheckpoint(true)
+    // Broadcast-anti override: the seed streams once, nothing shuffles.
     seed.select(col("node"), col("r3").as("r"))
-      .join(chg3, Seq("node"), "left_anti")
+      .join(broadcast(chg3), Seq("node"), "left_anti")
       .unionByName(chg3.select(col("node"), col("rp").as("r")))
   }
 
@@ -825,7 +880,9 @@ object Graph extends QueryModule {
       FROM lv GROUP BY dist ORDER BY dist""")),
     "q_pagerank_incremental" -> QueryDef(pagerankIncremental, Some(s"""
       WITH bip AS (
-        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+        WHERE l_quantity <= $CcMaxQty
+           OR (l_quantity = $PrBatchQty AND l_partkey % $PrBatchMod = 0)),
       edges AS (
         SELECT p AS src, $SuppBase + s AS dst FROM bip
         UNION ALL

@@ -509,22 +509,31 @@ object Streaming extends QueryModule {
     */
   private def linkageIngest(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ext.Linkage
-    val clean = graft.core.Tables(spark, sfDir, "supplier")
+    val cleanBase = graft.core.Tables(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"))
-      .withColumn("bk", substring(col("s_name"), 1, Linkage.BlockLen))
     val stream = graft.core.Tables.streamTable(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_name"))
+    val dirty0 = Linkage.dirtyBatch(stream)
     // Same layout-independence move as the batch entry (pinned count —
-    // see Linkage.fuzzyJoin: advisory repartition gets AQE-coalesced
+    // see Linkage.linkPass: advisory repartition gets AQE-coalesced
     // back to one task): per-batch verify parallelism comes from the
-    // block key, not the file source's split count.
-    val dirty = Linkage.dirtyBatch(stream)
-      .withColumn("bk", substring(col("nm"), 1, Linkage.BlockLen))
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("bk"))
-    val links = dirty.join(broadcast(clean), "bk")
-      .select(col("s_suppkey"), col("r_id"),
-        levenshtein(col("s_name"), col("nm")).cast("long").as("lev"))
-      .filter(col("lev") <= Linkage.MaxEdit)
+    // block key, not the file source's split count. Both blocking
+    // passes run per micro-batch; a clean record matches through both,
+    // so the union dedups on the full link row — per-record stateless
+    // matching plus a streaming dropDuplicates whose state is the
+    // output-sized link set (each supplier streams once, so a pair is
+    // only ever deduped within its own micro-batch).
+    def pass(key: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val clean = cleanBase.withColumn("bk", key(col("s_name")))
+      val dirty = dirty0.withColumn("bk", key(col("nm")))
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt, col("bk"))
+      dirty.join(broadcast(clean), "bk")
+        .select(col("s_suppkey"), col("r_id"),
+          levenshtein(col("s_name"), col("nm")).cast("long").as("lev"))
+        .filter(col("lev") <= Linkage.MaxEdit)
+    }
+    val links = pass(Linkage.prefixKey).unionByName(pass(Linkage.suffixKey))
+      .dropDuplicates("s_suppkey", "r_id", "lev")
     runToMemory(links, "append")
       .orderBy("s_suppkey", "r_id")
   }

@@ -340,7 +340,8 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q_pagerank_incremental")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-    val full = Graph.prUnnormRanks(Graph.bipartiteEdges(spark, sf), 3).last
+    val full = Graph.prUnnormRanks(
+      Graph.prBaseEdges(spark, sf).unionByName(Graph.prBatchEdges(spark, sf)), 3).last
     val base = 1000000L
     val expect = full
       .select(

@@ -17,7 +17,7 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
     // corrupted (suppkey % 7 == 3), lev 0 otherwise.
     suppliers.foreach { k =>
       val self = got.find(t => t._1 == k && t._2 == k)
-      val expectLev = if (k % 7 == 3) 1L else 0L
+      val expectLev = if (k % 7 == 3 || k % 11 == 5) 1L else 0L
       assert(self.contains((k, k, expectLev)), s"supplier $k: $self")
     }
     // Verification is real: no pair exceeds the edit bound, and the
@@ -35,14 +35,14 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
       s"quadratic join in the fuzzy-join plan:\n$plan")
   }
 
-  test("blocking recall contract: an edit inside the blocked prefix is unmatchable by design") {
-    // "Supplier#0000000XY": the block key is the first 16 chars. An edit
-    // at position 17+ (the corruption the operator is built for) stays
-    // in its source's block; an edit at position 10 (inside the prefix)
-    // moves the record to a different block and CANNOT match — that is
-    // the documented trade-off, pinned here so a silent blocking change
-    // (shorter key, multi-pass union) shows up as a spec diff.
+  test("two-pass recall: a prefix-corrupted name the single-pass build provably misses links at lev 1") {
+    // "Supplier#0000000XY": pass 1 blocks on the first 16 chars, pass 2
+    // on the last 8. The %11==5 corruption sits at position 4 — inside
+    // the prefix, OUTSIDE the suffix — so the prefix pass alone cannot
+    // link it (proved below by replicating the single-pass join), and
+    // the suffix pass must.
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein => slev}
     val names = (0 until 40).map(i => f"Supplier#$i%09d")
     val dir = graft.core.TempDirs.create("graft_linkage_spec")
     names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
@@ -50,14 +50,32 @@ class LinkageSpec extends AnyFunSuite with SparkTest {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     val got = SparkEntry.queries("q_fuzzy_join")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    // Corrupted rows (k % 7 == 3) edit the LAST char — inside the block,
-    // so (source, source) survives:
-    assert((0 until 40).filter(_ % 7 == 3).forall(k => got.contains((k.toLong, k.toLong))))
-    // All 40 names share the 16-char prefix "Supplier#0000000" here, so
-    // every same-block pair within edit 1 appears; none is missed.
+    def dirtyOf(b: Int): String =
+      if (b % 7 == 3) names(b).dropRight(1) + "X"
+      else if (b % 11 == 5) names(b).take(3) + "X" + names(b).drop(4)
+      else names(b)
+    // The single-pass (prefix-only) build: replicate it and prove the
+    // prefix-corrupted records (5, 16, 27; 38 hits the %7 rule first)
+    // do NOT link to their sources through it.
+    val s = graft.core.Tables(spark, dir, "supplier").select("s_suppkey", "s_name")
+    val dirty = graft.ext.Linkage.dirtyBatch(s)
+    val singlePass = s.withColumn("bk", graft.ext.Linkage.prefixKey(col("s_name")))
+      .join(dirty.withColumn("bk", graft.ext.Linkage.prefixKey(col("nm"))), "bk")
+      .filter(slev(col("s_name"), col("nm")) <= 1)
+      .select("s_suppkey", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prefixCorrupted = (0 until 40).filter(k => k % 11 == 5 && k % 7 != 3)
+    prefixCorrupted.foreach { k =>
+      assert(!singlePass.contains((k.toLong, k.toLong)),
+        s"single-pass unexpectedly linked prefix-corrupted $k")
+      assert(got.contains((k.toLong, k.toLong)),
+        s"two-pass build missed prefix-corrupted $k")
+    }
+    // And the full result is exactly the two-pass candidate model:
+    // pairs sharing the 16-prefix OR the 8-suffix, within edit 1.
     val expectPairs = for {
       a <- names.indices; b <- names.indices
-      dirtyB = if (b % 7 == 3) names(b).dropRight(1) + "X" else names(b)
+      dirtyB = dirtyOf(b)
+      if names(a).take(16) == dirtyB.take(16) || names(a).takeRight(8) == dirtyB.takeRight(8)
       if levenshtein(names(a), dirtyB) <= 1
     } yield (a.toLong, b.toLong)
     assert(got.sorted.toSeq == expectPairs.sorted)
