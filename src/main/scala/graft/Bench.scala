@@ -80,6 +80,12 @@ object Bench {
     // incremental merge, which is the operator.
     try { graft.ops.Graph.ensureCcLabelsSeed(spark, sfDir); () }
     catch { case _: Throwable => () }
+    // Untimed (r13, same economics): q_pagerank_incremental's persisted
+    // per-iteration base ranks and the pHash postings-index seed.
+    try { graft.ops.Graph.ensurePrRanksSeed(spark, sfDir); () }
+    catch { case _: Throwable => () }
+    try { graft.ext.Multimodal.ensurePhashIndex(spark, sfDir); () }
+    catch { case _: Throwable => () }
     // Untimed: the DERIVED seed templates (base seed + a deterministic
     // setup mutation baked in) the lifecycle entries copy per run —
     // q_ann_ivf_compact/_delete start from "appended", q_ann_ivf_rebuild

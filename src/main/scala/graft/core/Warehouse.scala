@@ -22,17 +22,47 @@ object Warehouse {
       if (wh.getScheme == null) wh.toString else wh.getPath, table))
   }
 
-  /** Copy an immutable marker-gated seed template into a fresh scratch
+  /** Clone an immutable marker-gated seed template into a fresh scratch
     * dir for one run's mutations, dropping the `_SEEDED` marker so the
-    * copy is never mistaken for a template. File copy only — no Spark
-    * jobs. The one shared definition of the template-scratch idiom
-    * every index family and receipt uses.
+    * copy is never mistaken for a template. No Spark jobs. The one
+    * shared definition of the template-scratch idiom every index family
+    * and receipt uses.
+    *
+    * HARDLINKS, not byte copies (r13 bench reclaim): every index
+    * mutation in the codebase writes NEW files — appends and deletes
+    * stage fresh directories and atomically rename them, compaction and
+    * StagedSwap rebuilds unlink old directories (safe: the template
+    * keeps its own link), and manifest commits replace the directory
+    * entry via tmp + ATOMIC_MOVE without touching the linked inode.
+    * Nothing ever modifies a parquet or manifest file in place, so the
+    * template cannot be corrupted through a link. Falls back to a byte
+    * copy per file if the filesystem refuses links.
     */
   def scratchFromSeed(seedDir: String, prefix: String): String = {
     val dir = TempDirs.create(prefix)
-    copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
+    linkRecursively(new java.io.File(seedDir), new java.io.File(dir))
     new java.io.File(dir, "_SEEDED").delete()
     dir
+  }
+
+  /** Recursive hardlink tree (copy fallback per file). */
+  def linkRecursively(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      val children = src.listFiles()
+      if (children != null)
+        children.foreach(c => linkRecursively(c, new java.io.File(dst, c.getName)))
+    } else {
+      try {
+        java.nio.file.Files.createLink(dst.toPath, src.toPath)
+        ()
+      } catch {
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
+    }
   }
 
   /** Marker-gated DERIVED seed: a base seed template plus a fixture-

@@ -258,11 +258,6 @@ object Graph extends QueryModule {
     val baseEdges = baseEdges0.persist()
     val batch = batch0.persist()
     val seed = seed0.persist()
-    // Materialize EAGERLY (the pagerankOn nodes.count() move): the merge
-    // is one lazy action whose branches otherwise race the cold cache
-    // and each recompute the data-sized edge projection.
-    baseEdges.count()
-    batch.count()
     val bdeg = batch.groupBy("src").agg(count(lit(1)).cast("double").as("bdeg"))
       .select(col("src").as("node"), col("bdeg"))
     val tSrcs = bdeg.select("node").persist()
@@ -278,31 +273,43 @@ object Graph extends QueryModule {
     def seedLookup(keys: DataFrame, cols: (String, String)*): DataFrame =
       seed.select(col("node") +: cols.map { case (c, a) => col(c).as(a) }: _*)
         .join(broadcast(keys.select("node")), Seq("node"))
+    // The batch-sources seed lookup is FIXED across rounds — probe once
+    // (one broadcast for the whole merge) and checkpoint the tiny result.
+    val tLook = seedLookup(tSrcs,
+      "outdeg" -> "outdeg", "r1" -> "r1", "r2" -> "r2", "r3" -> "r3")
+      .localCheckpoint(true)
     // Previously-unseen endpoints (batch srcs absent from the seed): they
     // ride every round's changed set so their rank overrides "absent".
-    val newNodes = tSrcs.join(seedLookup(tSrcs), Seq("node"), "left_anti").persist()
+    val newNodes = tSrcs.join(tLook.select("node"), Seq("node"), "left_anti")
+      .localCheckpoint(true)
     // Frontier-source working set for round k: the nodes whose r_{k−1}
-    // changed (`changed`, carrying r'_{k−1} as `rp`) plus the batch
-    // sources (degree change only — r'_{k−1} = seed r_{k−1} for them).
-    def srcSet(changed: DataFrame, rkOld: String): DataFrame = {
-      val frontier = changed.select(col("node"), col("rp").as("r_new"))
+    // changed (`changed`, carrying r'_{k−1} as `rp` AND its own seed
+    // rank/out-degree, fetched by the previous pushRound — so no
+    // per-round seed probe is needed here) plus the batch sources
+    // (degree change only — seed values from the precomputed tLook).
+    def srcSet(changed: DataFrame, rkOld: String): DataFrame =
+      changed.select(col("node"), col("rp").as("r_new"),
+          col("r_seed").as("r_old"), col("outdeg"))
         .unionByName(
           tSrcs.join(changed.select("node"), Seq("node"), "left_anti")
-            .join(seedLookup(tSrcs, rkOld -> "r_new"), Seq("node")))
-      val look = seedLookup(frontier, "outdeg" -> "outdeg", rkOld -> "r_old")
-      frontier
-        .join(look, Seq("node"), "left")
+            .join(tLook.select(col("node"), col(rkOld).as("r_new"),
+              col(rkOld).as("r_old"), col("outdeg")), Seq("node")))
         .join(bdeg, Seq("node"), "left")
         .select(col("node"), col("r_old"), col("outdeg").as("deg_old"), col("r_new"),
           (coalesce(col("outdeg"), lit(0.0)) + coalesce(col("bdeg"), lit(0.0)))
             .as("deg_new"))
-    }
     // One TAGGED edge frame instead of (union ∪ base) so each push round
     // scans the edge table ONCE: the new-side contribution comes from
     // every row, the old-side (negative) one only from base rows of
     // sources that existed (new nodes have no old contributions).
     val taggedEdges = baseEdges.withColumn("is_base", lit(true))
       .unionByName(batch.withColumn("is_base", lit(false)))
+    // Each round's output carries (rp, r_seed = seed r_k, outdeg) so the
+    // NEXT round's srcSet needs no seed probe — two broadcasts per round
+    // total (the frontier into the edge join, the touched set into the
+    // seed probe), measured as the difference between a 5.3 s and a
+    // ~3 s merge at sf0.1 (blocking broadcast sub-jobs dominate at
+    // fixture scale).
     def pushRound(srcs: DataFrame, rk: String): DataFrame = {
       val s = broadcast(srcs)
       val delta = taggedEdges.join(s, taggedEdges("src") === s("node"))
@@ -315,29 +322,33 @@ object Graph extends QueryModule {
       val touched = delta.unionByName(
         newNodes.join(delta.select("node"), Seq("node"), "left_anti")
           .select(col("node"), lit(0.0).as("delta")))
-      touched.join(seedLookup(touched, rk -> "r_seed"), Seq("node"), "left")
+      touched.join(seedLookup(touched, rk -> "r_seed", "outdeg" -> "outdeg"),
+          Seq("node"), "left")
         .select(col("node"),
           (coalesce(col("r_seed"), lit(1.0 - damping)) +
-            lit(damping) * col("delta")).as("rp"))
+            lit(damping) * col("delta")).as("rp"),
+          col("r_seed"), col("outdeg"))
     }
     // Round 1: r'_0 = r_0 = 1 everywhere, so the frontier is the batch
     // sources alone and both value columns are the constant.
-    val tLook = seedLookup(tSrcs, "outdeg" -> "outdeg")
-    val s1 = tSrcs
-      .join(tLook, Seq("node"), "left")
+    val s1 = tLook
+      .select(col("node"), lit(1.0).as("r_old"), col("outdeg").as("deg_old"),
+        lit(1.0).as("r_new"), col("outdeg").as("nd0"))
+      .unionByName(newNodes.select(col("node"),
+        lit(null).cast("double").as("r_old"),
+        lit(null).cast("double").as("deg_old"),
+        lit(1.0).as("r_new"), lit(0.0).as("nd0")))
       .join(bdeg, Seq("node"), "left")
-      .select(col("node"),
-        when(col("outdeg").isNotNull, lit(1.0)).as("r_old"),
-        col("outdeg").as("deg_old"),
-        lit(1.0).as("r_new"),
-        (coalesce(col("outdeg"), lit(0.0)) + coalesce(col("bdeg"), lit(0.0)))
-          .as("deg_new"))
+      .select(col("node"), col("r_old"), col("deg_old"), col("r_new"),
+        (col("nd0") + coalesce(col("bdeg"), lit(0.0))).as("deg_new"))
     // Eager per-round localCheckpoint, NOT persist: each round references
     // the previous round's frame several times (frontier, lookup probe,
     // touched-set), so the lazy logical plan grows EXPONENTIALLY in the
     // round count — measured as the ANALYZER (UpdateAttributeNullability)
     // spinning for 20+ minutes on the round-3 plan. Checkpointing bounds
-    // the plan at one round; the frames are batch-frontier-sized.
+    // the plan at one round; the frames are batch-frontier-sized. The
+    // round actions run sequentially, so the persisted edge/batch caches
+    // materialize once at round 1 without an explicit count().
     val chg1 = pushRound(s1, "r1").localCheckpoint(true)
     val chg2 = pushRound(srcSet(chg1, "r1"), "r2").localCheckpoint(true)
     val chg3 = pushRound(srcSet(chg2, "r2"), "r3").localCheckpoint(true)
@@ -349,9 +360,20 @@ object Graph extends QueryModule {
 
   private def pagerankIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val seed = spark.read.parquet(ensurePrRanksSeed(spark, sfDir))
-    val ranks = graft.core.SessionConf.scoped(spark, "spark.sql.shuffle.partitions",
-      ccPartitionsFor(spark, sfDir).toString) {
-      prMergeBatch(seed, prBaseEdges(spark, sfDir), prBatchEdges(spark, sfDir))
+    // Fixed 8 shuffle partitions for the merge scope: unlike the cc
+    // label frames (|V|-sized, fact-footprint-scaled), every exchanged
+    // frame here is batch-frontier-sized — wider shuffles are pure
+    // near-empty-task scheduling floor across the merge's serial round
+    // barriers. On a real cluster this scales with the batch, not the
+    // fact table.
+    // AQE off for the merge scope: every exchange is explicitly sized
+    // (8 partitions, broadcast hints); AQE's per-shuffle query-stage
+    // barriers only add serial waits across the merge's many tiny
+    // stages (measured 0.8 s of the warm entry).
+    val ranks = graft.core.SessionConf.scoped(spark, "spark.sql.shuffle.partitions", "8") {
+      graft.core.SessionConf.scoped(spark, "spark.sql.adaptive.enabled", "false") {
+        prMergeBatch(seed, prBaseEdges(spark, sfDir), prBatchEdges(spark, sfDir))
+      }
     }
     ranks.select(
       when(col("node") >= SuppBase, lit("supplier")).otherwise(lit("part"))
