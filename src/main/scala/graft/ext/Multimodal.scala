@@ -509,6 +509,54 @@ object Multimodal extends QueryModule {
         Dedup.readIngestKeys(dir))
     }
 
+  /** Compact the committed postings batches into one — the shared
+    * lifecycle op (staged merged rewrite, atomic rename, manifest swap
+    * to the single batch, GC of only the batch ids committed at start;
+    * tombstones materialize physically and their ledger clears, ingest
+    * keys survive so pre-compaction replays stay no-ops). Probes are
+    * row-identical before/after — MultimodalSpec pins it.
+    */
+  private[graft] def phashIndexCompact(spark: SparkSession, dir: String): Unit =
+    graft.core.WriterLease.withLease(dir, "phash compact") {
+      graft.core.StagedSwap.recover(dir, PhashLayoutSubs)
+      val committed = Dedup.readBatchManifest(dir)
+      val tombs = Dedup.readTombstoneManifest(dir)
+      if (committed.size > 1 || tombs.nonEmpty) {
+        val postingsRoot = new java.io.File(dir, "postings")
+        val onDisk = Option(postingsRoot.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+          .map(_.getName.stripPrefix("batch_id=").toLong)
+        val newId = (onDisk :+ 0L).max + 1
+        val staging = new java.io.File(dir, s".compact_batch_$newId")
+        graft.core.Warehouse.deleteRecursively(staging)
+        val merged = spark.read.parquet(postingsRoot.getPath)
+          .where(col("batch_id").isin(committed: _*))
+        val dropped =
+          if (tombs.isEmpty) merged
+          else merged.join(
+            spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+              .where(col("batch_id").isin(tombs: _*)).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        dropped
+          .drop("batch_id")
+          .coalesce(8)
+          .write.mode("overwrite").parquet(staging.getPath)
+        java.nio.file.Files.move(staging.toPath,
+          new java.io.File(postingsRoot, s"batch_id=$newId").toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Dedup.writeBatchManifest(dir, Seq(newId),
+          ingestKeys = Dedup.readIngestKeys(dir))
+        committed.foreach { id =>
+          graft.core.Warehouse.deleteRecursively(
+            new java.io.File(postingsRoot, s"batch_id=$id"))
+        }
+        tombs.foreach { id =>
+          graft.core.Warehouse.deleteRecursively(
+            new java.io.File(new java.io.File(dir, "tombstones"), s"batch_id=$id"))
+        }
+      }
+    }
+
   /** Probe the committed postings with a (doc_id, ph) signature batch:
     * band the batch, equi-join on (band, bv), Hamming-verify from the
     * postings' own signatures (no doc-store round trip), anti-join the
@@ -575,6 +623,31 @@ object Multimodal extends QueryModule {
     probePhashIndex(spark, dir, probe, tap = Some("phash_del"))
   }
 
+  /** The pHash index's compaction lifecycle as an entry: scratch from
+    * the seed, append an ingest batch (second batch_id dir), take down
+    * the smallest matched index doc (tombstone ledger), COMPACT — the
+    * merged single batch materializes the takedown physically and
+    * clears the tombstone ledger — and probe. The probe must equal the
+    * pre-compact post-delete answer exactly, which the tapped
+    * signatures + DuckDB's full cross Hamming recompute certify.
+    */
+  private def phashCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = ensurePhashIndex(spark, sfDir)
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_phash_compact")
+    val docs = Tables(spark, sfDir, "documents")
+    phashIndexAppend(spark, dir,
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    val probe = sigsOf(spark, docs.filter(col("doc_id") >= 450))
+      .unionByName(renditionSigsOf(spark, docs.filter(col("doc_id") < 450), PhashProbeMod))
+      .localCheckpoint(true) // probed twice (victim pick + final)
+    val victimRow = probePhashIndex(spark, dir, probe).agg(min(col("dup_of"))).head()
+    if (!victimRow.isNullAt(0))
+      phashIndexDelete(spark, dir, Seq(victimRow.getLong(0)).toDF("doc_id"))
+    phashIndexCompact(spark, dir)
+    probePhashIndex(spark, dir, probe, tap = Some("phash_compact"))
+  }
+
   /** Streaming ingest into the persisted pHash index — the multimodal
     * twin of `s_minhash_ingest`/`s_ann_ingest`: media objects arrive as
     * a stream, each micro-batch publishes its postings through
@@ -619,6 +692,7 @@ object Multimodal extends QueryModule {
   override val defs: Map[String, QueryDef] = Map(
     "q_phash_incremental" -> QueryDef(phashIncremental, Some(phashProbeOracle("phash_inc"))),
     "q_phash_delete" -> QueryDef(phashDelete, Some(phashProbeOracle("phash_del"))),
+    "q_phash_compact" -> QueryDef(phashCompact, Some(phashProbeOracle("phash_compact"))),
     "s_phash_ingest" -> QueryDef(phashIngest, Some(phashProbeOracle("s_phash_ingest"))),
     "q_mm_phash_dedup" -> QueryDef(mmPhashDedup, Some(s"""
       WITH s AS (SELECT doc_id, ph

@@ -123,5 +123,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     Multimodal.phashIndexDelete(spark, inc, Seq(victim).toDF("doc_id"))
     val after = pairs(inc)
     assert(after == incPairs.filterNot(_._2 == victim), "delete removed the wrong pairs")
+
+    // compact: probe identical, postings fold to ONE batch dir, the
+    // takedown materializes physically (tombstone ledger clears).
+    Multimodal.phashIndexCompact(spark, inc)
+    assert(pairs(inc) == after, "compaction changed probe results")
+    assert(graft.ext.Dedup.readBatchManifest(inc).size == 1, "compaction left several batches")
+    assert(graft.ext.Dedup.readTombstoneManifest(inc).isEmpty, "tombstone ledger not cleared")
+    val postingDirs = new java.io.File(inc, "postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    assert(postingDirs == 1, s"expected one physical batch dir, found $postingDirs")
+    // and the ingest-key ledger survived (pre-compaction replays stay no-ops)
+    assert(graft.ext.Dedup.readIngestKeys(inc).contains("k1"))
   }
 }
