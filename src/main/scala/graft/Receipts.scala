@@ -45,6 +45,14 @@ object Receipts {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.driver.maxResultSize", "8g")
       // Production state store, same as Engine.session/Bench/Verify.
+      // Codegen-cache sized to the workload (static conf, default 100):
+      // the registry compiles ~209 distinct plans, so the default cache
+      // LRU-evicts across a sweep — the class of recompile that forced
+      // the canary's own re-warm-up at >155 plans. Sweep totals measured
+      // noise-dominated either way; this is the root-cause fix for the
+      // eviction class, and how a production deployment running this
+      // query surface would size the cache.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // Changelog checkpointing: commit the per-batch CHANGELOG instead of
