@@ -845,6 +845,22 @@ object Receipts {
         graft.ext.Multimodal.probePhashIndex(spark, dir,
           graft.ext.Multimodal.sigsOf(spark,
             docs.filter(col("doc_id") >= 1000000000L && col("doc_id") < 1000005000L))))
+      // Lifecycle tail at the same scale: takedown (tombstone-ledger
+      // write) and compaction (merged single-batch rewrite + physical
+      // tombstone materialization), probe re-run after each.
+      locally {
+        import spark.implicits._
+        val t1 = System.nanoTime()
+        graft.ext.Multimodal.phashIndexDelete(spark, dir, Seq(7L).toDF("doc_id"))
+        println(f"[receipt] phash delete (1-doc takedown): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        val t2 = System.nanoTime()
+        graft.ext.Multimodal.phashIndexCompact(spark, dir)
+        println(f"[receipt] phash compact (seed+streamed -> one batch): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+      }
+      time("phash probe after delete+compact",
+        graft.ext.Multimodal.probePhashIndex(spark, dir,
+          graft.ext.Multimodal.sigsOf(spark,
+            docs.filter(col("doc_id") >= 1000000000L && col("doc_id") < 1000005000L))))
       spark.stop()
 
     case "centroids" =>
