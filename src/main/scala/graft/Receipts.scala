@@ -795,11 +795,16 @@ object Receipts {
         }
       }
       spark.sparkContext.addSparkListener(listener)
+      // Deterministic listener-bus drain (not a fixed sleep): stage-end
+      // events still in flight when the action returns would truncate —
+      // or bleed into — the printed shuffle counts under load.
+      def drainBus(): Unit =
+        org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
       def measure(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
-        Thread.sleep(500); recs.set(0L)
+        drainBus(); recs.set(0L)
         val t0 = System.nanoTime()
         val cnt = df.queryExecution.toRdd.count()
-        Thread.sleep(1000) // listener bus drain
+        drainBus()
         println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
           s"($cnt rows, ${recs.get()} shuffle records)")
       }
@@ -809,6 +814,7 @@ object Receipts {
       measure("full 3-iter recompute (2M-node ring union)",
         graft.ops.Graph.prUnnormRanks(base.unionByName(batchSym), 3).last
           .orderBy(col("r").desc).limit(100))
+      spark.sparkContext.removeSparkListener(listener)
       spark.stop()
 
     case "phashingest" =>

@@ -45,9 +45,13 @@ object Udafs {
     */
   class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, Array[ScoredId]] {
     private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-      // Double.compare, not >/==: a total order so a NaN sim (e.g. cosine
-      // of a zero-norm vector) ranks consistently whether the buffer is
-      // full or not, instead of never-beating/never-beaten.
+      // Total order (so ranking is consistent whether the buffer is full
+      // or not), but with NaN ranking BELOW every real score: a NaN sim
+      // (e.g. cosine of a zero-norm vector) must lose a top-k slot to any
+      // real candidate, never occupy one ahead of it. Double.compare alone
+      // would put NaN above +Inf.
+      val n1 = java.lang.Double.isNaN(s1); val n2 = java.lang.Double.isNaN(s2)
+      if (n1 || n2) return !n1 || (n2 && i1 < i2)
       val c = java.lang.Double.compare(s1, s2)
       c > 0 || (c == 0 && i1 < i2)
     }

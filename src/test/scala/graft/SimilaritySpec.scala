@@ -1135,4 +1135,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .sortBy { case (g, s, i) => (g, -s, i) }
     assert(got == winExpected)
   }
+
+  test("TopKAgg: a NaN similarity never outranks a real score") {
+    // A zero-norm vector's cosine is NaN; it must lose a top-k slot to
+    // ANY real candidate (even -Inf), never occupy one ahead of it —
+    // but the order stays total (NaN ties break by id) so merge order
+    // can't change the result.
+    import graft.functions.Udafs.{ScoredId, TopKAgg}
+    val agg = new TopKAgg(3)
+    val xs = Seq(ScoredId(Double.NaN, 7L), ScoredId(0.9, 1L),
+      ScoredId(Double.NegativeInfinity, 2L), ScoredId(0.1, 3L), ScoredId(Double.NaN, 4L))
+    def run(items: Seq[ScoredId]): Seq[(Double, Long)] =
+      agg.finish(items.foldLeft(agg.zero)(agg.reduce)).toSeq.map(s => (s.sim, s.id))
+    val expect = Seq((0.9, 1L), (0.1, 3L), (Double.NegativeInfinity, 2L))
+    assert(run(xs) == expect)
+    assert(run(xs.reverse) == expect)
+    // Split-and-merge (map-side partials) agrees with the linear fold.
+    val (l, r) = xs.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged).toSeq.map(s => (s.sim, s.id)) == expect)
+    // All-NaN input still fills deterministically (id-ordered).
+    val allNaN = Seq(ScoredId(Double.NaN, 5L), ScoredId(Double.NaN, 2L), ScoredId(Double.NaN, 9L))
+    assert(run(allNaN).map(_._2) == Seq(2L, 5L, 9L))
+  }
 }
