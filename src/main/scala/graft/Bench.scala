@@ -35,7 +35,11 @@ object Bench {
       // noise-dominated either way; this is the root-cause fix for the
       // eviction class, and how a production deployment running this
       // query surface would size the cache.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // SPARK_GRAFT_CODEGEN_CACHE exists solely for the A/B receipt
+      // (same-host paired sweeps, conf on vs default) — production value
+      // is the 2000 default below.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // Changelog checkpointing: commit the per-batch CHANGELOG instead of

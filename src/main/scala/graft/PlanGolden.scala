@@ -30,10 +30,11 @@ import graft.core.SessionConf
 object PlanGolden {
 
   case class Fp(shuffles: Int, broadcasts: Int, joins: Seq[String],
-      takeOrdered: Boolean, partialAgg: Boolean) {
+      takeOrdered: Boolean, partialAgg: Boolean, globalWindows: Int) {
     def render: String = {
       val js = if (joins.isEmpty) "-" else joins.sorted.mkString(",")
-      s"sh=$shuffles bc=$broadcasts top=${b(takeOrdered)} pagg=${b(partialAgg)} joins=$js"
+      s"sh=$shuffles bc=$broadcasts top=${b(takeOrdered)} pagg=${b(partialAgg)} " +
+        s"gw=$globalWindows joins=$js"
     }
     private def b(v: Boolean): String = if (v) "1" else "0"
   }
@@ -70,6 +71,18 @@ object PlanGolden {
         partialAgg = nodes.exists {
           case a: BaseAggregateExec =>
             a.aggregateExpressions.exists(e => e.mode == Partial || e.mode == PartialMerge)
+          case _ => false
+        },
+        // Unpartitioned (single-partition) windows: legitimate ONLY over
+        // frames that are metadata-scale by construction (a reduced
+        // per-category counts table, a ≤100-row retrieved list). The
+        // golden pins the count per entry, so an accidental global
+        // window over a data-sized frame FAILS PlanGoldenSpec instead of
+        // scrolling by as a WindowExec log warning (which the shared
+        // test session silences for exactly this reason — see SparkTest).
+        globalWindows = nodes.count {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
           case _ => false
         })
     }

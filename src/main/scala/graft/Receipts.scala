@@ -1367,6 +1367,65 @@ object Receipts {
       time("q_graph_label_prop", SparkEntry.queries("q_graph_label_prop")(spark, sfDir))
       spark.stop()
 
+    case "lpainc" =>
+      // Delta-LPA economics — the princ twin: the merge (per round, one
+      // broadcast-frontier edge filter + a frontier-neighborhood vote
+      // agg) against the full 3-round propagation on the same union
+      // graph, which must push EVERY node's label through 3
+      // groupBy(dst,lbl) exchanges + argmax windows. Ring graph so the
+      // batch's influence ball stays bounded; both wall-clock and
+      // shuffle-write records stamped.
+      val sfDir = args(1)
+      val spark = session()
+      graft.core.Tables(spark, sfDir, "lineitem").queryExecution.toRdd.count()
+      val t0 = System.nanoTime()
+      graft.ops.Graph.ensureLpaLabelsSeed(spark, sfDir)
+      println(f"[receipt] lpa seed (one-time, untimed economics): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      time("q_lpa_incremental (entry, incl. edge projection)",
+        SparkEntry.queries("q_lpa_incremental")(spark, sfDir))
+      import org.apache.spark.sql.functions._
+      val n = 2000000L
+      val ring0 = spark.range(0, n).select(col("id").as("src"),
+        ((col("id") + 1) % n).as("dst"))
+      val base = ring0.unionByName(
+        ring0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val batch0 = spark.range(0, 50).select((col("id") * 40000).as("src"),
+        (col("id") * 40000 + 20000 + col("id")).as("dst"))
+      val batchSym = batch0.unionByName(
+        batch0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      val Seq(l1, l2, l3) = graft.ops.Graph.lpaRoundLabels(base, 3, eager = true)
+      val seed = l1.select(col("node"), col("lbl").as("l1"))
+        .join(l2.select(col("node"), col("lbl").as("l2")), "node")
+        .join(l3.select(col("node"), col("lbl").as("l3")), "node")
+        .localCheckpoint(true)
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def drainBus(): Unit =
+        org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
+      def measure(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
+        drainBus(); recs.set(0L)
+        val t0m = System.nanoTime()
+        val cnt = df.queryExecution.toRdd.count()
+        drainBus()
+        println(f"[receipt] $label: ${(System.nanoTime() - t0m) / 1e9}%.2f s " +
+          s"($cnt rows, ${recs.get()} shuffle records)")
+      }
+      measure("delta-LPA merge (2M-node ring, 50-chord batch)",
+        graft.ops.Graph.lpaMergeBatch(seed, base, batchSym))
+      measure("full 3-round LPA (2M-node ring union)",
+        graft.ops.Graph.lpaRoundLabels(base.unionByName(batchSym), 3).last)
+      spark.sparkContext.removeSparkListener(listener)
+      spark.stop()
+
     case "phash" =>
       // Staged perceptual-hash dedup at ScaleGen scale: the 100x
       // replicas make the corpus ~99% exact signature copies — the

@@ -557,6 +557,45 @@ object Multimodal extends QueryModule {
       }
     }
 
+  /** Rebuild the postings index from the SURVIVING corpus content — the
+    * pHash leg of the shared from-scratch protocol
+    * ([[Dedup.minhashIndexRebuild]], the IVF/semdedup rebuilds): the op
+    * that pays off after enough appends/tombstones fragment the index,
+    * or after a signature-extraction change. Surviving ids come from
+    * the committed postings minus the tombstone ledger; their content
+    * re-hashes from the corpus; the new single-batch layout stages
+    * under [[graft.core.StagedSwap]] and commits atomically (a crash
+    * mid-rebuild leaves the old index fully probe-able). Ingest keys
+    * survive — a pre-rebuild replay stays a no-op — and the tombstone
+    * ledger clears (the rebuild materializes every takedown).
+    */
+  private[graft] def phashIndexRebuild(spark: SparkSession, dir: String,
+      corpus: DataFrame): Unit =
+    graft.core.WriterLease.withLease(dir, "phash rebuild") {
+      val committed = Dedup.readBatchManifest(dir)
+      val surviving0 = spark.read
+        .parquet(new java.io.File(dir, "postings").getPath)
+        .where(col("batch_id").isin(committed: _*))
+        .select(col("doc_id")).distinct()
+      val tombs = Dedup.readTombstoneManifest(dir)
+      val surviving =
+        if (tombs.isEmpty) surviving0
+        else surviving0.join(
+          spark.read.parquet(new java.io.File(dir, "tombstones").getPath)
+            .where(col("batch_id").isin(tombs: _*)).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+      // Snapshot BEFORE the swap below — the rebuild must never lazily
+      // read the postings it is about to replace.
+      val content = corpus.join(surviving, Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
+      graft.core.StagedSwap.swapInPlace(dir, PhashLayoutSubs) { stage =>
+        writePhashIndex(spark, stage, content,
+          keepIngestKeys = Dedup.readIngestKeys(dir))
+      }
+      graft.core.Warehouse.deleteRecursively(new java.io.File(dir, "tombstones"))
+    }
+
   /** Probe the committed postings with a (doc_id, ph) signature batch:
     * band the batch, equi-join on (band, bv), Hamming-verify from the
     * postings' own signatures (no doc-store round trip), anti-join the
@@ -648,6 +687,31 @@ object Multimodal extends QueryModule {
     probePhashIndex(spark, dir, probe, tap = Some("phash_compact"))
   }
 
+  /** The pHash index's from-scratch rebuild as an entry — completing
+    * the lifecycle matrix (every other index family carries one):
+    * scratch from the seed, append an ingest batch, take down the
+    * smallest matched index doc, then REBUILD from the surviving corpus
+    * content — the new single-batch index must answer the probe
+    * exactly like the fragmented post-delete index did, certified by
+    * the tapped signatures + DuckDB's full cross Hamming recompute.
+    */
+  private def phashRebuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val seed = ensurePhashIndex(spark, sfDir)
+    val dir = graft.core.Warehouse.scratchFromSeed(seed, "graft_phash_rebuild")
+    val docs = Tables(spark, sfDir, "documents")
+    phashIndexAppend(spark, dir,
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    val probe = sigsOf(spark, docs.filter(col("doc_id") >= 450))
+      .unionByName(renditionSigsOf(spark, docs.filter(col("doc_id") < 450), PhashProbeMod))
+      .localCheckpoint(true) // probed twice (victim pick + final)
+    val victimRow = probePhashIndex(spark, dir, probe).agg(min(col("dup_of"))).head()
+    if (!victimRow.isNullAt(0))
+      phashIndexDelete(spark, dir, Seq(victimRow.getLong(0)).toDF("doc_id"))
+    phashIndexRebuild(spark, dir, docs)
+    probePhashIndex(spark, dir, probe, tap = Some("phash_rebuild"))
+  }
+
   /** Streaming ingest into the persisted pHash index — the multimodal
     * twin of `s_minhash_ingest`/`s_ann_ingest`: media objects arrive as
     * a stream, each micro-batch publishes its postings through
@@ -693,6 +757,7 @@ object Multimodal extends QueryModule {
     "q_phash_incremental" -> QueryDef(phashIncremental, Some(phashProbeOracle("phash_inc"))),
     "q_phash_delete" -> QueryDef(phashDelete, Some(phashProbeOracle("phash_del"))),
     "q_phash_compact" -> QueryDef(phashCompact, Some(phashProbeOracle("phash_compact"))),
+    "q_phash_rebuild" -> QueryDef(phashRebuild, Some(phashProbeOracle("phash_rebuild"))),
     "s_phash_ingest" -> QueryDef(phashIngest, Some(phashProbeOracle("s_phash_ingest"))),
     "q_mm_phash_dedup" -> QueryDef(mmPhashDedup, Some(s"""
       WITH s AS (SELECT doc_id, ph

@@ -3587,7 +3587,7 @@ object Similarity extends QueryModule {
   private def hybridRank(spark: SparkSession, sfDir: String): DataFrame = {
     val lex = Corpus.bm25Scores(spark, sfDir)
       .orderBy(col("score").desc, col("doc_id")).limit(100)
-      .withColumn("r_lex",
+      .withColumn("r_lex", // global window over ≤100 rows by construction (gw pinned in golden)
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
       .select(col("doc_id"), col("r_lex"))
     val e = Tables(spark, sfDir, "embeddings")
@@ -3597,7 +3597,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("doc_id"),
         round(cosineUdf(col("embedding"), col("ae")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id")).limit(100)
-      .withColumn("r_sem",
+      .withColumn("r_sem", // global window over ≤100 rows by construction (gw pinned in golden)
         row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast(LongType))
       .select(col("doc_id"), col("r_sem"))
     lex.join(sem, Seq("doc_id"), "full_outer")

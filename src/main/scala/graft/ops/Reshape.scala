@@ -308,6 +308,10 @@ object Reshape extends QueryModule {
     * dictionary (as q_feature_scale broadcasts its stats).
     */
   private def stringIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    // Deliberate global window over the aggregated counts table
+    // (one row per category — metadata-scale by definition); the plan
+    // golden pins gw=1 so a global window ever landing on a data-sized
+    // frame fails PlanGoldenSpec instead of scrolling by as a warning.
     val w = Window.orderBy(col("n").desc, col("event_type"))
     Tables(spark, sfDir, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n"))

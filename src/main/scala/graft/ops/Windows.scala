@@ -161,8 +161,12 @@ object Windows extends QueryModule {
     // derived from part and joined back against it).
     val perPrice = part.select(col("p_retailprice").as("f_price"), col("p_size"))
       .groupBy("f_price").agg(max(col("p_size")).as("best_size"))
-    // Distinct prices only — no partitionBy is deliberate: the windowed
-    // set is the reduced per-price frontier, bounded by price cardinality.
+    // Distinct prices only — the global (single-partition) window is
+    // deliberate: the windowed set is the reduced per-price frontier,
+    // bounded by price cardinality. (A constant partition key would not
+    // help: Spark 4's EliminateWindowPartitions folds it away.) The
+    // plan golden pins gw=1 here; an accidental global window over a
+    // data-sized frame fails PlanGoldenSpec.
     val w = Window.orderBy(col("f_price")).rowsBetween(Window.unboundedPreceding, -1)
     val frontier = perPrice
       .withColumn("cheaper_best", max(col("best_size")).over(w))

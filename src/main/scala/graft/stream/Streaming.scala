@@ -711,7 +711,16 @@ object Streaming extends QueryModule {
     val doubled = side().union(side())
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    runToMemory(doubled, "append", statePartitionsFor(spark, sfDir))
+    // Dedup is a stateful FILTER, not an aggregation: every surviving row
+    // emits in the micro-batch it arrives in, so the trailing no-data
+    // micro-batch (watermark advance → state EVICTION only) adds a full
+    // state-store round without changing one output row. Off for the
+    // bounded run; a continuous deployment keeps it on so idle streams
+    // still evict. (The append-mode AGGREGATIONS — session/tumbling —
+    // need that batch to FLUSH results and keep it on.)
+    withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+      runToMemory(doubled, "append", statePartitionsFor(spark, sfDir))
+    }
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("event_type")
@@ -741,7 +750,14 @@ object Streaming extends QueryModule {
     val joined = clicks.join(views,
         expr("user_id = v_user AND view_ts <= click_ts AND view_ts > click_ts - INTERVAL 60 MINUTE"))
       .select(col("user_id"), col("click_id"), col("view_id"), col("click_ts"), col("view_ts"))
-    runToMemory(joined, "append", statePartitionsFor(spark, sfDir))
+    // INNER stream-stream join: matches emit in the data micro-batch that
+    // completes them; the trailing no-data batch only evicts buffered
+    // state (it emits nothing), so in a bounded run it is pure per-entry
+    // floor. Off here; the LEFT OUTER twin below keeps it on — there the
+    // no-data batch is what FLUSHES the null-extended unmatched tail.
+    withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+      runToMemory(joined, "append", statePartitionsFor(spark, sfDir))
+    }
       .orderBy("user_id", "click_id", "view_id")
   }
 

@@ -352,4 +352,62 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.length == 100 && got.sameElements(expect))
   }
+
+  /** Build the (node, l1, l2, l3) seed frame lpaMergeBatch expects —
+    * the in-memory twin of ensureLpaLabelsSeed.
+    */
+  private def lpaSeedOf(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Seq(l1, l2, l3) = Graph.lpaRoundLabels(base, 3)
+    l1.select(col("node"), col("lbl").as("l1"))
+      .join(l2.select(col("node"), col("lbl").as("l2")), "node")
+      .join(l3.select(col("node"), col("lbl").as("l3")), "node")
+  }
+
+  test("lpaMergeBatch: new edges, new nodes, and untouched nodes all equal the full rerun") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Two communities (a path and a triangle-ish cluster) plus a far
+    // pair the batch never reaches within 3 rounds.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 7L), (100L, 101L))
+      .flatMap(e => Seq(e, e.swap))
+    val baseDf = base.toDF("src", "dst")
+    val seed = lpaSeedOf(baseDf).persist()
+    // Batch: bridge the communities (3-5), attach a brand-new pair
+    // (9,10) to node 1 — vote-multiset changes, label pushes, and
+    // previously-unseen nodes at once.
+    val batch = Seq((3L, 5L), (9L, 1L), (9L, 10L)).flatMap(e => Seq(e, e.swap))
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labelsOf(Graph.lpaMergeBatch(seed, baseDf, batch.toDF("src", "dst")))
+    val full = labelsOf(Graph.lpaRoundLabels((base ++ batch).toDF("src", "dst"), 3).last)
+    assert(got == full)
+    // The delta property: nodes outside the batch's 3-round influence
+    // ball keep their seed labels (100/101 untouched by construction).
+    val seedL3 = labelsOf(seed.select(col("node"), col("l3").as("lbl")))
+    assert(got(100L) == seedL3(100L) && got(101L) == seedL3(101L))
+  }
+
+  test("lpaMergeBatch with an empty batch returns the seed labels unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, 2L), (2L, 3L)).flatMap(e => Seq(e, e.swap))
+    val baseDf = base.toDF("src", "dst")
+    val seed = lpaSeedOf(baseDf)
+    val got = Graph.lpaMergeBatch(seed, baseDf,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seedL3 = seed.select(col("node"), col("l3")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == seedL3)
+  }
+
+  test("q_lpa_incremental equals the from-scratch LPA rerun on the union graph") {
+    val got = SparkEntry.queries("q_lpa_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val union = Graph.prBaseEdges(spark, sf).unionByName(Graph.prBatchEdges(spark, sf))
+    val expect = Graph.labelPropOn(union).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(expect))
+  }
 }

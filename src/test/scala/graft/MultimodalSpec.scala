@@ -136,4 +136,48 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     // and the ingest-key ledger survived (pre-compaction replays stay no-ops)
     assert(graft.ext.Dedup.readIngestKeys(inc).contains("k1"))
   }
+
+  test("phash index rebuild: probe identical, single batch, ledgers correct, crash-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val a = docs.filter(col("doc_id") < 60)
+    val b = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+    val probe = Multimodal.sigsOf(spark, docs.filter(col("doc_id") >= 90))
+      .unionByName(Multimodal.renditionSigsOf(spark, docs.filter(col("doc_id") < 90), 10L))
+      .localCheckpoint(true)
+    def pairs(dir: String) =
+      Multimodal.probePhashIndex(spark, dir, probe).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val dir = graft.core.TempDirs.create("graft_phash_spec_rb")
+    Multimodal.writePhashIndex(spark, dir, a)
+    Multimodal.phashIndexAppend(spark, dir, b, ingestKey = Some("k1"))
+    val victim = pairs(dir).map(_._2).min
+    Multimodal.phashIndexDelete(spark, dir, Seq(victim).toDF("doc_id"))
+    val before = pairs(dir)
+
+    Multimodal.phashIndexRebuild(spark, dir, docs)
+    assert(pairs(dir) == before, "rebuild changed probe results")
+    assert(graft.ext.Dedup.readBatchManifest(dir).size == 1, "rebuild left several batches")
+    assert(graft.ext.Dedup.readTombstoneManifest(dir).isEmpty, "tombstone ledger not cleared")
+    // takedown is physical: the victim's signature is gone from the postings
+    val phys = spark.read.parquet(new java.io.File(dir, "postings").getPath)
+      .filter(col("doc_id") === victim).count()
+    assert(phys == 0L, "rebuild kept the tombstoned doc's postings")
+    // ledger survival: a pre-rebuild replay stays a no-op
+    assert(graft.ext.Dedup.readIngestKeys(dir).contains("k1"))
+    val manifest = graft.ext.Dedup.readBatchManifest(dir)
+    Multimodal.phashIndexAppend(spark, dir, b, ingestKey = Some("k1"))
+    assert(graft.ext.Dedup.readBatchManifest(dir) == manifest, "replay appended after rebuild")
+    assert(pairs(dir) == before, "replay changed probe results after rebuild")
+
+    // crash-safety: a staged-but-uncommitted rebuild is invisible and
+    // recoverable — simulate a build crashed before the swap began (an
+    // orphan .rebuild.* stage with garbage postings, no aside twin).
+    val staging = new java.io.File(dir, ".rebuild.crashed-spec")
+    new java.io.File(staging, "postings").mkdirs()
+    graft.core.StagedSwap.recover(dir, Multimodal.PhashLayoutSubs)
+    assert(!staging.exists(), "recover left the orphan staging dir")
+    assert(pairs(dir) == before, "recovery changed probe results")
+  }
 }
