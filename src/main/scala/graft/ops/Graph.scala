@@ -952,12 +952,17 @@ object Graph extends QueryModule {
         .filter(col("l_seed").isNull || col("lbl") =!= col("l_seed"))
         .select(col("node"), col("lbl"))
         .localCheckpoint(true)
+    // NOT checkpointed: A_k is consumed exactly once (the next round's
+    // recompute broadcasts it), and its plan is one join off the
+    // already-checkpointed Δ — shallow, so the analyzer-blowup concern
+    // that forces the per-round Δ checkpoints does not apply. Dropping
+    // the eager barrier here removes two serial jobs per merge.
     def nextAffected(delta: DataFrame): DataFrame = {
       val dB = broadcast(delta.select("node"))
       tEnds.unionByName(
         unionEdges.join(dB, unionEdges("src") === dB("node"))
           .select(col("dst").as("node")))
-        .distinct().localCheckpoint(true)
+        .distinct()
     }
     val empty = tEnds.select(col("node"), col("node").as("lbl")).limit(0)
     val d1 = diff(recompute(tEnds, empty, 0), 1)
