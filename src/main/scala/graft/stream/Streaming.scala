@@ -288,6 +288,16 @@ object Streaming extends QueryModule {
     runOnce() // batch 1: watermark advances to 11:50, committed to ckpt
     write(Seq(("2024-01-01 10:05:00", 99.0), ("2024-01-01 12:30:00", 1.0)), "b2")
     runOnce() // restart from ckpt: 10:05 is late vs the restored watermark -> dropped
+    // Tap the batch-tagged input — read back from the SAME parquet files
+    // the stream consumed — so DuckDB can recompute the watermark RULE
+    // from first principles: watermark = max(batch-1 ts) − the 10-minute
+    // delay; a batch-2 row survives iff its window END exceeds that
+    // restored watermark. This upgrades the entry from rows-only to a
+    // full oracle (the StreamingSpec exact-output pin stays as the
+    // restart-mechanics witness).
+    graft.ext.OracleTap(spark, "watermark_late_input",
+      spark.read.parquet(s"$in/b1").withColumn("batch", lit(1))
+        .unionByName(spark.read.parquet(s"$in/b2").withColumn("batch", lit(2))))
     spark.read.parquet(out)
       .groupBy(col("window_start"))
       .agg(max(col("n")).as("n")) // update mode re-emits; keep latest count
@@ -940,7 +950,24 @@ object Streaming extends QueryModule {
       SELECT user_id, session_start, n_events
       FROM agg, wm WHERE last_ts + INTERVAL 30 MINUTE <= w
       ORDER BY user_id, session_start""")),
-    "s_watermark_late" -> QueryDef(watermarkLate, None),
+    // Full oracle since r14: the input tap (written by the query from the
+    // same files the stream reads) lets DuckDB re-derive the late-drop
+    // decision itself — watermark = max(batch-1 ts) − 10 min, keep a
+    // batch-2 row iff its 1-hour window end exceeds it — instead of
+    // trusting the engine's drop. The update-mode re-emissions collapse
+    // to the final per-window count, which is exactly the count of
+    // accepted rows per window.
+    "s_watermark_late" -> QueryDef(watermarkLate, Some("""
+      WITH inp AS (
+        SELECT ts, batch
+        FROM read_parquet('/tmp/graft_oracle_aux/watermark_late_input/*.parquet')),
+      wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM inp WHERE batch = 1),
+      kept AS (
+        SELECT date_trunc('hour', ts) AS window_start FROM inp
+        WHERE batch = 1
+           OR date_trunc('hour', ts) + INTERVAL 1 HOUR > (SELECT w FROM wm))
+      SELECT window_start, count(*)::BIGINT AS n
+      FROM kept GROUP BY window_start ORDER BY window_start""")),
     "s_dedup_stateful" -> QueryDef(dedupStateful, Some("""
       SELECT user_id, event_id, event_type, round(value, 2) AS value, ts
       FROM (
