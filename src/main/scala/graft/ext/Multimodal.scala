@@ -572,6 +572,12 @@ object Multimodal extends QueryModule {
   private[graft] def phashIndexRebuild(spark: SparkSession, dir: String,
       corpus: DataFrame): Unit =
     graft.core.WriterLease.withLease(dir, "phash rebuild") {
+      // Heal any crashed PREVIOUS swap before reading manifest/postings —
+      // without this, a crash mid-swap (postings moved aside, manifest
+      // not yet) would have this rebuild read a half-swapped layout or
+      // miss the postings dir entirely. Every sibling op (append/delete/
+      // compact) recovers first for the same reason.
+      graft.core.StagedSwap.recover(dir, PhashLayoutSubs)
       val committed = Dedup.readBatchManifest(dir)
       val surviving0 = spark.read
         .parquet(new java.io.File(dir, "postings").getPath)
