@@ -23,6 +23,11 @@ object Bench {
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The certified configuration every other harness main (Verify,
+      // Profile, Receipts, Engine.session) pins: without it, TIMESTAMP_NTZ
+      // event normalization would follow the host zone and the benched
+      // work could diverge from what Verify certified on a non-UTC host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
       // Benched streaming entries run the PRODUCTION state store (RocksDB,

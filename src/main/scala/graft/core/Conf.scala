@@ -47,13 +47,17 @@ object Conf {
 
     def fullPath(key: String): String = (key :: stack).reverse.mkString(".")
 
-    // Strip a trailing # or // comment that is OUTSIDE quotes.
+    // Strip a trailing # or // comment that is OUTSIDE quotes. Inside
+    // quotes a backslash escapes the next character (so `"a\""` does not
+    // end the string at the escaped quote — without this, a quoted value
+    // containing \" would silently keep its trailing comment).
     def stripComment(line: String): String = {
       var inQuote = false
       var i = 0
       while (i < line.length) {
         val c = line.charAt(i)
-        if (c == '"') inQuote = !inQuote
+        if (inQuote && c == '\\') i += 1 // skip the escaped character
+        else if (c == '"') inQuote = !inQuote
         else if (!inQuote && (c == '#' ||
           (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
           return line.substring(0, i)
@@ -62,21 +66,37 @@ object Conf {
       line
     }
 
+    // Quoted values unescape \" and \\ (any other \x maps to x — the
+    // HOCON-subset contract; the reference config uses no escapes at all).
     def unquote(v: String): String = {
       val t = v.trim
-      if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
-        t.substring(1, t.length - 1)
-      else t
+      if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) {
+        val inner = t.substring(1, t.length - 1)
+        if (!inner.contains('\\')) inner
+        else {
+          val sb = new StringBuilder
+          var i = 0
+          while (i < inner.length) {
+            val c = inner.charAt(i)
+            if (c == '\\' && i + 1 < inner.length) {
+              sb.append(inner.charAt(i + 1)); i += 2
+            } else { sb.append(c); i += 1 }
+          }
+          sb.toString
+        }
+      } else t
     }
 
-    // First '=' or ':' outside quotes, -1 if none.
+    // First '=' or ':' outside quotes, -1 if none. Escape-aware like
+    // stripComment.
     def sepOutsideQuotes(line: String): Int = {
       var inQuote = false
       var found = -1
       var i = 0
       while (i < line.length && found < 0) {
         val c = line.charAt(i)
-        if (c == '"') inQuote = !inQuote
+        if (inQuote && c == '\\') i += 1
+        else if (c == '"') inQuote = !inQuote
         else if (!inQuote && (c == '=' || c == ':')) found = i
         i += 1
       }

@@ -93,14 +93,24 @@ object Tables {
     * table): the driver fixtures are read-only, spec fixtures write to
     * a FRESH TempDir per planting (a (dir, table) pair never changes
     * content within a session), and a regenerated /tmp scale replica is
-    * only read by short-lived receipt JVMs. Cleared never — entries are
-    * a handful of plan objects per session.
+    * only read by short-lived receipt JVMs. WEAKLY keyed on the session
+    * object so a stopped session's entries (and the plans pinning its
+    * SessionState) become collectable — a JVM that cycles many sessions
+    * (test suites, an embedding service) must not grow monotonically.
     */
-  private val catalog =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val catalog = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    catalog.computeIfAbsent((spark, sfDir, name), { _ =>
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = catalog.synchronized {
+      var m = catalog.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        catalog.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((sfDir, name), { _ =>
       // events.ts has shipped in different physical layouts across fixture
       // generations: TIMESTAMP(NANOS) (readable only as raw long via
       // nanosAsLong — Spark's vectorized reader rejects nanos outright) and
@@ -112,6 +122,7 @@ object Tables {
       if (name == "events") normalizeEventsTs(df)
       else df
     })
+  }
 
   /** Normalize every ts layout to session-zone TimestampType at
     * microsecond precision, so all downstream queries — and the DuckDB

@@ -56,9 +56,17 @@ object WriterLease {
 
   private def lockFile(dir: String) = new java.io.File(dir, ".writer.lock")
 
-  private def freshToken(): String =
-    s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} " +
+  private def freshToken(): String = {
+    val h = ProcessHandle.current()
+    // Record the process START time next to the pid: liveness checks
+    // compare it so a RECYCLED pid (same number, different process — a
+    // reboot or normal pid churn) can never impersonate a crashed
+    // holder and wedge the index forever.
+    val si = h.info().startInstant()
+    val start = if (si.isPresent) si.get.toEpochMilli else -1L
+    s"${h.pid()} $start ${System.currentTimeMillis()} " +
       java.util.UUID.randomUUID().toString
+  }
 
   private def tryTake(lock: java.io.File, token: String): Boolean =
     try {
@@ -73,13 +81,34 @@ object WriterLease {
     * return false so the staleness rule alone decides — never wedging
     * an index on a lock nobody can vouch for.
     */
-  private[graft] def holderAlive(lock: java.io.File): Boolean =
-    holder(lock).takeWhile(_ != ' ').toLongOption match {
+  private[graft] def holderAlive(lock: java.io.File): Boolean = {
+    val fields = holder(lock).split(" ")
+    fields.headOption.flatMap(_.toLongOption) match {
       case Some(pid) =>
         val h = ProcessHandle.of(pid)
-        h.isPresent && h.get.isAlive
+        if (!h.isPresent || !h.get.isAlive) false
+        else {
+          // Pid-recycling guard: a live process with this pid is THE
+          // holder only if its start time matches what the lock
+          // recorded (±2 s clock granularity). Either side unavailable
+          // → conservative (treat as the holder); a mismatch means the
+          // pid was recycled by an unrelated process, so the crashed
+          // writer's lock stays reclaimable instead of wedging the
+          // index until manual intervention.
+          val recorded =
+            if (fields.length >= 2) fields(1).toLongOption.filter(_ >= 0) else None
+          val actual = {
+            val si = h.get.info().startInstant()
+            if (si.isPresent) Some(si.get.toEpochMilli) else None
+          }
+          (recorded, actual) match {
+            case (Some(r), Some(a)) => math.abs(r - a) <= 2000
+            case _ => true
+          }
+        }
       case None => false
     }
+  }
 
   /** One heartbeat tick: refresh the lock's mtime iff it still carries
     * `token`. Checking first keeps a starved heartbeat from freshening

@@ -114,4 +114,16 @@ class ConfSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("escaped quotes inside quoted values survive comments and separators") {
+    val conf = Conf.parse(
+      """a {
+        |  pw = "x\"y" # trailing comment
+        |  eq = "a\"=\"b"
+        |  bs = "c\\d"
+        |}""".stripMargin)
+    assert(conf.getString("a.pw") == "x\"y")
+    assert(conf.getString("a.eq") == "a\"=\"b")
+    assert(conf.getString("a.bs") == "c\\d")
+  }
 }

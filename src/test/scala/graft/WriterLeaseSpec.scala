@@ -73,11 +73,14 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
   test("an mtime-stale lock whose holder pid is still ALIVE is never reclaimed") {
     val dir = graft.core.TempDirs.create("graft_lease_alivepid")
     val lock = lockOf(dir)
-    // A lock naming THIS live process, aged past the staleness bar:
-    // reclaim must refuse (the writer may be mid-mutation with a starved
-    // heartbeat) — stealing it would run two writers concurrently.
+    // A lock naming THIS live process (with ITS start time), aged past
+    // the staleness bar: reclaim must refuse (the writer may be
+    // mid-mutation with a starved heartbeat) — stealing it would run
+    // two writers concurrently.
+    val self = ProcessHandle.current()
+    val selfStart = self.info().startInstant().map[Long](_.toEpochMilli).orElse(-1L)
     java.nio.file.Files.write(lock.toPath,
-      s"${ProcessHandle.current().pid()} 0 overrunning".getBytes)
+      s"${self.pid()} $selfStart overrunning".getBytes)
     assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
     val e = intercept[IllegalStateException] {
       graft.core.WriterLease.withLease(dir, "test") { () }
@@ -85,6 +88,20 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("single-writer"))
     assert(lock.exists())
     java.nio.file.Files.delete(lock.toPath)
+  }
+
+  test("a stale lock whose pid was RECYCLED by another process is reclaimed") {
+    val dir = graft.core.TempDirs.create("graft_lease_recycled")
+    val lock = lockOf(dir)
+    // Same pid as a LIVE process (ours), but a start time that cannot be
+    // that process's: the crashed writer's pid was recycled. Liveness of
+    // the pid alone must not wedge the index — the start-time mismatch
+    // proves the holder is gone and the stale lock reclaims.
+    java.nio.file.Files.write(lock.toPath,
+      s"${ProcessHandle.current().pid()} 12345 recycled".getBytes)
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    graft.core.WriterLease.withLease(dir, "test") { () }
+    assert(!lock.exists())
   }
 
   test("heartbeat refreshes the lock mtime only while the token is ours") {
