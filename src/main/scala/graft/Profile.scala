@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Local profiling harness (not part of the driver contract): time selected
   * queries twice (cold/warm) to separate JIT/IO warmup from plan cost.
@@ -15,27 +14,19 @@ object Profile {
     val shm = graft.core.TempDirs.enableMeasurementScratch()
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
-    val builder0 = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
-      // The streaming entries verify through a MEMORY sink (a driver
-      // table) by harness design; at 100x an O(input)-output entry like
-      // s_scd2 emits ~10M rows, tripping the default 1g collect cap.
-      // Raising it here is a local-harness setting (128 GiB driver) —
-      // production sinks are files (s_pipeline), not driver memory.
-      .config("spark.driver.maxResultSize", "8g")
-      // Production state store + changelog checkpointing, same as
-      // Engine.session/Bench/Verify — profiles must measure the certified
-      // configuration.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", sys.env.getOrElse("GRAFT_CHANGELOG", "true"))
-    val spark = shm.fold(builder0)(r =>
-      builder0.config("spark.local.dir", s"$r/spark_local")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session conf lives in core.Harness (one certified base for all
+    // mains). Profile's deltas: big driver results (streaming entries
+    // verify through a memory sink; at 100x an O(input)-output entry
+    // like s_scd2 trips the 1g collect cap), the GRAFT_CHANGELOG A/B
+    // hook, the measurement scratch, and — preserved from its
+    // pre-consolidation conf — the DEFAULT codegen cache: Profile times
+    // a handful of plans per run, far under the default 100, so the
+    // sweep-sized 2000 is Bench/Verify's concern, not Profile's.
+    val spark = graft.core.Harness.session("32",
+      bigDriverResults = true,
+      changelog = sys.env.getOrElse("GRAFT_CHANGELOG", "true"),
+      codegenCache = None,
+      measurementScratch = shm)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>

@@ -37,33 +37,12 @@ object Receipts {
   private def session(): SparkSession = {
     // Same measurement substrate as Bench (see its disclosure).
     val shm = graft.core.TempDirs.enableMeasurementScratch()
-    val builder0 = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.driver.maxResultSize", "8g")
-      // Production state store, same as Engine.session/Bench/Verify.
-      // Codegen-cache sized to the workload (static conf, default 100):
-      // the registry compiles ~209 distinct plans, so the default cache
-      // LRU-evicts across a sweep — the class of recompile that forced
-      // the canary's own re-warm-up at >155 plans. Sweep totals measured
-      // noise-dominated either way; this is the root-cause fix for the
-      // eviction class, and how a production deployment running this
-      // query surface would size the cache.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Changelog checkpointing: commit the per-batch CHANGELOG instead of
-      // a full RocksDB snapshot — the recommended production pairing for the
-      // RocksDB provider, and what keeps its per-micro-batch constant cost
-      // flat at small state sizes.
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-    val spark = shm.fold(builder0)(r =>
-      builder0.config("spark.local.dir", s"$r/spark_local")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
+    // Session conf lives in core.Harness (one certified base for all
+    // mains). Receipts' deltas: big driver results (100x memory-sink
+    // receipts) + the measurement scratch.
+    graft.core.Harness.session("32",
+      bigDriverResults = true,
+      measurementScratch = shm)
   }
 
   private def time(label: String, df: => DataFrame): Unit =
@@ -73,6 +52,58 @@ object Receipts {
       val n = df.queryExecution.toRdd.count()
       println(f"[receipt] $label run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
+
+  /** The symmetric 2M-node ring + 50-chord batch the incremental-graph
+    * receipts (princ, lpainc) share: a sparse graph whose batch
+    * influence ball stays bounded, so the delta merges' shuffle records
+    * measure the OPERATOR discipline, not fixture noise. Edges and
+    * batch come back eagerly checkpointed (pre-materialized, the way a
+    * 100 TB deployment's bucketed edge table already is).
+    */
+  private def ringAndBatch(spark: SparkSession,
+      n: Long = 2000000L): (DataFrame, DataFrame) = {
+    val ring0 = spark.range(0, n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val base = ring0.unionByName(
+      ring0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val batch0 = spark.range(0, 50).select((col("id") * 40000).as("src"),
+      (col("id") * 40000 + 20000 + col("id")).as("dst"))
+    val batchSym = batch0.unionByName(
+      batch0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    (base, batchSym)
+  }
+
+  /** Shuffle-record meter the delta-vs-full receipts share (r15: it
+    * used to exist as two inline copies in princ and lpainc). Sums
+    * shuffle WRITE records across completed stages around an action;
+    * the drain is a deterministic listener-bus wait (not a fixed
+    * sleep) — stage-end events still in flight when the action returns
+    * would truncate, or bleed into, the printed counts under load.
+    */
+  private final class ShuffleMeter(spark: SparkSession) {
+    private val recs = new java.util.concurrent.atomic.AtomicLong
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    private def drainBus(): Unit =
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
+    def measure(label: String, df: => DataFrame): Unit = {
+      drainBus(); recs.set(0L)
+      val t0 = System.nanoTime()
+      val cnt = df.queryExecution.toRdd.count()
+      drainBus()
+      println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        s"($cnt rows, ${recs.get()} shuffle records)")
+    }
+    def close(): Unit = spark.sparkContext.removeSparkListener(listener)
+  }
 
   def main(args: Array[String]): Unit = args(0) match {
 
@@ -767,18 +798,7 @@ object Receipts {
       // every node's contribution through 3 groupBy(dst) exchanges; the
       // delta-push merge exchanges only the batch's bounded-hop frontier.
       // Both wall-clock and actual shuffle-write records are stamped.
-      import org.apache.spark.sql.functions._
-      val n = 2000000L
-      val ring0 = spark.range(0, n).select(col("id").as("src"),
-        ((col("id") + 1) % n).as("dst"))
-      val base = ring0.unionByName(
-        ring0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-      val batch = spark.range(0, 50).select((col("id") * 40000).as("src"),
-        (col("id") * 40000 + 20000 + col("id")).as("dst"))
-      val batchSym = batch.unionByName(
-        batch.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
+      val (base, batchSym) = ringAndBatch(spark)
       val Seq(r1, r2, r3) = graft.ops.Graph.prUnnormRanks(base, 3, eager = true)
       val seed = base.groupBy("src").agg(count(lit(1)).cast("double").as("outdeg"))
         .select(col("src").as("node"), col("outdeg"))
@@ -786,35 +806,14 @@ object Receipts {
         .join(r2.select(col("node"), col("r").as("r2")), "node")
         .join(r3.select(col("node"), col("r").as("r3")), "node")
         .localCheckpoint(true)
-      val recs = new java.util.concurrent.atomic.AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          ()
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      // Deterministic listener-bus drain (not a fixed sleep): stage-end
-      // events still in flight when the action returns would truncate —
-      // or bleed into — the printed shuffle counts under load.
-      def drainBus(): Unit =
-        org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
-      def measure(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
-        drainBus(); recs.set(0L)
-        val t0 = System.nanoTime()
-        val cnt = df.queryExecution.toRdd.count()
-        drainBus()
-        println(f"[receipt] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
-          s"($cnt rows, ${recs.get()} shuffle records)")
-      }
-      measure("delta-push merge (2M-node ring, 50-chord batch)",
+      val meter = new ShuffleMeter(spark)
+      meter.measure("delta-push merge (2M-node ring, 50-chord batch)",
         graft.ops.Graph.prMergeBatch(seed, base, batchSym)
           .orderBy(col("r").desc).limit(100))
-      measure("full 3-iter recompute (2M-node ring union)",
+      meter.measure("full 3-iter recompute (2M-node ring union)",
         graft.ops.Graph.prUnnormRanks(base.unionByName(batchSym), 3).last
           .orderBy(col("r").desc).limit(100))
-      spark.sparkContext.removeSparkListener(listener)
+      meter.close()
       spark.stop()
 
     case "phashingest" =>
@@ -1383,47 +1382,16 @@ object Receipts {
       println(f"[receipt] lpa seed (one-time, untimed economics): ${(System.nanoTime() - t0) / 1e9}%.2f s")
       time("q_lpa_incremental (entry, incl. edge projection)",
         SparkEntry.queries("q_lpa_incremental")(spark, sfDir))
-      import org.apache.spark.sql.functions._
-      val n = 2000000L
-      val ring0 = spark.range(0, n).select(col("id").as("src"),
-        ((col("id") + 1) % n).as("dst"))
-      val base = ring0.unionByName(
-        ring0.select(col("dst").as("src"), col("src").as("dst")))
+      val (base, batchSym) = ringAndBatch(spark)
+      val seed = graft.ops.Graph.lpaSeedFrame(
+        graft.ops.Graph.lpaRoundLabels(base, 3, eager = true))
         .localCheckpoint(true)
-      val batch0 = spark.range(0, 50).select((col("id") * 40000).as("src"),
-        (col("id") * 40000 + 20000 + col("id")).as("dst"))
-      val batchSym = batch0.unionByName(
-        batch0.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true)
-      val Seq(l1, l2, l3) = graft.ops.Graph.lpaRoundLabels(base, 3, eager = true)
-      val seed = l1.select(col("node"), col("lbl").as("l1"))
-        .join(l2.select(col("node"), col("lbl").as("l2")), "node")
-        .join(l3.select(col("node"), col("lbl").as("l3")), "node")
-        .localCheckpoint(true)
-      val recs = new java.util.concurrent.atomic.AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          recs.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          ()
-        }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      def drainBus(): Unit =
-        org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
-      def measure(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
-        drainBus(); recs.set(0L)
-        val t0m = System.nanoTime()
-        val cnt = df.queryExecution.toRdd.count()
-        drainBus()
-        println(f"[receipt] $label: ${(System.nanoTime() - t0m) / 1e9}%.2f s " +
-          s"($cnt rows, ${recs.get()} shuffle records)")
-      }
-      measure("delta-LPA merge (2M-node ring, 50-chord batch)",
+      val meter = new ShuffleMeter(spark)
+      meter.measure("delta-LPA merge (2M-node ring, 50-chord batch)",
         graft.ops.Graph.lpaMergeBatch(seed, base, batchSym))
-      measure("full 3-round LPA (2M-node ring union)",
+      meter.measure("full 3-round LPA (2M-node ring union)",
         graft.ops.Graph.lpaRoundLabels(base.unionByName(batchSym), 3).last)
-      spark.sparkContext.removeSparkListener(listener)
+      meter.close()
       spark.stop()
 
     case "phash" =>

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Local scale-up harness (not part of the driver contract): replicate the
@@ -17,11 +17,12 @@ object ScaleGen {
     val onlyTables: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session conf lives in core.Harness (one certified base for all
+    // mains). ScaleGen's deltas: no 4m split cap (it writes replicas;
+    // source-read split width is irrelevant), no streaming state store /
+    // codegen sizing.
+    val spark = graft.core.Harness.session("32",
+      splitSmallFiles = false, certifiedStreaming = false, codegenCache = None)
 
     def replicate(name: String, keyCols: Seq[String]): Unit = if (wanted(name)) {
       val df = core.Tables(spark, src, name)

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -7,31 +6,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "4m") // fixtures are single small files; split for scan parallelism
-      // Same production state store as Engine.session/Bench: correctness
-      // is certified on the configuration that runs at scale.
-      // Codegen-cache sized to the workload (static conf, default 100):
-      // the registry compiles ~209 distinct plans, so the default cache
-      // LRU-evicts across a sweep — the class of recompile that forced
-      // the canary's own re-warm-up at >155 plans. Sweep totals measured
-      // noise-dominated either way; this is the root-cause fix for the
-      // eviction class, and how a production deployment running this
-      // query surface would size the cache.
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Changelog checkpointing: commit the per-batch CHANGELOG instead of
-      // a full RocksDB snapshot — the recommended production pairing for the
-      // RocksDB provider, and what keeps its per-micro-batch constant cost
-      // flat at small state sizes.
-      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session conf lives in core.Harness (one certified base for all
+    // mains); Verify runs the base exactly — correctness is certified on
+    // the configuration that runs at scale.
+    val spark = graft.core.Harness.session(cpus)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter for local iteration; the
     // driver never sets it, so the driver always gets the full dump.

@@ -66,8 +66,11 @@ object Conf {
       line
     }
 
-    // Quoted values unescape \" and \\ (any other \x maps to x — the
-    // HOCON-subset contract; the reference config uses no escapes at all).
+    // Quoted values unescape \" and \\ ONLY; any other backslash
+    // sequence passes through verbatim (ADVICE r14: collapsing every
+    // \x to x silently mangled literal backslashes — "C:\temp" became
+    // "C:temp", the regex "\d+" became "d+"). The HOCON-subset
+    // contract; the reference config uses no escapes at all.
     def unquote(v: String): String = {
       val t = v.trim
       if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) {
@@ -78,7 +81,8 @@ object Conf {
           var i = 0
           while (i < inner.length) {
             val c = inner.charAt(i)
-            if (c == '\\' && i + 1 < inner.length) {
+            if (c == '\\' && i + 1 < inner.length &&
+                (inner.charAt(i + 1) == '"' || inner.charAt(i + 1) == '\\')) {
               sb.append(inner.charAt(i + 1)); i += 2
             } else { sb.append(c); i += 1 }
           }

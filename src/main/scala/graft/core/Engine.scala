@@ -93,24 +93,16 @@ object Tables {
     * table): the driver fixtures are read-only, spec fixtures write to
     * a FRESH TempDir per planting (a (dir, table) pair never changes
     * content within a session), and a regenerated /tmp scale replica is
-    * only read by short-lived receipt JVMs. WEAKLY keyed on the session
-    * object so a stopped session's entries (and the plans pinning its
-    * SessionState) become collectable — a JVM that cycles many sessions
-    * (test suites, an embedding service) must not grow monotonically.
+    * only read by short-lived receipt JVMs. Entries are evicted when
+    * their session's context stops (SessionCache's stop listener) — the
+    * weak keying this replaces could never collect anything, because
+    * each cached plan strongly referenced the session it was keyed by
+    * (ADVICE r14).
     */
-  private val catalog = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private val catalog = new SessionCache[(String, String), DataFrame]
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = catalog.synchronized {
-      var m = catalog.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        catalog.put(spark, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent((sfDir, name), { _ =>
+    catalog.getOrBuild(spark, (sfDir, name)) {
       // events.ts has shipped in different physical layouts across fixture
       // generations: TIMESTAMP(NANOS) (readable only as raw long via
       // nanosAsLong — Spark's vectorized reader rejects nanos outright) and
@@ -121,7 +113,7 @@ object Tables {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (name == "events") normalizeEventsTs(df)
       else df
-    })
+    }
   }
 
   /** Normalize every ts layout to session-zone TimestampType at
@@ -147,15 +139,28 @@ object Tables {
     * sweeps through r11 recorded ~0.05 s no-op timings for the
     * document/supplier/embedding streaming entries; caught r12).
     */
-  def streamTable(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val f = new java.io.File(sfDir, s"$table.parquet")
+  def streamTable(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    batchAndStream(spark, sfDir, s"$table.parquet")._2
+
+  /** The ONE implementation of the file-vs-directory dispatch (r15: it
+    * used to exist here AND inline in ext.Similarity.annIngestPipeline —
+    * the ScaleGen-directory bug class was fixed in two places). Resolves
+    * `leaf` (a literal file name or a glob) under `srcDir` to a
+    * (static read, stream read) pair over the same files: callers that
+    * need both — the ANN ingest pipeline seeds its index from the
+    * static half and streams the rest — must get them from one dispatch
+    * or the two halves can diverge on layout.
+    */
+  def batchAndStream(spark: SparkSession, srcDir: String,
+      leaf: String): (DataFrame, DataFrame) = {
+    val f = new java.io.File(srcDir, leaf)
     if (f.isDirectory) {
-      val schema = spark.read.parquet(f.getPath).schema
-      spark.readStream.schema(schema).parquet(f.getPath)
+      val s = spark.read.parquet(f.getPath)
+      (s, spark.readStream.schema(s.schema).parquet(f.getPath))
     } else {
-      val glob = s"$table.parquet"
-      val schema = spark.read.option("pathGlobFilter", glob).parquet(sfDir).schema
-      spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(sfDir)
+      val s = spark.read.option("pathGlobFilter", leaf).parquet(srcDir)
+      (s, spark.readStream.schema(s.schema)
+        .option("pathGlobFilter", leaf).parquet(srcDir))
     }
   }
 }

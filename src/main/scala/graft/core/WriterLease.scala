@@ -95,8 +95,17 @@ object WriterLease {
           // pid was recycled by an unrelated process, so the crashed
           // writer's lock stays reclaimable instead of wedging the
           // index until manual intervention.
+          //
+          // Format versioning (ADVICE r14): the start time is field 2 of
+          // the FOUR-field token `pid start millis uuid`; the legacy
+          // three-field token was `pid millis uuid`, whose field 2 is a
+          // creation timestamp that would always fail the ±2 s match —
+          // declaring a LIVE old-binary holder dead and re-admitting the
+          // two-concurrent-writers case the guard exists to close. A
+          // start-time mismatch is conclusive only on >=4-field tokens;
+          // shorter tokens fall back to pid-liveness alone.
           val recorded =
-            if (fields.length >= 2) fields(1).toLongOption.filter(_ >= 0) else None
+            if (fields.length >= 4) fields(1).toLongOption.filter(_ >= 0) else None
           val actual = {
             val si = h.get.info().startInstant()
             if (si.isPresent) Some(si.get.toEpochMilli) else None

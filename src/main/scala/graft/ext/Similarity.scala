@@ -2387,18 +2387,12 @@ object Similarity extends QueryModule {
       seedFrom: Option[String] = None): DataFrame = {
     val dir = seedFrom.fold(graft.core.TempDirs.create("graft_ann_ingest"))(
       scratchIvfFromSeed(_, "graft_ann_ingest"))
-    // Layout-robust source (same dispatch as Tables.streamTable): the
-    // table is a single FILE on driver fixtures, a DIRECTORY on
-    // ScaleGen replicas — the glob form matches zero leaves on a dir.
-    val tableDir = new java.io.File(srcDir, glob)
-    val (stat, stream0) = if (tableDir.isDirectory) {
-      val s = spark.read.parquet(tableDir.getPath)
-      (s, spark.readStream.schema(s.schema).parquet(tableDir.getPath))
-    } else {
-      val s = spark.read.option("pathGlobFilter", glob).parquet(srcDir)
-      (s, spark.readStream.schema(s.schema)
-        .option("pathGlobFilter", glob).parquet(srcDir))
-    }
+    // Layout-robust source: the table is a single FILE on driver
+    // fixtures, a DIRECTORY on ScaleGen replicas — the glob form matches
+    // zero leaves on a dir. The dispatch is Tables.batchAndStream, the
+    // SAME code path streamTable uses (r15: this used to be an inline
+    // twin, so the ScaleGen-directory bug class was fixed in two places).
+    val (stat, stream0) = graft.core.Tables.batchAndStream(spark, srcDir, glob)
     if (seedFrom.isEmpty)
       writeIvfIndex(spark, dir, stat.filter(col("vec_id") < cut),
         train = Some(stat.filter(col("vec_id") < cut && col("vec_id") =!= 0)))

@@ -87,45 +87,33 @@ object Graph extends QueryModule {
     * already-materialized bucketed edge tables — not per-query distinct
     * scans. The first entry touching a (session, fixture, kind) key
     * pays the projection once (eager localCheckpoint, edge-sized,
-    * lineage-free); the rest of the sweep reuses it. WEAKLY keyed on the
-    * session object: a stopped session's entries become collectable with
-    * the session (no pinning of dead SparkContexts across a long-lived
-    * JVM, and no identity-hash collision can hand a new session a frame
-    * bound to a stopped context).
+    * lineage-free); the rest of the sweep reuses it. Entries are evicted
+    * when their session's context stops (SessionCache's stop listener) —
+    * the weak keying this replaces could never collect anything, because
+    * each cached frame strongly referenced the session it was keyed by
+    * (ADVICE r14); the checkpointed blocks die with the context either
+    * way, the map entry now goes with them.
     */
-  private val edgeMemo = new java.util.WeakHashMap[SparkSession,
-    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  private val edgeMemo = new graft.core.SessionCache[(String, String), DataFrame]
 
   private def memoEdges(spark: SparkSession, sfDir: String, kind: String)(
-      build: => DataFrame): DataFrame = {
-    val perSession = edgeMemo.synchronized {
-      var m = edgeMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        edgeMemo.put(spark, m)
-      }
-      m
-    }
-    val k = (sfDir, kind)
-    val cur = perSession.get(k)
-    if (cur != null) cur
-    else {
-      // Deterministic layout: the memo stands in for a production
-      // materialized bucketed edge table, whose layout cannot depend on
-      // which query touched it first — so the build always runs under the
-      // fact-sized shuffle width with AQE on, shielding it from any
-      // caller's scoped confs (the incremental merges scope
-      // partitions=8 / AQE-off around their rounds).
-      val built = graft.core.SessionConf.scoped(spark,
+      build: => DataFrame): DataFrame =
+    // Racy variant: the build runs a JOB (eager localCheckpoint), which
+    // must not execute under the cache's bin lock. Deterministic layout:
+    // the memo stands in for a production materialized bucketed edge
+    // table, whose layout cannot depend on which query touched it first —
+    // so the build always runs under the fact-sized shuffle width with
+    // AQE on, shielding it from any caller's scoped confs (the
+    // incremental merges scope partitions=8 / AQE-off around their
+    // rounds).
+    edgeMemo.getOrBuildRacy(spark, (sfDir, kind)) {
+      graft.core.SessionConf.scoped(spark,
           "spark.sql.shuffle.partitions", ccPartitionsFor(spark, sfDir).toString) {
         graft.core.SessionConf.scoped(spark, "spark.sql.adaptive.enabled", "true") {
           build.localCheckpoint(true)
         }
       }
-      val prev = perSession.putIfAbsent(k, built)
-      if (prev != null) prev else built
     }
-  }
 
   /** Pre-materialize the session's edge projections (the production
     * "already-bucketed edge tables"). Bench calls this in its untimed
@@ -909,16 +897,23 @@ object Graph extends QueryModule {
     if (!marker.exists()) {
       graft.core.Warehouse.deleteRecursively(dir)
       dir.mkdirs()
-      val Seq(l1, l2, l3) = lpaRoundLabels(prBaseEdges(spark, sfDir), 3, eager = true)
-      l1.select(col("node"), col("lbl").as("l1"))
-        .join(l2.select(col("node"), col("lbl").as("l2")), "node")
-        .join(l3.select(col("node"), col("lbl").as("l3")), "node")
+      lpaSeedFrame(lpaRoundLabels(prBaseEdges(spark, sfDir), 3, eager = true))
         .write.mode("overwrite").parquet(path)
       java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
       ()
     }
     path
   }
+
+  /** Zip per-round LPA labels into the (node, l1..lk) seed frame
+    * [[lpaMergeBatch]] expects — THE implementation (r15: it used to
+    * exist in three copies — [[ensureLpaLabelsSeed]], Receipts' ring
+    * receipt, GraphSpec's in-memory twin).
+    */
+  private[graft] def lpaSeedFrame(labels: Seq[DataFrame]): DataFrame =
+    labels.zipWithIndex.map { case (l, i) =>
+      l.select(col("node"), col("lbl").as(s"l${i + 1}"))
+    }.reduce(_.join(_, "node"))
 
   /** Delta LPA: fold a SYMMETRIC edge batch (new edges only — LPA votes
     * count multiplicity, so the batch must be pre-deduped against the

@@ -58,6 +58,23 @@ class ConfSpec extends AnyFunSuite {
     assert(c.getString("suffix") == "x{")
   }
 
+  test("quoted values keep literal backslashes; only \\\" and \\\\ unescape (ADVICE r14)") {
+    // Regression pin: collapsing EVERY \x escape to x mangled values
+    // with literal backslashes — a Windows path lost its separator, a
+    // regex lost its class marker. Unknown escapes now pass through
+    // verbatim; the two defined escapes still unescape.
+    val text =
+      "win = \"C:\\temp\"\n" +     // literal backslash, not an escape
+      "re = \"\\d+\"\n" +          // regex stays intact
+      "q = \"a\\\"b\"\n" +         // \" -> "
+      "bs = \"a\\\\b\"\n"          // \\ -> \
+    val c = Conf.parse(text)
+    assert(c.getString("win") == "C:\\temp")
+    assert(c.getString("re") == "\\d+")
+    assert(c.getString("q") == "a\"b")
+    assert(c.getString("bs") == "a\\b")
+  }
+
   test("bundled engine.conf loads from the classpath and feeds Engine") {
     val c = Conf.load()
     assert(c.getString("kafka.topic") == "qfbap_ods.code_city")

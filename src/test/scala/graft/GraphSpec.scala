@@ -354,15 +354,11 @@ class GraphSpec extends AnyFunSuite with SparkTest {
   }
 
   /** Build the (node, l1, l2, l3) seed frame lpaMergeBatch expects —
-    * the in-memory twin of ensureLpaLabelsSeed.
+    * the in-memory twin of ensureLpaLabelsSeed, through the SAME
+    * lpaSeedFrame zip (r15: this used to be a third inline copy).
     */
-  private def lpaSeedOf(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
-    val Seq(l1, l2, l3) = Graph.lpaRoundLabels(base, 3)
-    l1.select(col("node"), col("lbl").as("l1"))
-      .join(l2.select(col("node"), col("lbl").as("l2")), "node")
-      .join(l3.select(col("node"), col("lbl").as("l3")), "node")
-  }
+  private def lpaSeedOf(base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Graph.lpaSeedFrame(Graph.lpaRoundLabels(base, 3))
 
   test("lpaMergeBatch: new edges, new nodes, and untouched nodes all equal the full rerun") {
     import spark.implicits._

@@ -80,7 +80,7 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
     val self = ProcessHandle.current()
     val selfStart = self.info().startInstant().map[Long](_.toEpochMilli).orElse(-1L)
     java.nio.file.Files.write(lock.toPath,
-      s"${self.pid()} $selfStart overrunning".getBytes)
+      s"${self.pid()} $selfStart ${System.currentTimeMillis()} overrunning".getBytes)
     assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
     val e = intercept[IllegalStateException] {
       graft.core.WriterLease.withLease(dir, "test") { () }
@@ -96,12 +96,35 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
     // Same pid as a LIVE process (ours), but a start time that cannot be
     // that process's: the crashed writer's pid was recycled. Liveness of
     // the pid alone must not wedge the index — the start-time mismatch
-    // proves the holder is gone and the stale lock reclaims.
+    // proves the holder is gone and the stale lock reclaims. The token
+    // must be the full 4-field format: only there is field 2 a start
+    // time by contract.
     java.nio.file.Files.write(lock.toPath,
-      s"${ProcessHandle.current().pid()} 12345 recycled".getBytes)
+      s"${ProcessHandle.current().pid()} 12345 67890 recycled".getBytes)
     assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
     graft.core.WriterLease.withLease(dir, "test") { () }
     assert(!lock.exists())
+  }
+
+  test("a LEGACY 3-field token of a live pid is never start-time-matched (ADVICE r14)") {
+    val dir = graft.core.TempDirs.create("graft_lease_legacy")
+    val lock = lockOf(dir)
+    // Pre-upgrade token format was `pid millis uuid`: its field 2 is a
+    // CREATION timestamp, which can never match the holder's process
+    // start time. Parsing it as a start time would declare a live but
+    // heartbeat-starved old-binary writer dead and reclaim its lock —
+    // exactly the two-concurrent-writers case the alive-pid rule
+    // protects. A 3-field token must fall back to pid-liveness alone:
+    // the pid is alive (it is ours) → refuse reclaim.
+    java.nio.file.Files.write(lock.toPath,
+      s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()} legacyuuid".getBytes)
+    assert(lock.setLastModified(System.currentTimeMillis() - 11L * 60 * 1000))
+    val e = intercept[IllegalStateException] {
+      graft.core.WriterLease.withLease(dir, "test") { () }
+    }
+    assert(e.getMessage.contains("single-writer"))
+    assert(lock.exists())
+    java.nio.file.Files.delete(lock.toPath)
   }
 
   test("heartbeat refreshes the lock mtime only while the token is ours") {
