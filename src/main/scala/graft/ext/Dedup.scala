@@ -88,6 +88,60 @@ object Dedup extends QueryModule {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** URL-level dedup + per-host caps — the web-corpus front door
+    * UPSTREAM of [[dedupNormalized]]: crawls re-fetch the same resource
+    * under scheme/case/trailing-slash/tracking-param variants, so the
+    * cheap first pass canonicalizes the URL (force https, lowercase
+    * host, strip the trailing slash, drop the utm_*, fbclid, gclid and
+    * ref params, sort the rest) and keeps one doc per canonical URL
+    * plus at most K
+    * docs per host (hostile hosts flood a crawl; the cap is the standard
+    * C4/RefinedWeb-style guard). The fixtures carry no URL column, so
+    * the raw URLs derive DETERMINISTICALLY from (doc_id, source) inside
+    * the query — four planted variant classes that the normalizer must
+    * collapse — with the identical expression on the oracle side; the
+    * operator under test is the normalize→dedup→cap pipeline, not the
+    * synthesis. Scale shape: normalization is row-local; the dedup
+    * groupBy shuffles canonical-URL keys once; the host cap is one
+    * host-keyed window bounded by the cap itself (a cluster-sized K
+    * would take the partial-top-k path q_topk_per_group documents).
+    */
+  private def urlDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val canon = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("raw", expr("""
+        CASE CAST(doc_id % 4 AS INT)
+          WHEN 0 THEN concat('https://', source, '.example.com/p/',
+            CAST(doc_id % 25 AS STRING))
+          WHEN 1 THEN concat('http://', source, '.example.com/p/',
+            CAST(doc_id % 25 AS STRING), '?utm_source=rss')
+          WHEN 2 THEN concat('HTTPS://', upper(source), '.Example.COM/p/',
+            CAST(doc_id % 25 AS STRING), '/')
+          ELSE concat('https://', source, '.example.com/p/',
+            CAST(doc_id % 25 AS STRING), '?id=', CAST(doc_id % 5 AS STRING),
+            '&utm_campaign=x&ref=tw')
+        END"""))
+      .withColumn("host",
+        lower(regexp_extract(col("raw"), "^[a-zA-Z]+://([^/?]+)", 1)))
+      .withColumn("path", regexp_replace(
+        regexp_extract(col("raw"), "^[a-zA-Z]+://[^/?]+([^?]*)", 1), "/$", ""))
+      .withColumn("qs", regexp_extract(col("raw"), "\\?(.*)$", 1))
+      .withColumn("kept", expr(
+        """array_join(array_sort(filter(split(qs, '&'),
+          p -> p != '' AND NOT startswith(p, 'utm_')
+            AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))), '&')"""))
+      .withColumn("url", concat(lit("https://"), col("host"), col("path"),
+        when(col("kept") === "", lit("")).otherwise(concat(lit("?"), col("kept")))))
+      .groupBy(col("host"), col("url"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col("doc_id"))
+    canon.withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .select(col("host"), col("rn"), col("doc_id"), col("url"), col("n_copies"))
+      .orderBy("host", "rn")
+  }
+
   private def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // Exact word-set Jaccard on a bounded pair set (doc_id < 100) — the
     // ground-truth twin of the MinHash estimate below; top-20 most similar
@@ -1133,6 +1187,45 @@ object Dedup extends QueryModule {
       SELECT md5(norm) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n_copies
       FROM n GROUP BY md5(norm) ORDER BY keep_id""")),
+    "q_url_dedup" -> QueryDef(urlDedup, Some("""
+      WITH r AS (
+        SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN 'https://' || source || '.example.com/p/' ||
+            CAST(doc_id % 25 AS VARCHAR)
+          WHEN 1 THEN 'http://' || source || '.example.com/p/' ||
+            CAST(doc_id % 25 AS VARCHAR) || '?utm_source=rss'
+          WHEN 2 THEN 'HTTPS://' || upper(source) || '.Example.COM/p/' ||
+            CAST(doc_id % 25 AS VARCHAR) || '/'
+          ELSE 'https://' || source || '.example.com/p/' ||
+            CAST(doc_id % 25 AS VARCHAR) || '?id=' || CAST(doc_id % 5 AS VARCHAR) ||
+            '&utm_campaign=x&ref=tw'
+        END AS raw FROM documents),
+      n AS (
+        SELECT doc_id,
+          lower(regexp_extract(raw, '^[a-zA-Z]+://([^/?]+)', 1)) AS host,
+          regexp_replace(regexp_extract(raw, '^[a-zA-Z]+://[^/?]+([^?]*)', 1),
+            '/$', '') AS path,
+          regexp_extract(raw, '\?(.*)$', 1) AS qs
+        FROM r),
+      k AS (
+        SELECT doc_id, host,
+          'https://' || host || path ||
+            CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS url
+        FROM (
+          SELECT *, coalesce(list_aggr(list_sort(list_filter(string_split(qs, '&'),
+              p -> p != '' AND NOT starts_with(p, 'utm_')
+                AND NOT list_contains(['fbclid', 'gclid', 'ref'],
+                  string_split(p, '=')[1]))), 'string_agg', '&'), '') AS kept
+          FROM n) f),
+      c AS (
+        SELECT host, url, min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM k GROUP BY host, url),
+      w AS (
+        SELECT host, url, doc_id, n_copies,
+               row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        FROM c)
+      SELECT host, rn, doc_id, url, n_copies FROM w
+      WHERE rn <= 3 ORDER BY host, rn""")),
     "q_ngram_jaccard" -> QueryDef(ngramJaccard, Some("""
       WITH d AS (
         SELECT doc_id, list_distinct(string_split(text, ' ')) AS w

@@ -271,6 +271,123 @@ object TextAnalysis extends QueryModule {
       .limit(20)
   }
 
+  private val BpeRounds = 5
+  private val BpeVocabCap = 1000
+  // One fresh single-char alias per merge round; uppercase can never
+  // collide with the [a-z]+ vocabulary.
+  private val BpeAliases = "ABCDE"
+
+  /** BPE merge-pair mining — the tokenizer-construction leg between
+    * [[collocations]] (PMI phrase signal) and Corpus.packSequences
+    * (token packing): K rounds of most-frequent-adjacent-symbol-pair
+    * merging (Sennrich et al. 2016) over the CAPPED word-frequency
+    * vocabulary. BPE trainers run on the word-frequency table, never
+    * the corpus — at 100 TB the corpus-sized leg is ONE tokenizing scan
+    * + a vocabulary-sized groupBy; every merge round after touches only
+    * the ≤[[BpeVocabCap]]-row vocab. Symbols stay SINGLE CHARS
+    * throughout (each merge assigns the winning pair a fresh alias
+    * char), which makes `replace`'s left-to-right non-overlapping
+    * substitution exactly BPE's greedy merge with no multi-char
+    * boundary ambiguity; the output expands aliases back to text. The
+    * per-round argmax is a ONE-row collect (contract-bounded, the
+    * k-means-centroid pattern); ties break (count desc, pair asc) so
+    * the merge sequence is total-order deterministic — the DuckDB
+    * oracle replays all K rounds as chained CTEs (the LPA-round oracle
+    * pattern) and must hash-match.
+    */
+  private def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    var vocab = Tables(spark, sfDir, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(BpeVocabCap)
+      .select(col("w").as("sym"), col("freq"))
+      // Vocab-sized and iterated K times: checkpoint so each round's
+      // argmax job starts from the materialized table, not a fresh
+      // corpus scan per round.
+      .localCheckpoint(true)
+    val expansion = scala.collection.mutable.Map.empty[String, String]
+    def expand(s: String): String = expansion.getOrElse(s, s)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var k = 0
+    var exhausted = false
+    while (k < BpeRounds && !exhausted) {
+      val top = vocab
+        // Pre-filter BEFORE the position explode: sequence(1, 0) is
+        // DESCENDING in Spark, not empty.
+        .filter(length(col("sym")) >= 2)
+        .select(col("freq"), col("sym"),
+          explode(expr("sequence(1, length(sym) - 1)")).as("i"))
+        .select(col("freq"),
+          expr("substr(sym, i, 1)").as("l"),
+          expr("substr(sym, i + 1, 1)").as("r"))
+        .groupBy("l", "r").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // tiny spec corpora can run dry early
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val alias = BpeAliases(k).toString
+        expansion(alias) = expand(l) + expand(r)
+        vocab = vocab.select(
+          expr(s"replace(sym, '$l$r', '$alias')").as("sym"), col("freq"))
+        merges += ((k + 1, expand(l), expand(r), expansion(alias), n))
+        k += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_n")
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of [[bpeMerges]], generated round by round so the SQL
+    * stays mechanically parallel to the Spark loop: v_k = vocab after k
+    * merges, p_k = pair counts, m_k = the argmax merge, e_k = alias k's
+    * fully-expanded text (earlier aliases substituted, so later replaces
+    * compose in any order).
+    */
+  private def bpeOracleSql: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v0 AS (
+      SELECT w AS sym, freq FROM (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) u
+        GROUP BY w ORDER BY freq DESC, w LIMIT $BpeVocabCap) c)"""
+    for (k <- 0 until BpeRounds) {
+      sb ++= s""",
+      p$k AS (
+        SELECT substr(sym, CAST(i AS INTEGER), 1) AS l,
+               substr(sym, CAST(i + 1 AS INTEGER), 1) AS r,
+               sum(freq) AS n
+        FROM v$k, unnest(range(1, length(sym))) AS t(i)
+        GROUP BY 1, 2),
+      m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1)"""
+      if (k + 1 < BpeRounds) sb ++= s""",
+      v${k + 1} AS (
+        SELECT replace(sym, (SELECT l || r FROM m$k), '${BpeAliases(k)}') AS sym, freq
+        FROM v$k)"""
+    }
+    def expandSql(base: String, k: Int): String =
+      (0 until k).foldLeft(base)((acc, j) =>
+        s"replace($acc, '${BpeAliases(j)}', (SELECT exp FROM e$j))")
+    for (k <- 0 until BpeRounds) {
+      sb ++= s""",
+      e$k AS (SELECT ${expandSql(s"(SELECT l FROM m$k) || (SELECT r FROM m$k)", k)} AS exp)"""
+    }
+    val rows = (0 until BpeRounds).map { k =>
+      s"""SELECT CAST(${k + 1} AS INTEGER) AS step,
+             ${expandSql(s"(SELECT l FROM m$k)", k)} AS left_sym,
+             ${expandSql(s"(SELECT r FROM m$k)", k)} AS right_sym,
+             (SELECT exp FROM e$k) AS merged_sym,
+             (SELECT CAST(n AS BIGINT) FROM m$k) AS pair_n"""
+    }.mkString("\n      UNION ALL\n      ")
+    sb ++= s"""
+      SELECT * FROM (
+      $rows) ORDER BY step"""
+    sb.toString
+  }
+
   /** Document length histogram: width_bucket into fixed bins — the
     * standard curation dashboard cut. One partial-agg'd groupBy over a
     * row-local bucket id.
@@ -306,6 +423,7 @@ object TextAnalysis extends QueryModule {
       JOIN uni ub ON bi.b = ub.tok, tot
       WHERE bi.c_ab >= 3
       ORDER BY pmi DESC, a, b LIMIT 20""")),
+    "q_bpe_merges" -> QueryDef(bpeMerges, Some(bpeOracleSql)),
     "q_split_train_test" -> QueryDef(splitTrainTest, Some("""
       SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

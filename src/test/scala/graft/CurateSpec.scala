@@ -38,6 +38,68 @@ class CurateSpec extends AnyFunSuite with SparkTest {
     assert(got.count() == byString.count())
   }
 
+  test("q_url_dedup collapses planted scheme/case/slash/tracking variants and caps per host") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_urldedup_")
+    // doc_id % 4 picks the raw-URL variant class, doc_id % 25 the path:
+    // docs 0/25/50 on srcx are variants 0/1/2 of the SAME resource
+    // (https, http+utm, HTTPS+case+trailing slash) and must collapse;
+    // doc 75 keeps its real ?id= param (distinct canonical). Docs 1-4 on
+    // srcy are four DISTINCT resources on one host — the cap (3) must
+    // prune exactly the highest keep_id.
+    val rows = Seq(0L, 25L, 50L, 75L).map(id => (id, "t", "en", "srcx", 1L)) ++
+      Seq(1L, 2L, 3L, 4L).map(id => (id, "t", "en", "srcy", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_url_dedup")(spark, dir).collect()
+    val x = got.filter(_.getAs[String]("host") == "srcx.example.com")
+    assert(x.length == 2)
+    assert(x(0).getAs[Long]("doc_id") == 0L && x(0).getAs[Long]("n_copies") == 3L &&
+      x(0).getAs[String]("url") == "https://srcx.example.com/p/0")
+    assert(x(1).getAs[Long]("doc_id") == 75L && x(1).getAs[Long]("n_copies") == 1L &&
+      x(1).getAs[String]("url") == "https://srcx.example.com/p/0?id=0")
+    val y = got.filter(_.getAs[String]("host") == "srcy.example.com")
+    assert(y.length == 3, s"host cap must keep 3 of 4, got ${y.length}")
+    assert(y.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(y.map(_.getAs[Long]("rn")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("q_bpe_merges: deterministic greedy merges on a hand-computable corpus") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_bpe_")
+    // Vocab: abab (freq 4), cd (freq 2). Round 1: (a,b) n=8 -> 'ab';
+    // round 2: (ab,ab) n=4 -> 'abab' (the alias pair, expanded back);
+    // round 3: (c,d) n=2 -> 'cd'; then the vocab runs dry and the loop
+    // must stop early instead of crashing on an empty argmax.
+    Seq((1L, "abab abab abab", "en", "s", 14L), (2L, "abab cd cd", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged_sym"),
+        r.getAs[Long]("pair_n")))
+    assert(got.toSeq == Seq(
+      (1, "a", "b", "ab", 8L),
+      (2, "ab", "ab", "abab", 4L),
+      (3, "c", "d", "cd", 2L)))
+  }
+
+  test("q_bpe_merges on the fixture corpus: 5 rounds, expansions compose, counts non-increasing") {
+    val got = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getAs[Int]("step")).toSeq == (1 to 5))
+    got.foreach { r =>
+      assert(r.getAs[String]("merged_sym") ==
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+      // expanded symbols never leak alias chars
+      assert(!r.getAs[String]("merged_sym").exists(_.isUpper))
+    }
+    // a merge can only create pairs no more frequent than itself, and
+    // existing pair counts never grow: the argmax sequence is monotone.
+    val ns = got.map(_.getAs[Long]("pair_n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   test("q_anomaly_mad matches an independent built-in-percentile recomputation") {
     val e = graft.core.Tables(spark, sf, "events")
     val med = e.groupBy("event_type")
