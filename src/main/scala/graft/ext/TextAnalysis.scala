@@ -311,7 +311,15 @@ object TextAnalysis extends QueryModule {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var k = 0
     var exhausted = false
-    while (k < BpeRounds && !exhausted) {
+    // Merge-round conf scope (the lpaIncremental discipline, same
+    // justification): every exchanged frame inside the rounds is
+    // VOCAB-bounded (≤BpeVocabCap rows, ≤26² pair groups) by contract —
+    // wide shuffles and AQE's per-stage re-plan barriers are pure floor
+    // across the K serial argmax jobs. The corpus-sized vocab build
+    // above runs OUTSIDE the scope at full width.
+    graft.core.SessionConf.scoped(spark, "spark.sql.shuffle.partitions", "8") {
+     graft.core.SessionConf.scoped(spark, "spark.sql.adaptive.enabled", "false") {
+      while (k < BpeRounds && !exhausted) {
       val top = vocab
         // Pre-filter BEFORE the position explode: sequence(1, 0) is
         // DESCENDING in Spark, not empty.
@@ -334,6 +342,8 @@ object TextAnalysis extends QueryModule {
         merges += ((k + 1, expand(l), expand(r), expansion(alias), n))
         k += 1
       }
+      }
+     }
     }
     spark.createDataFrame(merges.toSeq)
       .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_n")

@@ -952,7 +952,12 @@ object Graph extends QueryModule {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("dst").orderBy(col("c").desc, col("lbl"))
     // Batch endpoints: the batch is symmetric, so its src side is both.
-    val tEnds = batch.select(col("src").as("node")).distinct().localCheckpoint(true)
+    // persist(), not localCheckpoint: the eager checkpoint added a
+    // SERIAL job before round 1 purely to materialize a batch-endpoint
+    // set whose plan is one distinct off the already-persisted batch —
+    // the lazy cache computes it inside round 1's job instead (the
+    // prMergeBatch tSrcs discipline; r15 barrier trim).
+    val tEnds = batch.select(col("src").as("node")).distinct().persist()
     // Recompute round k's labels for exactly the affected set.
     def recompute(affected: DataFrame, delta: DataFrame, kPrev: Int): DataFrame = {
       val aB = broadcast(affected.select("node"))
@@ -967,7 +972,10 @@ object Graph extends QueryModule {
           .join(seedLookup(srcKeys, s"l$kPrev" -> "lbl_seed"), Seq("node"), "left")
           .join(delta.select(col("node"), col("lbl").as("lbl_delta")), Seq("node"), "left")
           .select(col("node"), coalesce(col("lbl_delta"), col("lbl_seed")).as("lbl"))
-      touched.join(srcLbl, touched("src") === srcLbl("node"))
+      // srcLbl is frontier-neighborhood-sized by the A_k contract:
+      // broadcast it STRUCTURALLY so the vote join can never degrade to
+      // a sort-merge that shuffles the edge side on a bad size estimate.
+      touched.join(broadcast(srcLbl), touched("src") === srcLbl("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -1007,6 +1015,7 @@ object Graph extends QueryModule {
     baseEdges.unpersist(blocking = false)
     batch.unpersist(blocking = false)
     seed.unpersist(blocking = false)
+    tEnds.unpersist(blocking = false)
     // Override: the node-sized seed streams once against the broadcast
     // delta; nothing shuffles.
     seed.select(col("node"), col("l3").as("lbl"))
