@@ -217,13 +217,17 @@ object Bench {
     // quiet-host retime, min-of-runs). This applies that same protocol
     // mechanically: any entry whose primary exceeds 1.3x its warm twin
     // re-times ONCE, and the retime replaces the primary ONLY when it
-    // lands back inside the warm band — i.e. when it CONFIRMS the
-    // noise-hit story. A retime that is itself above the band is
-    // evidence of repeatable first-run cost (fresh checkpoint dirs /
-    // scratch clones), so the primary stands: the adjudication may only
-    // strip demonstrated noise, never residual real cost (the
-    // unconditional min() it replaces could, because the retime runs at
-    // sweep end when the process is maximally warm). Entries whose
+    // lands back near the warm twin (<=1.5x warm — the acceptance band
+    // is slightly wider than the 1.3x trigger because the single retime
+    // carries its own jitter; observed: warm 1.88 s, primary 22.4 s in
+    // a noise window, retime 2.77 s — a confirmed noise hit that a
+    // trigger-width acceptance would have rejected). A retime that is
+    // itself well above the warm band is evidence of repeatable
+    // first-run cost (fresh checkpoint dirs / scratch clones), so the
+    // primary stands: the adjudication may only strip demonstrated
+    // noise, never residual real cost (the unconditional min() it
+    // replaces could, because the retime runs at sweep end when the
+    // process is maximally warm). Entries whose
     // primary FAILED are skipped outright — min() over two crash
     // elapsed times is not a timing. The warm value itself is never
     // recorded as the primary. Both totals are recorded ("value" =
@@ -232,6 +236,7 @@ object Bench {
     val noiseRetimed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val adjudicated = results.map { case (name, dt) =>
       val band = math.max(0.3, 1.3 * warm.getOrElse(name, dt))
+      val confirm = math.max(0.45, 1.5 * warm.getOrElse(name, dt))
       if (dt > band && !failed.contains(name)) {
         val dtN = time(name)
         if (failed.contains(name)) {
@@ -241,14 +246,14 @@ object Bench {
           failed -= name
           System.err.println(f"[bench] $name%-24s retime threw; keeping first $dt%.2f")
           name -> dt
-        } else if (dtN <= band) {
+        } else if (dtN <= confirm) {
           System.err.println(
             f"[bench] $name%-24s $dtN%8.2f s (noise-hit retime; first $dt%.2f, warm ${warm(name)}%.2f)")
           noiseRetimed += name -> dt
           name -> dtN
         } else {
           System.err.println(
-            f"[bench] $name%-24s $dtN%8.2f s (retime also above warm band ${band}%.2f; keeping first $dt%.2f)")
+            f"[bench] $name%-24s $dtN%8.2f s (retime above confirm band ${confirm}%.2f; keeping first $dt%.2f)")
           name -> dt
         }
       } else name -> dt
