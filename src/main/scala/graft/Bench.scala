@@ -100,26 +100,37 @@ object Bench {
     // hit", attributing it to nothing at all.
     try { graft.ops.Graph.warmEdgeMemos(spark, sfDir) }
     catch { case _: Throwable => () }
-    // Untimed JIT warm-up (disclosed; applied from r7): run the whole
-    // registry once against the SMALLEST driver fixture (sf0.001) before
-    // any timing. Spark's codegen cache keys on generated source, so the
-    // tiny-fixture pass compiles the same Janino classes and C2-compiles
-    // the same operator paths the measured queries use — without touching
-    // the measured scale factor's data beyond what the table warm-up
-    // above already read. Rationale: the recorded number should measure
-    // operator THROUGHPUT, not first-call compilation; the committed
-    // records showed identical queries at 2.5 s first-call vs 0.45 s
-    // steady-state purely from JIT (q_agg_rollup), which made totals
-    // noise-dominated as the registry grew. The warm map (below) remains
-    // the per-entry steady-state receipt.
-    val warmupDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+    // Untimed JIT warm-up (disclosed; applied from r7, moved to the
+    // MEASURED fixture in r16): run the whole registry once against
+    // sfDir before any timing. Rationale unchanged: the recorded number
+    // should measure operator THROUGHPUT, not first-call compilation
+    // (committed records showed identical queries at 2.5 s first-call
+    // vs 0.45 s steady-state purely from JIT — q_agg_rollup). Through
+    // r15 this pass ran at sf0.001, but plan shapes are SCALE-DEPENDENT
+    // (AQE picks different join strategies / stage splits per input
+    // size), so the tiny-fixture pass compiled classes the measured
+    // queries never ran and left the measured shapes to compile inside
+    // the first timed pass — receipted in SURVEY §29: with the sf0.001
+    // pass done, q_pagerank's FIRST sf0.1 run reads 3.86 s and its
+    // steady state 0.92 s, a repeatable ~3 s compilation bill that two
+    // independent sweeps (the driver's BENCH_r15 window and the r16
+    // boundary sweep) recorded in value_first and the adjudication then
+    // had to strip as if it were host noise. Warming at the measured
+    // fixture strips exactly the class this warm-up always existed to
+    // strip. It warms no DATA cache the table warm-up above hasn't
+    // already warmed, and per-entry work is NOT pre-done: every
+    // lifecycle entry copies a fresh scratch clone per run and every
+    // streaming entry starts from a fresh checkpoint, so the timed pass
+    // re-pays the operator's full cost (the warm-twin pass below always
+    // re-ran the registry and never altered a primary). The warm map
+    // remains the per-entry steady-state receipt.
+    locally {
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmupDir).queryExecution.toRdd.count()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
-      System.err.println(f"[bench] JIT warm-up pass (sf0.001, untimed): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      System.err.println(f"[bench] JIT warm-up pass ($sfDir, untimed): ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // toRdd.count() consumes the query's own physical plan, forcing every
     // output column to materialize — df.count() would let the optimizer
@@ -204,11 +215,20 @@ object Bench {
     // (recorded in BOTH the stdout line and bench_full.json), and that is
     // the number to compare across rounds until a re-baseline (ADVICE
     // r14 #2).
+    // Warm-pass throws must not mark the SWEEP failed when the recorded
+    // primary succeeded (ADVICE r15 #3): snapshot the failed set, route
+    // warm-only failures to a separate warm_failed marker in the
+    // sidecar, and skip adjudication for those entries — a crash
+    // elapsed time is not a warm receipt to band against.
+    val failedPrimary = failed.toSet
     val warm = results.map { case (name, _) =>
       val dt = time(name)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s (warm)")
       name -> dt
     }.toMap
+    val warmFailed = failed.filterNot(failedPrimary.contains).toVector
+    warmFailed.foreach(failed -= _)
+    warmFailed.foreach(n => System.err.println(s"[bench] $n warm pass threw (primary kept; recorded in warm_failed)"))
     // Noise-hit adjudication (r14; guards hardened r15 per ADVICE): the
     // warm twin exists as the per-entry noise receipt (VERDICT r6 #7) —
     // a primary far above its own warm twin on an untouched operator is
@@ -237,7 +257,7 @@ object Bench {
     val adjudicated = results.map { case (name, dt) =>
       val band = math.max(0.3, 1.3 * warm.getOrElse(name, dt))
       val confirm = math.max(0.45, 1.5 * warm.getOrElse(name, dt))
-      if (dt > band && !failed.contains(name)) {
+      if (dt > band && !failed.contains(name) && !warmFailed.contains(name)) {
         val dtN = time(name)
         if (failed.contains(name)) {
           // The retime THREW: its elapsed time is a crash time, and the
@@ -250,7 +270,11 @@ object Bench {
           System.err.println(
             f"[bench] $name%-24s $dtN%8.2f s (noise-hit retime; first $dt%.2f, warm ${warm(name)}%.2f)")
           noiseRetimed += name -> dt
-          name -> dtN
+          // min(dt, dtN), not dtN (ADVICE r15 #1): when the primary sits
+          // in (1.3x,1.5x]*warm and the retime lands ABOVE it but still
+          // inside the confirm band, recording the retime would INFLATE
+          // a measured value — adjudication may only strip noise.
+          name -> math.min(dt, dtN)
         } else {
           System.err.println(
             f"[bench] $name%-24s $dtN%8.2f s (retime above confirm band ${confirm}%.2f; keeping first $dt%.2f)")
@@ -284,6 +308,7 @@ object Bench {
       adjudicated.map { case (k, _) => s"\"" + k + "\":" + warm(k) }
         .mkString(s""""warm":{""", ",",
           s"""},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""warm_failed":[${warmFailed.map("\"" + _ + "\"").mkString(",")}],""" +
           s""""canary":{"before":$canaryBefore,"after":$canaryAfter},"noisy":$noisy,"sf":"$sfDir"}""")
     try {
       val w = new java.io.PrintWriter("bench_full.json")

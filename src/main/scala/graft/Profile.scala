@@ -27,6 +27,26 @@ object Profile {
       changelog = sys.env.getOrElse("GRAFT_CHANGELOG", "true"),
       codegenCache = None,
       measurementScratch = shm)
+    // SPARK_GRAFT_JITPASS=1 replicates Bench's pre-timing state (table
+    // warm-up + memo/seed warms + the untimed sf0.001 registry JIT pass)
+    // so a first-timed-run cost seen ONLY inside Bench sweeps can be
+    // reproduced and decomposed in isolation.
+    if (sys.env.contains("SPARK_GRAFT_JITPASS")) {
+      graft.core.Tables.names.foreach { t =>
+        try graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+      try { graft.ops.Graph.warmEdgeMemos(spark, sfDir) }
+      catch { case _: Throwable => () }
+      val warmupDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+        SparkEntry.queries.foreach { case (n, fn) =>
+          try fn(spark, warmupDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => () }
+        }
+        System.err.println("[profile] JIT pass done")
+      }
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach { i =>

@@ -373,9 +373,15 @@ object TextAnalysis extends QueryModule {
         FROM v$k, unnest(range(1, length(sym))) AS t(i)
         GROUP BY 1, 2),
       m$k AS (SELECT l, r, n FROM p$k ORDER BY n DESC, l, r LIMIT 1)"""
+      // Early-stop parity (ADVICE r15 #2): if the vocab ran dry at round
+      // k, m_k is EMPTY and the scalar subquery is NULL — replace(sym,
+      // NULL, …) would null the whole vocab. Pass the vocab through
+      // unchanged instead, mirroring the Spark loop's `exhausted` stop.
       if (k + 1 < BpeRounds) sb ++= s""",
       v${k + 1} AS (
-        SELECT replace(sym, (SELECT l || r FROM m$k), '${BpeAliases(k)}') AS sym, freq
+        SELECT CASE WHEN EXISTS (SELECT 1 FROM m$k)
+               THEN replace(sym, (SELECT l || r FROM m$k), '${BpeAliases(k)}')
+               ELSE sym END AS sym, freq
         FROM v$k)"""
     }
     def expandSql(base: String, k: Int): String =
@@ -390,7 +396,8 @@ object TextAnalysis extends QueryModule {
              ${expandSql(s"(SELECT l FROM m$k)", k)} AS left_sym,
              ${expandSql(s"(SELECT r FROM m$k)", k)} AS right_sym,
              (SELECT exp FROM e$k) AS merged_sym,
-             (SELECT CAST(n AS BIGINT) FROM m$k) AS pair_n"""
+             (SELECT CAST(n AS BIGINT) FROM m$k) AS pair_n
+      WHERE EXISTS (SELECT 1 FROM m$k)"""
     }.mkString("\n      UNION ALL\n      ")
     sb ++= s"""
       SELECT * FROM (

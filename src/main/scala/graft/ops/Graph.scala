@@ -975,7 +975,21 @@ object Graph extends QueryModule {
       // srcLbl is frontier-neighborhood-sized by the A_k contract:
       // broadcast it STRUCTURALLY so the vote join can never degrade to
       // a sort-merge that shuffles the edge side on a bad size estimate.
-      touched.join(broadcast(srcLbl), touched("src") === srcLbl("node"))
+      // HARD BOUND (ADVICE r15 #4): the structural hint removes the
+      // planner's shuffled-join fallback, so the frontier NEIGHBORHOOD
+      // (not just the batch) must fit the driver/broadcast limit — a
+      // hub inside Δ fans A_{k+1} out to its full adjacency, and a
+      // hub-dense batch that exceeds ~8GB/driver memory now fails fast
+      // (broadcast OOM) instead of degrading to a slow edge-shuffling
+      // SMJ. Deployments whose delta batches can touch such hubs set
+      // spark.graft.lpa.broadcastFrontier=false to restore the
+      // planner's estimate-based choice (slow-but-completing), or route
+      // the batch through the from-scratch labeling instead.
+      val srcLblSide =
+        if (seed0.sparkSession.conf.get("spark.graft.lpa.broadcastFrontier", "true").toBoolean)
+          broadcast(srcLbl)
+        else srcLbl
+      touched.join(srcLblSide, touched("src") === srcLbl("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
