@@ -295,7 +295,19 @@ object TextAnalysis extends QueryModule {
     * oracle replays all K rounds as chained CTEs (the LPA-round oracle
     * pattern) and must hash-match.
     */
-  private def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+  private def bpeMerges(spark: SparkSession, sfDir: String): DataFrame =
+    spark.createDataFrame(bpeMine(spark, sfDir)._1)
+      .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_n")
+      .orderBy("step")
+
+  /** The mining loop shared by [[bpeMerges]] (which times it — mining IS
+    * that entry's operator) and [[bpeLearnedMerges]] (the encoder's
+    * memoized input artifact). Returns (display rows with aliases
+    * expanded back to text, raw per-round (l, r, alias) replace table in
+    * symbol space — what [[bpeEncode]] applies serially).
+    */
+  private def bpeMine(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, String, String)]) = {
     var vocab = Tables(spark, sfDir, "documents")
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -309,6 +321,7 @@ object TextAnalysis extends QueryModule {
     val expansion = scala.collection.mutable.Map.empty[String, String]
     def expand(s: String): String = expansion.getOrElse(s, s)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     var k = 0
     var exhausted = false
     // Merge-round conf scope (the lpaIncremental discipline, same
@@ -340,15 +353,29 @@ object TextAnalysis extends QueryModule {
         vocab = vocab.select(
           expr(s"replace(sym, '$l$r', '$alias')").as("sym"), col("freq"))
         merges += ((k + 1, expand(l), expand(r), expansion(alias), n))
+        raw += ((l, r, alias))
         k += 1
       }
       }
      }
     }
-    spark.createDataFrame(merges.toSeq)
-      .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_n")
-      .orderBy("step")
+    (merges.toSeq, raw.toSeq)
   }
+
+  /** Session-memoized mined merge table per fixture — the ENCODER'S input
+    * artifact: production trains a tokenizer once and applies it
+    * everywhere, so [[bpeEncode]]'s timed region is the application scan,
+    * not the training (which [[bpeMerges]] measures as its own entry;
+    * Bench's untimed registry warm-up builds this memo before timing,
+    * the same disclosed economics as the graph edge memos and index
+    * seeds). Racy variant: the build runs jobs (checkpoint + argmax
+    * collects) and must not hold a cache bin lock.
+    */
+  private val bpeMergeMemo =
+    new graft.core.SessionCache[String, Seq[(String, String, String)]]
+
+  private def bpeLearnedMerges(spark: SparkSession, sfDir: String): Seq[(String, String, String)] =
+    bpeMergeMemo.getOrBuildRacy(spark, sfDir)(bpeMine(spark, sfDir)._2)
 
   /** DuckDB replay of [[bpeMerges]], generated round by round so the SQL
     * stays mechanically parallel to the Spark loop: v_k = vocab after k
@@ -357,6 +384,28 @@ object TextAnalysis extends QueryModule {
     * compose in any order).
     */
   private def bpeOracleSql: String = {
+    val rows = (0 until BpeRounds).map { k =>
+      s"""SELECT CAST(${k + 1} AS INTEGER) AS step,
+             ${bpeExpandSql(s"(SELECT l FROM m$k)", k)} AS left_sym,
+             ${bpeExpandSql(s"(SELECT r FROM m$k)", k)} AS right_sym,
+             (SELECT exp FROM e$k) AS merged_sym,
+             (SELECT CAST(n AS BIGINT) FROM m$k) AS pair_n
+      WHERE EXISTS (SELECT 1 FROM m$k)"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""$bpeCtePrefix
+      SELECT * FROM (
+      $rows) ORDER BY step"""
+  }
+
+  private def bpeExpandSql(base: String, k: Int): String =
+    (0 until k).foldLeft(base)((acc, j) =>
+      s"replace($acc, '${BpeAliases(j)}', (SELECT exp FROM e$j))")
+
+  /** The CTE chain shared by the two BPE oracles: v_k = vocab after k
+    * merges, p_k = pair counts, m_k = the argmax merge, e_k = alias k's
+    * fully-expanded text.
+    */
+  private def bpeCtePrefix: String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v0 AS (
       SELECT w AS sym, freq FROM (
@@ -384,25 +433,81 @@ object TextAnalysis extends QueryModule {
                ELSE sym END AS sym, freq
         FROM v$k)"""
     }
-    def expandSql(base: String, k: Int): String =
-      (0 until k).foldLeft(base)((acc, j) =>
-        s"replace($acc, '${BpeAliases(j)}', (SELECT exp FROM e$j))")
     for (k <- 0 until BpeRounds) {
       sb ++= s""",
-      e$k AS (SELECT ${expandSql(s"(SELECT l FROM m$k) || (SELECT r FROM m$k)", k)} AS exp)"""
+      e$k AS (SELECT ${bpeExpandSql(s"(SELECT l FROM m$k) || (SELECT r FROM m$k)", k)} AS exp)"""
     }
-    val rows = (0 until BpeRounds).map { k =>
-      s"""SELECT CAST(${k + 1} AS INTEGER) AS step,
-             ${expandSql(s"(SELECT l FROM m$k)", k)} AS left_sym,
-             ${expandSql(s"(SELECT r FROM m$k)", k)} AS right_sym,
-             (SELECT exp FROM e$k) AS merged_sym,
-             (SELECT CAST(n AS BIGINT) FROM m$k) AS pair_n
-      WHERE EXISTS (SELECT 1 FROM m$k)"""
-    }.mkString("\n      UNION ALL\n      ")
-    sb ++= s"""
-      SELECT * FROM (
-      $rows) ORDER BY step"""
     sb.toString
+  }
+
+  /** BPE apply/encode — the leg that CONSUMES the learned merge table
+    * (completing the q_collocations → q_bpe_merges → q_pack_sequences
+    * chain): tokenize the corpus under the mined merges and emit the
+    * top-50 token distribution. The corpus-sized leg is the one
+    * tokenize+count scan (same shape as the miner's); every merge
+    * application after is ROW-LOCAL (a chain of ≤[[BpeRounds]] literal
+    * replaces on the word, then a per-char explode bounded by word
+    * length), so the plan is one corpus scan + one word-bounded exchange
+    * + one token-bounded exchange at any scale. The merge table is the
+    * encoder's INPUT artifact ([[bpeLearnedMerges]]): production trains
+    * once and applies everywhere, so training cost is q_bpe_merges'
+    * timed region, not this entry's.
+    */
+  private def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeLearnedMerges(spark, sfDir)
+    // Serial symbol-space replaces, exactly the miner's vocab rewrites.
+    val symSql = merges.foldLeft("w") { case (acc, (l, r, a)) =>
+      s"replace($acc, '$l$r', '$a')"
+    }
+    // alias char -> fully-expanded text (earlier aliases substituted, so
+    // the char-to-token mapping composes in any order).
+    val expansion = merges.foldLeft(Map.empty[String, String]) { case (env, (l, r, a)) =>
+      def ex(s: String) = s.flatMap(c => env.getOrElse(c.toString, c.toString))
+      env + (a -> (ex(l) + ex(r)))
+    }
+    val tokSql = expansion.toSeq.sortBy(_._1).foldLeft("ch") { case (acc, (a, exp)) =>
+      s"replace($acc, '$a', '$exp')"
+    }
+    Tables(spark, sfDir, "documents")
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(expr(symSql).as("sym"), col("freq"))
+      .select(col("freq"), col("sym"),
+        explode(expr("sequence(1, length(sym))")).as("i"))
+      .select(expr("substr(sym, i, 1)").as("ch"), col("freq"))
+      .select(expr(tokSql).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
+  /** DuckDB replay of [[bpeEncode]]: the shared merge CTEs, then the same
+    * word-frequency table, the same guarded serial replaces, the same
+    * per-char explode and alias expansion. Rounds past an early
+    * exhaustion are no-ops on both sides (the CASE/coalesce guards).
+    */
+  private def bpeEncodeOracleSql: String = {
+    val symSql = (0 until BpeRounds).foldLeft("w") { (acc, k) =>
+      s"""CASE WHEN EXISTS (SELECT 1 FROM m$k)
+           THEN replace($acc, (SELECT l || r FROM m$k), '${BpeAliases(k)}')
+           ELSE $acc END"""
+    }
+    val tokSql = (0 until BpeRounds).foldLeft("ch") { (acc, j) =>
+      s"replace($acc, '${BpeAliases(j)}', coalesce((SELECT exp FROM e$j), '${BpeAliases(j)}'))"
+    }
+    s"""$bpeCtePrefix,
+      wf AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents) u
+        GROUP BY w),
+      encd AS (SELECT $symSql AS sym, freq FROM wf),
+      chars AS (
+        SELECT substr(sym, CAST(i AS INTEGER), 1) AS ch, freq
+        FROM encd, unnest(range(1, length(sym) + 1)) AS t(i))
+      SELECT $tokSql AS token, CAST(sum(freq) AS BIGINT) AS n
+      FROM chars
+      GROUP BY 1 ORDER BY n DESC, token LIMIT 50"""
   }
 
   /** Document length histogram: width_bucket into fixed bins — the
@@ -441,6 +546,7 @@ object TextAnalysis extends QueryModule {
       WHERE bi.c_ab >= 3
       ORDER BY pmi DESC, a, b LIMIT 20""")),
     "q_bpe_merges" -> QueryDef(bpeMerges, Some(bpeOracleSql)),
+    "q_bpe_encode" -> QueryDef(bpeEncode, Some(bpeEncodeOracleSql)),
     "q_split_train_test" -> QueryDef(splitTrainTest, Some("""
       SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

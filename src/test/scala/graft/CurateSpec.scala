@@ -84,6 +84,37 @@ class CurateSpec extends AnyFunSuite with SparkTest {
       (3, "c", "d", "cd", 2L)))
   }
 
+  test("q_bpe_encode: hand-computable corpus tokenizes under the learned merges") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_bpe_")
+    // Same corpus as the miner's hand-computed case: merges (a,b)->'ab',
+    // (ab,ab)->'abab', (c,d)->'cd', then dry. Encoding: 'abab' collapses
+    // through ab->A, AA->B to ONE token 'abab' (freq 4); 'cd' to 'cd'
+    // (freq 2). The alias chain must expand back to text with no leaks.
+    Seq((1L, "abab abab abab", "en", "s", 14L), (2L, "abab cd cd", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n")))
+    assert(got.toSeq == Seq(("abab", 4L), ("cd", 2L)))
+  }
+
+  test("q_bpe_encode on the fixture corpus: tokens are merges or single chars, counts ordered") {
+    val merged = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
+      .map(_.getAs[String]("merged_sym")).toSet
+    val got = SparkEntry.queries("q_bpe_encode")(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    got.foreach { r =>
+      val t = r.getAs[String]("token")
+      // every emitted token is exactly a learned merge or an un-merged
+      // single character — alias chars never leak
+      assert(t.forall(c => c.isLower && c.isLetter), s"non-text token $t")
+      assert(t.length == 1 || merged.contains(t), s"token $t is neither a merge nor a char")
+    }
+    val ns = got.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse)
+  }
+
   test("q_bpe_merges on the fixture corpus: 5 rounds, expansions compose, counts non-increasing") {
     val got = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
     assert(got.length == 5)
