@@ -1,34 +1,34 @@
 package graft
 object Bench {
-  def main(args: Array[String]): Unit = {
-    // Disclosed (SURVEY, round-11 continuation 4): benchmark the PRODUCTION form of each
-    // operator — oracle taps (parquet artifacts written solely so the
-    // driver's DuckDB compare can re-derive a leg it cannot recompute;
-    // see ext.OracleTap) are replaced by an equivalent in-memory
-    // materialization. A production run writes no verification taps;
-    // Verify, the correctness gate, always runs with taps ON and is
-    // unaffected.
-    System.setProperty("graft.tap.disabled", "true")
-    // Disclosed (SURVEY): measurement scratch — per-run index copies,
-    // stream checkpoints, state stores, shuffle spill — rides the
-    // RAM-backed local dir (/dev/shm), the local-disk class a
-    // production executor node has. This host's /tmp is a SHARED
-    // virtio device whose noisy-neighbor stalls the CPU-bound canary
-    // cannot detect (identical code swept 144-167 s across
-    // canary-clean runs); persistent seeds stay on /tmp.
-    val shm = graft.core.TempDirs.enableMeasurementScratch()
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Session conf lives in core.Harness — ONE certified base for every
-    // harness main (the r14 drift class: Bench silently lacked the UTC
-    // time zone the other mains certified). Bench's deltas: env-sized
-    // cores, the codegen-cache A/B override (SPARK_GRAFT_CODEGEN_CACHE
-    // exists solely for the paired same-host receipt; the production
-    // value is the certified 2000 default), and the RAM-backed
-    // measurement scratch.
-    val spark = graft.core.Harness.session(cpus,
-      codegenCache = Some(sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000")),
-      measurementScratch = shm)
+  /** Window-noise verdict from the canary pair — extracted for the unit
+    * pin (VERDICT r16 #2). Two refusal rules: (a) the original symmetric
+    * >1.5x divergence in either direction, and (b) a post-sweep UPWARD
+    * drift above 1.3x the pre-sweep reading. Rule (b) encodes the manual
+    * sweep protocol's canary-drift refusal mechanically: the r15/r16
+    * sweeps refused windows whose canary roughly doubled (r15 sweep 6:
+    * 0.11→0.21 refused), yet the r16 driver window passed noisy=false at
+    * 0.110→0.162 (+47%) because only rule (a) existed — the flag now
+    * adjudicates the driver's window the same way the sweeps are
+    * adjudicated. The 0.05 s floor keeps a sub-jitter canary (both
+    * readings a few hundredths of a second) from tripping either rule on
+    * pure timer noise. */
+  def noisyVerdict(canaryBefore: Double, canaryAfter: Double): Boolean = {
+    val symmetric = math.max(canaryBefore, canaryAfter) >
+      1.5 * math.max(0.05, math.min(canaryBefore, canaryAfter))
+    val driftUp = canaryAfter > 1.3 * math.max(0.05, canaryBefore)
+    symmetric || driftUp
+  }
+
+  /** THE pre-timing state: every untimed setup step Bench runs before
+    * its first timed measurement, in order. Extracted so Profile's
+    * SPARK_GRAFT_JITPASS mode calls THIS routine instead of maintaining
+    * a drifting copy (ADVICE r16 #3: the copy reproduced the r15
+    * protocol — sf0.001 warm-up, no ensure* steps — after r16 moved the
+    * real one to the measured fixture). One body, two callers, no drift
+    * — the same consolidation the session conf got in r14 (Harness).
+    * Per-step economics are documented inline below. */
+  def warmPreTimingState(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      jitWarmupDir: String, tag: String = "bench"): Unit = {
     // Untimed warm-up: read every table once so footer caching, reader
     // JIT, and codegen infrastructure aren't billed to the first measured
     // query.
@@ -96,9 +96,16 @@ object Bench {
     // materialized bucketed edge tables). Without this the FIRST graph
     // entry in the sweep pays the shared one-time build inside its timed
     // region — a cost that belongs to no single operator and that the
-    // warm-twin adjudication below would otherwise strip as a "noise
-    // hit", attributing it to nothing at all.
+    // warm-twin adjudication would otherwise strip as a "noise hit",
+    // attributing it to nothing at all.
     try { graft.ops.Graph.warmEdgeMemos(spark, sfDir) }
+    catch { case _: Throwable => () }
+    // Untimed (ADVICE r16 #1): the BPE merge-table memo — the encoder's
+    // one-time trained-tokenizer input artifact (production trains once,
+    // applies everywhere; training itself is timed as q_bpe_merges).
+    // Warmed EXPLICITLY here like the edge memos and index seeds so the
+    // registry JIT pass below keeps its compiles-classes-only contract.
+    try { graft.ext.TextAnalysis.ensureBpeMergeMemo(spark, sfDir) }
     catch { case _: Throwable => () }
     // Untimed JIT warm-up (disclosed; applied from r7, moved to the
     // MEASURED fixture in r16): run the whole registry once against
@@ -119,19 +126,63 @@ object Bench {
     // fixture strips exactly the class this warm-up always existed to
     // strip. It warms no DATA cache the table warm-up above hasn't
     // already warmed, and per-entry work is NOT pre-done: every
-    // lifecycle entry copies a fresh scratch clone per run and every
-    // streaming entry starts from a fresh checkpoint, so the timed pass
-    // re-pays the operator's full cost (the warm-twin pass below always
-    // re-ran the registry and never altered a primary). The warm map
-    // remains the per-entry steady-state receipt.
+    // lifecycle entry copies a fresh scratch clone per run, every
+    // streaming entry starts from a fresh checkpoint, and every
+    // one-time shared artifact (index seeds, edge memos, the BPE merge
+    // memo) is warmed by its OWN explicit ensure* step above — so this
+    // pass compiles classes and nothing else, and the timed pass
+    // re-pays the operator's full cost (the warm-twin pass always
+    // re-ran the registry and never altered a primary).
     locally {
       val t0 = System.nanoTime()
       SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, sfDir).queryExecution.toRdd.count()
+        try fn(spark, jitWarmupDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
-      System.err.println(f"[bench] JIT warm-up pass ($sfDir, untimed): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      System.err.println(f"[$tag] JIT warm-up pass ($jitWarmupDir, untimed): ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // Disclosed (SURVEY, round-11 continuation 4): benchmark the PRODUCTION form of each
+    // operator — oracle taps (parquet artifacts written solely so the
+    // driver's DuckDB compare can re-derive a leg it cannot recompute;
+    // see ext.OracleTap) are replaced by an equivalent in-memory
+    // materialization. A production run writes no verification taps;
+    // Verify, the correctness gate, always runs with taps ON and is
+    // unaffected.
+    System.setProperty("graft.tap.disabled", "true")
+    // Disclosed (SURVEY): measurement scratch — per-run index copies,
+    // stream checkpoints, state stores, shuffle spill — rides the
+    // RAM-backed local dir (/dev/shm), the local-disk class a
+    // production executor node has. This host's /tmp is a SHARED
+    // virtio device whose noisy-neighbor stalls the CPU-bound canary
+    // cannot detect (identical code swept 144-167 s across
+    // canary-clean runs); persistent seeds stay on /tmp.
+    val shm = graft.core.TempDirs.enableMeasurementScratch()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Session conf lives in core.Harness — ONE certified base for every
+    // harness main (the r14 drift class: Bench silently lacked the UTC
+    // time zone the other mains certified). Bench's deltas: env-sized
+    // cores, the codegen-cache A/B override (SPARK_GRAFT_CODEGEN_CACHE
+    // exists solely for the paired same-host receipt; the production
+    // value is the certified 2000 default), and the RAM-backed
+    // measurement scratch.
+    val spark = graft.core.Harness.session(cpus,
+      codegenCache = Some(sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000")),
+      measurementScratch = shm)
+    // The full untimed setup — table warm-up, one-time seeds/memos, the
+    // registry JIT pass — lives in warmPreTimingState (one body, shared
+    // with Profile's JITPASS mode; per-step economics documented there).
+    // SPARK_GRAFT_JIT_WARMUP_DIR exists SOLELY for the one-time paired
+    // protocol receipt (ADVICE r16 #2): set it to /root/testdata/sf0.001
+    // to reproduce the pre-r16 warm-up protocol on the same binary and
+    // window, so the protocol delta in value_first is separable from
+    // code-driven deltas. The production default is the measured fixture.
+    warmPreTimingState(spark, sfDir,
+      jitWarmupDir = sys.env.getOrElse("SPARK_GRAFT_JIT_WARMUP_DIR", sfDir))
+    // The warm map below remains the per-entry steady-state receipt.
     // toRdd.count() consumes the query's own physical plan, forcing every
     // output column to materialize — df.count() would let the optimizer
     // prune the projections being measured.
@@ -294,8 +345,7 @@ object Bench {
     // exactly as the pre-sweep one is.
     timeCanary()
     val canaryAfter = timeCanary()
-    val noisy = math.max(canaryBefore, canaryAfter) >
-      1.5 * math.max(0.05, math.min(canaryBefore, canaryAfter))
+    val noisy = noisyVerdict(canaryBefore, canaryAfter)
     System.err.println(f"[bench] canary (post-sweep)    $canaryAfter%8.2f s  noisy=$noisy")
     // Full-precision per-query timings for post-hoc analysis. The driver
     // only keeps the LAST 2000 characters of the run log, so the stdout
@@ -305,7 +355,11 @@ object Bench {
         .mkString(s"""{"metric":"total","value":$total,"unit":"sec","value_first":$totalFirst,"queries":{""", ",", "},") +
       noiseRetimed.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString(s""""noise_retimed":{""", ",", "},") +
-      adjudicated.map { case (k, _) => s"\"" + k + "\":" + warm(k) }
+      // warm_failed entries are OMITTED from the warm map (ADVICE r16
+      // #5): their warm timing is a crash elapsed time, not a receipt,
+      // and tooling that sums or bands the map must never ingest one —
+      // the warm_failed list alone carries those names.
+      adjudicated.collect { case (k, _) if !warmFailed.contains(k) => s"\"" + k + "\":" + warm(k) }
         .mkString(s""""warm":{""", ",",
           s"""},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
           s""""warm_failed":[${warmFailed.map("\"" + _ + "\"").mkString(",")}],""" +

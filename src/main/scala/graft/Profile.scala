@@ -27,25 +27,18 @@ object Profile {
       changelog = sys.env.getOrElse("GRAFT_CHANGELOG", "true"),
       codegenCache = None,
       measurementScratch = shm)
-    // SPARK_GRAFT_JITPASS=1 replicates Bench's pre-timing state (table
-    // warm-up + memo/seed warms + the untimed sf0.001 registry JIT pass)
-    // so a first-timed-run cost seen ONLY inside Bench sweeps can be
-    // reproduced and decomposed in isolation.
+    // SPARK_GRAFT_JITPASS=1 replicates Bench's pre-timing state so a
+    // first-timed-run cost seen ONLY inside Bench sweeps can be
+    // reproduced and decomposed in isolation. Since r17 this CALLS
+    // Bench's own warmPreTimingState (ADVICE r16 #3: the previous
+    // inline copy had drifted back to the r15 protocol — sf0.001
+    // warm-up, no ensure* steps — after r16 moved the real warm-up to
+    // the measured fixture); one body, no drift. The legacy r15
+    // protocol remains reproducible via SPARK_GRAFT_JIT_WARMUP_DIR.
     if (sys.env.contains("SPARK_GRAFT_JITPASS")) {
-      graft.core.Tables.names.foreach { t =>
-        try graft.core.Tables(spark, sfDir, t).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
-      }
-      try { graft.ops.Graph.warmEdgeMemos(spark, sfDir) }
-      catch { case _: Throwable => () }
-      val warmupDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
-        SparkEntry.queries.foreach { case (n, fn) =>
-          try fn(spark, warmupDir).queryExecution.toRdd.count()
-          catch { case _: Throwable => () }
-        }
-        System.err.println("[profile] JIT pass done")
-      }
+      Bench.warmPreTimingState(spark, sfDir,
+        jitWarmupDir = sys.env.getOrElse("SPARK_GRAFT_JIT_WARMUP_DIR", sfDir),
+        tag = "profile")
     }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -945,6 +945,19 @@ object Graph extends QueryModule {
     val baseEdges = baseEdges0.persist()
     val batch = batch0.persist()
     val seed = seed0.persist()
+    // Parsed ONCE per batch with a validated boolean (ADVICE r16 #4):
+    // the raw .toBoolean it replaces threw a bare IllegalArgumentException
+    // from inside every merge round on a value like "1" or "yes", and
+    // re-read the conf once per round.
+    val broadcastFrontierFlag = {
+      val raw = seed0.sparkSession.conf.get("spark.graft.lpa.broadcastFrontier", "true")
+      raw.trim.toLowerCase match {
+        case "true"  => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.lpa.broadcastFrontier must be 'true' or 'false', got '$other'")
+      }
+    }
     val unionEdges = baseEdges.unionByName(batch)
     def seedLookup(keys: DataFrame, cols: (String, String)*): DataFrame =
       seed.select(col("node") +: cols.map { case (c, a) => col(c).as(a) }: _*)
@@ -986,8 +999,7 @@ object Graph extends QueryModule {
       // planner's estimate-based choice (slow-but-completing), or route
       // the batch through the from-scratch labeling instead.
       val srcLblSide =
-        if (seed0.sparkSession.conf.get("spark.graft.lpa.broadcastFrontier", "true").toBoolean)
-          broadcast(srcLbl)
+        if (broadcastFrontierFlag) broadcast(srcLbl)
         else srcLbl
       touched.join(srcLblSide, touched("src") === srcLbl("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
