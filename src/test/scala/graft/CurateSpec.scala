@@ -115,15 +115,15 @@ class CurateSpec extends AnyFunSuite with SparkTest {
     assert(ns == ns.sorted.reverse)
   }
 
-  test("q_bpe_merges on the fixture corpus: 5 rounds, expansions compose, counts non-increasing") {
+  test("q_bpe_merges on the fixture corpus: 60 rounds, expansions compose, counts non-increasing") {
     val got = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
-    assert(got.length == 5)
-    assert(got.map(_.getAs[Int]("step")).toSeq == (1 to 5))
+    assert(got.length == 60)
+    assert(got.map(_.getAs[Int]("step")).toSeq == (1 to 60))
     got.foreach { r =>
       assert(r.getAs[String]("merged_sym") ==
         r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
-      // expanded symbols never leak alias chars
-      assert(!r.getAs[String]("merged_sym").exists(_.isUpper))
+      // rendered symbols are always plain corpus text — ids never leak
+      assert(r.getAs[String]("merged_sym").forall(c => c.isLower && c.isLetter))
     }
     // a merge can only create pairs no more frequent than itself, and
     // existing pair counts never grow: the argmax sequence is monotone.
