@@ -18,7 +18,12 @@ object Explain {
       // result on the driver — this utility must be safe to point at any
       // query at any scale factor.
       df.queryExecution.toRdd.count()
-      println(df.queryExecution.executedPlan.toString.take(8000))
+      // SPARK_GRAFT_FORMATTED=1: emit explain("formatted") instead of the
+      // executed-plan tree (the judge-facing plans/r17 artifact format).
+      if (sys.env.contains("SPARK_GRAFT_FORMATTED"))
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      else println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()
   }

@@ -130,6 +130,62 @@ object Tables {
     case _ => df
   }
 
+  /** Parquet row groups backing a fixture table — the unit the parquet
+    * reader cannot split (a row group is assigned whole to the split
+    * holding its midpoint). Footer metadata only, no data scan;
+    * memoized per (dir, table) since the fixture files are immutable
+    * within a session (same contract as the resolved-table catalog).
+    */
+  private val rowGroupMemo =
+    new scala.collection.concurrent.TrieMap[(String, String), Int]
+
+  private[graft] def rowGroupCount(spark: SparkSession, sfDir: String, name: String): Int =
+    rowGroupMemo.getOrElseUpdate((sfDir, name), {
+      val f = new java.io.File(sfDir, s"$name.parquet")
+      val files =
+        if (f.isDirectory)
+          f.listFiles().filter(c => c.isFile && c.getName.endsWith(".parquet")).toSeq
+        else Seq(f)
+      val conf = spark.sessionState.newHadoopConf()
+      files.map { pf =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(pf.getPath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }.sum
+    })
+
+  /** Input-LAYOUT-adaptive rebalance (optimization guide §2.5, the
+    * "one huge unsplittable file" input-skew case): when a table is
+    * backed by fewer row groups than half the session's parallelism,
+    * every scan stage over it is capped at that width no matter what
+    * `maxPartitionBytes` says — the 4m fixture split produces EMPTY
+    * tasks, and everything below the first exchange (generator
+    * explosions, partial aggregation, compiled kernels) runs on one
+    * core. One round-robin exchange of the scanned rows restores
+    * session-width parallelism for the kernel above. A production
+    * layout (row groups >= parallelism/2) skips the exchange entirely:
+    * the gate reads the actual parquet footer, so this is the
+    * derive-from-input-layout pattern (statePartitionsFor), not a
+    * local-mode constant. Apply only where the downstream math is
+    * order-insensitive (row-local projections, integer counts, min/max,
+    * digest selection): a round-robin exchange reorders rows, and the
+    * oracle's float compare is bitwise.
+    */
+  private[graft] def rebalanceIfRowGroupBound(spark: SparkSession, sfDir: String,
+      name: String)(df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (rowGroupCount(spark, sfDir, name) < math.max(2, par / 2)) df.repartition(par)
+    else df
+  }
+
+  /** `apply` + [[rebalanceIfRowGroupBound]] — the common whole-table
+    * form. Entries that push a selective filter into the scan first
+    * apply the transform themselves, after the filter.
+    */
+  def spread(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    rebalanceIfRowGroupBound(spark, sfDir, name)(apply(spark, sfDir, name))
+
   /** Layout-robust file STREAM over a fixture table. Driver fixtures
     * are single FILES named `<table>.parquet` — the file source needs a
     * directory, so we stream the parent with a leaf-name glob; ScaleGen

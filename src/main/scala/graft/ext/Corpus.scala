@@ -32,7 +32,8 @@ object Corpus extends QueryModule {
     * (the q_minhash_near_dup convention).
     */
   private def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents").withColumn("w", split(col("text"), " "))
+    // spread (r17): the 8-gram md5 explode is scan-side on both legs.
+    val d = Tables.spread(spark, sfDir, "documents").withColumn("w", split(col("text"), " "))
     val grams = d.select(col("doc_id"), explode(expr(
       "transform(sequence(0, greatest(size(w) - 8, 0)), " +
         "i -> unhex(md5(concat_ws(' ', slice(w, i + 1, 8)))))")).as("gh"))

@@ -161,7 +161,12 @@ object Similarity extends QueryModule {
     val d = Tables(spark, sfDir, "documents")
       .filter(col("doc_id") < 60)
       .select(col("doc_id"), col("text"))
-    val a = d.alias("a")
+    // spread (r17): the O(m·n) levenshtein runs on the join output, whose
+    // partitioning is the STREAMED side's — rebalance that side (after
+    // the pushed filter) so the ~1.7k pair evaluations parallelize; the
+    // other side rides a broadcast either way.
+    val a = d.transform(Tables.rebalanceIfRowGroupBound(spark, sfDir, "documents"))
+      .alias("a")
     val b = d.alias("b")
     a.join(b, col("a.doc_id") < col("b.doc_id"))
       .select(
@@ -1129,10 +1134,11 @@ object Similarity extends QueryModule {
     val (seedDir, cut) = ensureSemdedupIndex(spark, sfDir)
     // Each run ingests into a scratch COPY so repeated runs see the same
     // pre-ingest state (the seed template is immutable, like the IVF
-    // scratch seed).
-    val dir = graft.core.TempDirs.create("graft_semdedup_inc")
-    graft.core.Warehouse.copyRecursively(new java.io.File(seedDir), new java.io.File(dir))
-    new java.io.File(dir, "_SEEDED").delete()
+    // scratch seed). r17: hardlink clone like every sibling lifecycle
+    // entry (the r13 reclaim) — this site was the one remaining byte
+    // copy; semdedupIndexIngest only ever stages new files and swaps
+    // manifests atomically, never mutates a linked inode.
+    val dir = scratchSemdedupCopy(seedDir, "graft_semdedup_inc")
     semdedupIndexIngest(spark, dir, e.filter(col("vec_id") >= cut), tau = 0.4,
       tap = Some("semdedup_inc_cells"))
   }

@@ -96,7 +96,9 @@ object TextAnalysis extends QueryModule {
     // only the determinism orderBy exchanges data.
     // Null text drops the row, matching the previous explode semantics
     // and the oracle's unnest(range(...)) (both produce no rows on null).
-    Tables(spark, sfDir, "documents")
+    // spread (r17): the strided-md5 kernel is ~n_chars/4 digests per doc,
+    // all scan-side — row-group-bound single-task without the rebalance.
+    Tables.spread(spark, sfDir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), expr(
         "transform(sequence(1, greatest(length(text) - 19, 1), 4), " +
@@ -199,7 +201,8 @@ object TextAnalysis extends QueryModule {
     * compares the truncated value (deterministic across engines).
     */
   private def repNgrams(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
+    // spread (r17): bigram explode + map-side combine are scan-side.
+    Tables.spread(spark, sfDir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -225,7 +228,8 @@ object TextAnalysis extends QueryModule {
     * total tie order.
     */
   private def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
+    // spread (r17): bigram explode + map-side combine are scan-side.
+    Tables.spread(spark, sfDir, "documents")
       .withColumn("w", split(col("text"), " "))
       .select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
@@ -244,7 +248,9 @@ object TextAnalysis extends QueryModule {
     * low-count degeneracy (hapax bigrams score inflated).
     */
   private def collocations(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables(spark, sfDir, "documents")
+    // spread (r17): both explode legs + their map-side combines are
+    // scan-side; one rebalance feeds both.
+    val d = Tables.spread(spark, sfDir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
     val uni = d.select(explode(col("w")).as("tok"))

@@ -25,11 +25,17 @@ object Reshape extends QueryModule {
       .orderBy("o_orderpriority")
 
   private def unpivot(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "lineitem")
+    // spread (r17): the stack() fan-out (3 rows per input row) is
+    // scan-side; the rebalanced exchange is reused by the oracle
+    // orderBy's range-sampling pass.
+    Tables.spread(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("""stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)
                | AS (metric, val)""".stripMargin))
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      // Total tie order (r17): the fixture duplicates (l_orderkey,
+      // l_linenumber), so `val` joins the sort keys — same reasoning and
+      // same oracle-side change as q_math_funcs.
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
 
   /** Distributed exact percentile (linear interpolation — quantile_cont /
     * Spark `percentile` semantics) with NO per-group value buffering.
@@ -88,7 +94,7 @@ object Reshape extends QueryModule {
   private def percentiles(spark: SparkSession, sfDir: String): DataFrame =
     // Exact percentiles — the deterministic audit twin of
     // approx_percentile, now scale-safe (see exactPercentiles).
-    exactPercentiles(Tables(spark, sfDir, "lineitem"),
+    exactPercentiles(Tables.spread(spark, sfDir, "lineitem"),
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
       .groupBy(col("l_returnflag"))
       .agg(
@@ -170,7 +176,10 @@ object Reshape extends QueryModule {
     * engines.
     */
   private def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables(spark, sfDir, "events")
+    // spread (r17): three scan-side legs (median histogram, deviation
+    // histogram, outlier fence scan) share one rebalanced scan. All
+    // downstream math is selection/count-based — order-insensitive.
+    val e = Tables.spread(spark, sfDir, "events")
     val med = exactPercentiles(e, "event_type", "value", Seq(0.5))
       .select(col("event_type"), round(col("pct"), 4).as("med"))
     val dev = e.join(broadcast(med), "event_type")
@@ -363,7 +372,7 @@ object Reshape extends QueryModule {
         SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem)
-      ORDER BY l_orderkey, l_linenumber, metric""")),
+      ORDER BY l_orderkey, l_linenumber, metric, val""")),
     "q_percentiles" -> QueryDef(percentiles, Some("""
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

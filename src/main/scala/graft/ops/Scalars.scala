@@ -43,8 +43,16 @@ object Scalars extends QueryModule {
       .orderBy("event_id")
 
   private def mathFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    // Total tie order (r17): (l_orderkey, l_linenumber) is NOT unique in
+    // the fixture, so the old 2-key sort's tie order was whatever row
+    // order reached the sort — deterministic only while the scan stayed
+    // single-task. The spread rebalance exposed that; ordering by every
+    // output column makes the contract layout-independent (rows equal on
+    // all sort keys are identical, so any order hashes the same). The
+    // oracle carries the same ORDER BY list.
     mathProjection(spark, sfDir)
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "price_up", "disc_dev",
+        "qty_ceil", "qty_floor", "ln_mod", "price_sqrt", "tax_sq")
 
   /** The q_math_funcs projection WITHOUT the oracle-determinism global
     * ORDER BY — the form a production sink consumes (sinks don't need
@@ -53,7 +61,11 @@ object Scalars extends QueryModule {
     * its 100x time). Exposed for the at-scale receipt (Receipts math).
     */
   private[graft] def mathProjection(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "lineitem")
+    // spread (r17): the BigDecimal HALF_UP rounds are the projection's
+    // cost and sit scan-side; the rebalanced exchange also gets REUSED by
+    // the oracle orderBy's range-sampling pass, so the scan+projection no
+    // longer execute twice.
+    Tables.spread(spark, sfDir, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
         // floor-based 2-decimal truncation, not round: price*1.1 lands on
@@ -153,7 +165,8 @@ object Scalars extends QueryModule {
              l_linenumber % 3 AS ln_mod,
              round(sqrt(l_extendedprice), 4) AS price_sqrt,
              round(pow(l_tax, 2), 6) AS tax_sq
-      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, price_up, disc_dev,
+        qty_ceil, qty_floor, ln_mod, price_sqrt, tax_sq""")),
     "q_json_funcs" -> QueryDef(jsonFuncs, Some("""
       SELECT event_id,
              json_extract_string(props, '$.k') AS k_str,

@@ -155,19 +155,52 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert("partial_count".r.findAllIn(p).size >= 2, p)
   }
 
-  /** The operator feeding each Exchange prints its output columns
+  /** The operator feeding each LOGIC Exchange (hash/range partitioning —
+    * the dedup/aggregation/sort machinery) prints its output columns
     * (Project [...] / HashAggregate(keys=[...])) — none may carry the
-    * given columns. Shuffling document bodies is the 100 TB failure mode
-    * the curation operators are shaped to avoid.
+    * given columns. Shuffling document bodies through the dedup logic is
+    * the 100 TB failure mode the curation operators are shaped to avoid.
+    *
+    * The one exemption (r17): `Tables.spread`'s round-robin LAYOUT
+    * rebalance. On a row-group-bound input (the single-row-group fixture
+    * files) it moves the scanned rows once, before any operator logic,
+    * so the kernels above it aren't capped at the input's physical split
+    * width; on a production layout (row groups >= parallelism/2) the
+    * rebalance is not planned at all — pinned by the spread-no-op test
+    * below — so text still NEVER rides an exchange at scale.
     */
   private def assertNoColsOnExchanges(p: String, cols: Seq[String]): Unit = {
     val lines = p.linesIterator.toVector
     val feeding = lines.zipWithIndex.collect {
-      case (l, i) if l.contains("Exchange") && i + 1 < lines.size => lines(i + 1)
+      case (l, i) if l.contains("Exchange") && i + 1 < lines.size &&
+        !l.toLowerCase.contains("roundrobinpartitioning") => lines(i + 1)
     }
     assert(feeding.nonEmpty, p)
     for (l <- feeding; c <- cols)
       assert(!l.contains(s"$c#"), s"$c rides a shuffle:\n$l\n$p")
+  }
+
+  test("Tables.spread no-ops on production layout (multi-row-group input)") {
+    // The layout-rebalance gate must read the ACTUAL parquet footer: on
+    // an input with at least parallelism/2 row groups the plan carries
+    // no round-robin exchange, and document text touches no exchange at
+    // all — the 100 TB invariant the round-robin exemption above relies
+    // on. A directory of 8 single-row-group files = 8 row groups
+    // (> local[4]/2), the ScaleGen replica shape.
+    val dir = graft.core.TempDirs.create("graft_spread_noop")
+    spark.read.parquet(s"$sf/documents.parquet").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.core.Tables.rowGroupCount(spark, dir, "documents") >= 8)
+    val p = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("roundrobinpartitioning"),
+      s"spread must not rebalance a multi-row-group input:\n$p")
+    val lines = p.linesIterator.toVector
+    val feeding = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange") && i + 1 < lines.size => lines(i + 1)
+    }
+    for (l <- feeding)
+      assert(!l.contains("text#"), s"text rides a shuffle on production layout:\n$l\n$p")
   }
 
   test("q_decontaminate never shuffles document text") {
