@@ -196,9 +196,7 @@ object Dedup extends QueryModule {
     * exact-dedup's job, not span removal's).
     */
   private def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
-    // spread (r17): the digest pass, n_tok split and rep shingling are
-    // all scan-side over documents — row-group-bound without it.
-    spansOf(Tables.spread(spark, sfDir, "documents"))
+    spansOf(Tables(spark, sfDir, "documents"))
 
   /** Gram-index span detection over the given docs, emitting hit
     * positions only for docs in `emitFor` (islands merged into maximal
@@ -296,9 +294,7 @@ object Dedup extends QueryModule {
     * cost: q_dedup_spans + one thin (doc_id, stats) aggregate.
     */
   private def dedupSpanStats(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (r17): same scan-side staging as q_dedup_spans; the thin
-    // n_tok leg below rides the same rebalanced scan.
-    val docs = Tables.spread(spark, sfDir, "documents")
+    val docs = Tables(spark, sfDir, "documents")
     val perDoc = spansOf(docs)
       .groupBy(col("doc_id"))
       .agg(sum(col("tok_len")).as("dup_tokens"), count(lit(1)).as("n_spans"))

@@ -201,8 +201,7 @@ object TextAnalysis extends QueryModule {
     * compares the truncated value (deterministic across engines).
     */
   private def repNgrams(spark: SparkSession, sfDir: String): DataFrame =
-    // spread (r17): bigram explode + map-side combine are scan-side.
-    Tables.spread(spark, sfDir, "documents")
+    Tables(spark, sfDir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -228,8 +227,7 @@ object TextAnalysis extends QueryModule {
     * total tie order.
     */
   private def ngramFreq(spark: SparkSession, sfDir: String): DataFrame =
-    // spread (r17): bigram explode + map-side combine are scan-side.
-    Tables.spread(spark, sfDir, "documents")
+    Tables(spark, sfDir, "documents")
       .withColumn("w", split(col("text"), " "))
       .select(explode(expr(
         "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))"))
@@ -248,9 +246,7 @@ object TextAnalysis extends QueryModule {
     * low-count degeneracy (hapax bigrams score inflated).
     */
   private def collocations(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (r17): both explode legs + their map-side combines are
-    // scan-side; one rebalance feeds both.
-    val d = Tables.spread(spark, sfDir, "documents")
+    val d = Tables(spark, sfDir, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 2)
     val uni = d.select(explode(col("w")).as("tok"))

@@ -270,9 +270,7 @@ object Aggregates extends QueryModule {
     * when a 2% answer is acceptable and the Expand matters.
     */
   private def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (r17): four countDistinct legs partial-aggregate scan-side;
-    // count/min/max aggregates are order-insensitive.
-    val e = Tables.spread(spark, sfDir, "events")
+    val e = Tables(spark, sfDir, "events")
     def nulls(c: String) = count(when(col(c).isNull, 1)).as(s"${c}_nulls")
     def nd(c: String) = countDistinct(col(c)).as(s"${c}_nd")
     val m = e.agg(

@@ -33,10 +33,7 @@ import graft.core.{QueryDef, QueryModule, Tables}
 object Quality extends QueryModule {
 
   private def dqRules(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (r17): all three legs (row-local rule counts, PK-dup
-    // groupBy, FK anti join) partial-aggregate scan-side; integer
-    // counts only, so the rebalance cannot move the oracle.
-    val li = Tables.spread(spark, sfDir, "lineitem")
+    val li = Tables(spark, sfDir, "lineitem")
     val orders = Tables(spark, sfDir, "orders")
     // One scan: every row-local rule is a conditional-count column.
     val local = li.agg(

@@ -94,7 +94,7 @@ object Reshape extends QueryModule {
   private def percentiles(spark: SparkSession, sfDir: String): DataFrame =
     // Exact percentiles — the deterministic audit twin of
     // approx_percentile, now scale-safe (see exactPercentiles).
-    exactPercentiles(Tables.spread(spark, sfDir, "lineitem"),
+    exactPercentiles(Tables(spark, sfDir, "lineitem"),
         "l_returnflag", "l_extendedprice", Seq(0.5, 0.9, 0.99))
       .groupBy(col("l_returnflag"))
       .agg(
@@ -176,10 +176,7 @@ object Reshape extends QueryModule {
     * engines.
     */
   private def anomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (r17): three scan-side legs (median histogram, deviation
-    // histogram, outlier fence scan) share one rebalanced scan. All
-    // downstream math is selection/count-based — order-insensitive.
-    val e = Tables.spread(spark, sfDir, "events")
+    val e = Tables(spark, sfDir, "events")
     val med = exactPercentiles(e, "event_type", "value", Seq(0.5))
       .select(col("event_type"), round(col("pct"), 4).as("med"))
     val dev = e.join(broadcast(med), "event_type")
