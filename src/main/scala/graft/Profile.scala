@@ -35,6 +35,11 @@ object Profile {
     // warm-up, no ensure* steps — after r16 moved the real warm-up to
     // the measured fixture); one body, no drift. The legacy r15
     // protocol remains reproducible via SPARK_GRAFT_JIT_WARMUP_DIR.
+    // GRAFT_SMALL_STATE_WIDTH: paired-receipt hook for the streaming
+    // small-fixture state width (spark.graft.stream.smallStateWidth) —
+    // same A/B role as GRAFT_CHANGELOG above.
+    sys.env.get("GRAFT_SMALL_STATE_WIDTH").foreach(v =>
+      spark.conf.set("spark.graft.stream.smallStateWidth", v))
     if (sys.env.contains("SPARK_GRAFT_JITPASS")) {
       Bench.warmPreTimingState(spark, sfDir,
         jitWarmupDir = sys.env.getOrElse("SPARK_GRAFT_JIT_WARMUP_DIR", sfDir),

@@ -69,13 +69,39 @@ object Streaming extends QueryModule {
   private def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T =
     graft.core.SessionConf.scoped(spark, key, value)(body)
 
+  /** Small-fixture state width: how many state partitions a bounded smoke
+    * run uses when the input is too small for the per-partition fixed cost
+    * (one state-store instance opened/committed per partition per
+    * micro-batch) to amortize. Conf-overridable (like the LPA frontier
+    * flag) so the value is a deployment knob with a receipted default, not
+    * a constant: the r17 paired receipt (OPTIMIZATION_r17.md) measured the
+    * stateful family at widths 8/4/2 on the same binary and window. The
+    * knob only ever applies to the SMALL branch of [[statePartitionsFor]]
+    * and the memory-sink default — past the 5 MB input threshold the
+    * session's full parallelism applies regardless, so production plans
+    * never see it.
+    */
+  private def smallStateWidth(spark: SparkSession): Int = {
+    val key = "spark.graft.stream.smallStateWidth"
+    val raw = spark.conf.get(key, "8")
+    val n = try raw.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a positive integer, got '$raw'")
+    }
+    require(n > 0, s"$key must be a positive integer, got '$raw'")
+    n
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and return
     * the sink contents. AvailableNow = process everything then stop — the
     * batch-driven smoke mode; the same code runs continuously with a
-    * processing-time trigger in production.
+    * processing-time trigger in production. `partitions <= 0` (the
+    * default) resolves to [[smallStateWidth]].
     */
-  private def runToMemory(df: DataFrame, mode: String, partitions: Int = 8): DataFrame =
-    withFewPartitions(df.sparkSession, partitions) {
+  private def runToMemory(df: DataFrame, mode: String, partitions: Int = 0): DataFrame =
+    withFewPartitions(df.sparkSession,
+      if (partitions > 0) partitions else smallStateWidth(df.sparkSession)) {
       val name = "ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream
         .format("memory").queryName(name)
@@ -98,7 +124,7 @@ object Streaming extends QueryModule {
   private def statePartitionsFor(spark: SparkSession, sfDir: String): Int = {
     val f = new java.io.File(s"$sfDir/events.parquet")
     if (f.isFile && f.length() > 5L * 1024 * 1024) spark.sparkContext.defaultParallelism
-    else 8
+    else smallStateWidth(spark)
   }
 
   // ---- R1→R6: the reference pipeline, end to end ------------------------

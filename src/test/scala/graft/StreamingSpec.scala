@@ -58,6 +58,30 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(rocks.nonEmpty && rocks == heap)
   }
 
+  test("stateful query output is state-width-agnostic (smallStateWidth is a knob, not a semantic)") {
+    // spark.graft.stream.smallStateWidth resizes the bounded-run state
+    // partitioning (the r17 paired receipt measured widths 8/4/2); like
+    // the provider above, it must never move one output row.
+    val narrow = graft.core.SessionConf.scoped(spark,
+      "spark.graft.stream.smallStateWidth", "3") {
+      SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    }
+    val default = SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    assert(default.nonEmpty && default == narrow)
+  }
+
+  test("smallStateWidth rejects malformed values with a descriptive error") {
+    // Same contract as the LPA frontier flag (ADVICE r16 #4): a bad conf
+    // value must fail at entry with the key named, not deep in a batch.
+    val e = intercept[IllegalArgumentException] {
+      graft.core.SessionConf.scoped(spark,
+        "spark.graft.stream.smallStateWidth", "lots") {
+        SparkEntry.queries("s_stateful_count")(spark, sf).collect()
+      }
+    }
+    assert(e.getMessage.contains("spark.graft.stream.smallStateWidth"))
+  }
+
   private val mergeCols = Seq("user_id", "event_id", "v", "ts")
 
   private def mergeDf(rows: Seq[(Long, Long, String, String)]) = {
