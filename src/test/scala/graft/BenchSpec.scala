@@ -44,4 +44,32 @@ class BenchSpec extends AnyFunSuite {
   test("r15 sweep-6 style doubling is refused") {
     assert(Bench.noisyVerdict(0.11, 0.21))
   }
+
+  test("retime burst witness: the s3-sweep2 upward re-reads all fire") {
+    // Live pairs from the r17 window that passed the canary bracket
+    // (0.15/0.11) while carrying a mid-sweep burst: an immediate retime
+    // of the same compiled plan reading >1.5x ABOVE its original can
+    // only be host state.
+    assert(Bench.retimeBurst(1.92, 4.12)) // q_semdedup_delete
+    assert(Bench.retimeBurst(2.85, 5.35)) // q_lpa_incremental
+    assert(Bench.retimeBurst(2.52, 4.10)) // q_dedup_span_stats
+    assert(Bench.retimeBurst(2.59, 3.92)) // s_watermark_late
+  }
+
+  test("retime burst witness: clean-window upward jitter does not fire") {
+    // The largest upward pair in the same binary's clean sweep.
+    assert(!Bench.retimeBurst(1.78, 2.03)) // q_minhash_rebuild, 1.14x
+    // DOWNWARD retimes (the normal noise-strip direction) never fire.
+    assert(!Bench.retimeBurst(16.21, 2.13)) // q_math_funcs
+    // Sub-jitter floor: pairs under the 0.3 s floor are timer noise.
+    assert(!Bench.retimeBurst(0.10, 0.40))
+    assert(Bench.retimeBurst(0.10, 0.46)) // above 1.5x of the floor
+  }
+
+  test("window verdict: three distinct burst witnesses refuse, two do not") {
+    assert(!Bench.burstNoisyVerdict(0))
+    assert(!Bench.burstNoisyVerdict(2))
+    assert(Bench.burstNoisyVerdict(3))
+    assert(Bench.burstNoisyVerdict(4)) // the refused s3-sweep2 count
+  }
 }
