@@ -32,7 +32,17 @@ object Bench {
     * host state — the operator did not change between two back-to-back
     * runs. The 0.3 s floor keeps sub-second jitter pairs out (the same
     * role as noisyVerdict's 0.05 s canary floor, scaled to entry
-    * timings). */
+    * timings).
+    *
+    * Coupling note (ADVICE r17 #3): in the first-pass retime loop this
+    * predicate is exactly the negation of the confirm check
+    * (`dtN <= best * 1.5`) whenever `best > threshold >= 1.0` — the 0.3 s
+    * floor is inert there — so every non-confirming retime becomes a
+    * witness and three genuinely bimodal entries would flip the window
+    * verdict on a quiet host. Acceptable on the zero-witness clean-sweep
+    * evidence (no registry entry is bimodal today); if bimodal entries
+    * ever appear, decouple the two 1.5x constants rather than widening
+    * this one. */
   def retimeBurst(prevBest: Double, retime: Double): Boolean =
     retime > 1.5 * math.max(0.3, prevBest)
 
@@ -340,6 +350,12 @@ object Bench {
       val confirm = math.max(0.45, 1.5 * warm.getOrElse(name, dt))
       if (dt > band && !failed.contains(name) && !warmFailed.contains(name)) {
         val dtN = time(name)
+        // ADVICE r17 #1: this pass also re-runs the same compiled plan
+        // back-to-back, so an upward re-read here is the same host-burst
+        // evidence as in the first-pass retime loop — record it toward
+        // the window verdict (computed after this pass). A retime that
+        // THREW is a crash elapsed time, not a witness.
+        if (!failed.contains(name) && retimeBurst(dt, dtN)) burstWitnesses += name
         if (failed.contains(name)) {
           // The retime THREW: its elapsed time is a crash time, and the
           // sweep must not be marked failed when the primary succeeded —

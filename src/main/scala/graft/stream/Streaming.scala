@@ -84,7 +84,10 @@ object Streaming extends QueryModule {
   private def smallStateWidth(spark: SparkSession): Int = {
     val key = "spark.graft.stream.smallStateWidth"
     val raw = spark.conf.get(key, "8")
-    val n = try raw.toInt catch {
+    // trim (ADVICE r17 #2): a value sourced from the GRAFT_SMALL_STATE_WIDTH
+    // env hook can carry incidental shell whitespace ('8\n'); the intent is
+    // unambiguous, so resolve it rather than failing at entry.
+    val n = try raw.trim.toInt catch {
       case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"$key must be a positive integer, got '$raw'")

@@ -82,6 +82,17 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("spark.graft.stream.smallStateWidth"))
   }
 
+  test("smallStateWidth tolerates incidental whitespace (ADVICE r17 #2)") {
+    // An env-sourced value like '8\n' (shell artifact) is unambiguous and
+    // must resolve rather than throw; output is identical to the default.
+    val padded = graft.core.SessionConf.scoped(spark,
+      "spark.graft.stream.smallStateWidth", " 8\n") {
+      SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    }
+    val default = SparkEntry.queries("s_stateful_count")(spark, sf).collect().toSeq
+    assert(default.nonEmpty && default == padded)
+  }
+
   private val mergeCols = Seq("user_id", "event_id", "v", "ts")
 
   private def mergeDf(rows: Seq[(Long, Long, String, String)]) = {
