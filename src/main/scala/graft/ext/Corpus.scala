@@ -25,18 +25,21 @@ object Corpus extends QueryModule {
   /** Benchmark decontamination (the n-gram-overlap flavor every LLM
     * pipeline runs before training): documents sharing any 8-word shingle
     * with the held-out eval set (here: every 50th doc_id) are flagged.
-    * Shingles are md5-compacted scan-side — unhex folds the 32-char hex
-    * string down to the raw 16 digest bytes — so the semi-join shuffles
-    * (digest, doc_id) pairs at 16 bytes of key per gram, never text. Docs
+    * Shingles are compacted scan-side to an xxhash64 digest (r18 — was
+    * unhex(md5): the digest is internal to both engine and oracle, which
+    * compares raw gram strings, so the allocation-free hash and the
+    * 8-byte — not 16-byte — key change no output row), so the semi-join
+    * shuffles (digest, doc_id) pairs at 8 bytes of key per gram, never
+    * text. Docs
     * shorter than 8 words contribute their whole text as one shingle
     * (the q_minhash_near_dup convention).
     */
   private def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    // spread (r17): the 8-gram md5 explode is scan-side on both legs.
+    // spread (r17): the 8-gram digest explode is scan-side on both legs.
     val d = Tables.spread(spark, sfDir, "documents").withColumn("w", split(col("text"), " "))
     val grams = d.select(col("doc_id"), explode(expr(
       "transform(sequence(0, greatest(size(w) - 8, 0)), " +
-        "i -> unhex(md5(concat_ws(' ', slice(w, i + 1, 8)))))")).as("gh"))
+        "i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8))))")).as("gh"))
     val evalGrams = grams.filter(col("doc_id") % 50 === 0).select("gh").distinct()
     val hits = grams.filter(col("doc_id") % 50 =!= 0)
       .join(evalGrams, "gh")

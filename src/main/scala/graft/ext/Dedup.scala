@@ -183,11 +183,16 @@ object Dedup extends QueryModule {
     * also appear in at least one OTHER document, emitted as
     * (doc_id, span_id, tok_start, tok_len, n_grams) offsets for a
     * downstream span-removal pass. Built on the decontamination shingle
-    * machinery: every SpanGram-word shingle is md5-compacted scan-side,
-    * a digest appearing in >= 2 distinct docs marks its positions as
-    * duplicated, and per-doc position runs merge into maximal spans via
-    * a gaps-and-islands window (two hits merge iff their token ranges
-    * overlap or touch: pos' - pos <= SpanGram).
+    * machinery: every SpanGram-word shingle is compacted scan-side to an
+    * xxhash64 digest (r18 — was unhex(md5): the digest is internal to
+    * both engine and oracle, which compares raw gram strings, so the
+    * cheaper allocation-free hash and the 8-byte — not 16-byte — shuffle
+    * key change no output row; the minhash family has always hashed
+    * shingles with the same xxhash64), a digest appearing in >= 2
+    * distinct docs marks its positions as duplicated, and per-doc
+    * position runs merge into maximal spans via a gaps-and-islands
+    * window (two hits merge iff their token ranges overlap or touch:
+    * pos' - pos <= SpanGram).
     *
     * Scale shape: the duplicated-digest aggregate and the semi-join both
     * shuffle (digest16, doc_id, pos) — never text; the island merge is
@@ -211,7 +216,7 @@ object Dedup extends QueryModule {
       .filter(size(col("w")) >= width)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, size(w) - $width), " +
-          s"i -> unhex(md5(concat_ws(' ', slice(w, i + 1, $width)))))"))
+          s"i -> xxhash64(concat_ws(' ', slice(w, i + 1, $width))))"))
         .as(Seq("pos", "gh")))
     val dupDigests = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
